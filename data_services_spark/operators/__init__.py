@@ -1,0 +1,35 @@
+from data_services_spark.operators.merge import merge_nodes, merge_edges, first_by_rank
+from data_services_spark.operators.normalize import (
+    normalize_edges, normalization_failures, apply_node_map,
+)
+from data_services_spark.operators.subset import connected_edge_subset, meta_kg
+from data_services_spark.operators.windows import (
+    top_k_per_group, sessionize, tumbling, sliding,
+)
+from data_services_spark.operators.asof import asof_join, range_join
+from data_services_spark.operators.dedup import (
+    exact_text_dedup, fingerprint, minhash_signature, minhash_lsh_pairs,
+    simhash64, jaccard_pairs,
+)
+from data_services_spark.operators.similarity import (
+    knn_topk, knn_topk_arrow, nearest_within_group,
+)
+from data_services_spark.operators.text import (
+    tokenize, term_frequencies, tfidf, quality_score, lang_id,
+)
+from data_services_spark.operators.multimodal import (
+    attach_binary_payload, extract_payload_meta, decode_media,
+)
+
+__all__ = [
+    "merge_nodes", "merge_edges", "first_by_rank",
+    "normalize_edges", "normalization_failures", "apply_node_map",
+    "connected_edge_subset", "meta_kg",
+    "top_k_per_group", "sessionize", "tumbling", "sliding",
+    "asof_join", "range_join",
+    "exact_text_dedup", "fingerprint", "minhash_signature",
+    "minhash_lsh_pairs", "simhash64", "jaccard_pairs",
+    "knn_topk", "knn_topk_arrow", "nearest_within_group",
+    "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
+    "attach_binary_payload", "extract_payload_meta", "decode_media",
+]

@@ -1,0 +1,160 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.11
+L1/L2): exact, fingerprint, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+
+All hashing stays JVM-side (``sha2``/``md5``/``xxhash64`` + higher-order
+array functions) — no Python in the hot path. MinHash/SimHash are
+deterministic (fixed seed constants), so repeated runs bucket identically.
+
+Scale notes:
+- exact dedup is one shuffle on the content hash;
+- MinHash LSH turns the quadratic all-pairs problem into per-band bucket
+  joins: cost ~ sum over buckets of |bucket|^2, controlled by (bands, rows);
+- the exact Jaccard verifier joins only LSH-candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _norm_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def exact_text_dedup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """L1: group by sha256 of normalized text; keep the lowest id as the
+    canonical representative, count the duplicates."""
+    h = F.sha2(_norm_text(text_col), 256).alias("content_hash")
+    return (docs.select(h, F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> Column:
+    """Stable 128-bit document fingerprint (md5 of normalized text)."""
+    return F.md5(_norm_text(text_col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column."""
+    toks = F.split(_norm_text(col), r"\s+")
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                         for j in range(n)]),
+        )
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 32,
+                      shingle_n: int = 3) -> Column:
+    """Array of `num_hashes` min-hashes over word shingles.
+
+    Hash family: xxhash64(shingle, seed_i) with fixed per-slot seeds —
+    deterministic across runs and partitions.
+    """
+    sh = shingles(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """L2: candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into `bands` bands of `num_hashes/bands` rows; docs
+    sharing any band hash become a candidate pair. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b, est_jaccard = fraction of matching
+    signature slots (deduped across bands).
+    """
+    rows = num_hashes // bands
+    sig = docs.select(F.col(id_col).alias("id"),
+                      minhash_signature(text_col, num_hashes, shingle_n).alias("sig"))
+    sig = sig.persist()
+    banded = sig.select(
+        "id", "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(
+                        ",", F.slice("sig", b * rows + 1, rows))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y), lambda m: m))
+           / F.lit(float(num_hashes))).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est)
+
+
+def simhash64(col: Column | str, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, as a 16-hex-char string.
+
+    Per bit position: sum +-1 votes by whether xxhash64(shingle) has the bit
+    set; sign of the sum decides the output bit. Implemented over the binary
+    string of each hash (``bin`` + per-position ``substr``) because Spark's
+    shift/substring builtins take only literal positions — stays pure JVM
+    array expressions either way.
+    """
+    binstrs = F.transform(shingles(col, shingle_n),
+                          lambda s: F.lpad(F.bin(F.xxhash64(s)), 64, "0"))
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),  # 1-based position, MSB first
+        lambda p: F.when(
+            F.aggregate(
+                binstrs, F.lit(0),
+                lambda acc, b: acc + F.when(b.substr(p, F.lit(1)) == "1",
+                                            1).otherwise(-1),
+            ) > 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.lpad(F.conv(F.array_join(bits, ""), 2, 16), 16, "0")
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  block_cols: tuple[str, ...] = (),
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs, blocked by `block_cols`
+    to bound the pair count (at scale: block by LSH bucket, language, or
+    length band — never run unblocked).
+
+    Returns (id_a, id_b, jaccard) for pairs meeting `threshold`.
+    """
+    toks = (docs.select(*block_cols, F.col(id_col).alias("id"),
+                        F.explode(F.array_distinct(
+                            F.split(_norm_text(text_col), r"\s+"))).alias("tok")))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (a.join(b, cond)
+             .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11 L5):
+tokenization, term statistics, tf-idf, quality scoring, heuristic language
+ID, token counting. Pure built-in expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# Tiny per-language stopword markers for the heuristic language scorer.
+# Deterministic and oracle-reproducible; quality depends on the corpus, the
+# operator contract is just "argmax of marker hits with a fixed tie order".
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de5", "shi4", "le5", "he2"),
+}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex (words/numbers/symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus term frequencies: (term, n_docs, n_occurrences)."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(tokenize(text_col)).alias("term"))
+    return toks.groupBy("term").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+def tfidf(docs: DataFrame, text_col: str = "text",
+          id_col: str = "doc_id", top_k: int | None = None) -> DataFrame:
+    """Per-(doc, term) tf-idf with idf = ln(N / df).
+
+    tf is the raw in-doc count; single double multiply at the end keeps the
+    value bit-stable across engines. Optional per-doc top-k by
+    (tfidf desc, term asc).
+    """
+    n_docs = docs.select(F.countDistinct(id_col)).head()[0]
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct() \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    out = (tf.join(F.broadcast(df_), "term")
+           .withColumn("tfidf",
+                       F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+           .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                   F.col("df").cast("long").alias("df"), "tfidf"))
+    if top_k is not None:
+        w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+        out = (out.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= top_k).drop("rn"))
+    return out
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features + composite score.
+
+    Features: n_chars, n_tokens, mean token length, stopword ratio,
+    non-alpha ratio. score = stopword_ratio * 0.5 + clamp(mean_len/10) * 0.3
+    + (1 - non_alpha_ratio) * 0.2 — each term a single double op chain, so
+    the oracle reproduces it exactly.
+    """
+    toks = tokenize(text_col)
+    stop = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    mean_len = ((n_chars - (n_tokens - 1)) / n_tokens).cast("double")
+    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+                  / n_tokens).cast("double")
+    non_alpha = (F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z\s]", ""))
+                 / n_chars).cast("double")
+    score = (stop_ratio * F.lit(0.5)
+             + F.least(mean_len / F.lit(10.0), F.lit(1.0)) * F.lit(0.3)
+             + (F.lit(1.0) - non_alpha) * F.lit(0.2))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        non_alpha.alias("non_alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count per-language marker-token hits; argmax
+    with ties going to the alphabetically-first language code (a CASE
+    cascade in language order, each branch `>=` all later ones — identical
+    shape in the SQL oracle).
+
+    Returns (doc_id, lang_guess, marker_hits).
+    """
+    toks = tokenize(text_col)
+    langs = sorted(LANG_MARKERS)
+
+    def _isin(markers: tuple[str, ...]):
+        # closure factory: the lambda must take exactly one parameter
+        # (PySpark binds a lambda variable per signature parameter).
+        return lambda t: t.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(toks, _isin(LANG_MARKERS[lang]))).cast("long")
+        for lang in langs
+    }
+    guess = None
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if not rest:
+            branch = F.lit(lang)
+            guess = branch if guess is None else guess.otherwise(branch)
+            break
+        cond = None
+        for other in rest:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
+    return docs.select("doc_id",
+                       guess.alias("lang_guess"),
+                       F.greatest(*hits.values()).alias("marker_hits"))

@@ -1,0 +1,74 @@
+"""Window and time-window operators (all added surface — the reference
+pipeline has no window operator anywhere; SURVEY §2.5/§2.9).
+
+Batch forms here; streaming twins live in ``data_services_spark.streaming``.
+Every helper emits epoch-millisecond BIGINT window boundaries rather than raw
+timestamps so results compare bit-stably across engines and ns/us precisions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _ms(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # cast: NTZ parquet timestamps -> LTZ epoch under the UTC session tz
+    return (F.unix_micros(c.cast("timestamp")) / F.lit(1000)).cast("long")
+
+
+def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
+                    order_by: Sequence[Column], k: int,
+                    rank_alias: str = "rn") -> DataFrame:
+    """W1/W4: row_number top-k. `order_by` must be a total order (add a
+    unique tiebreaker) or results are nondeterministic."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (df.withColumn(rank_alias, F.row_number().over(w))
+            .filter(F.col(rank_alias) <= k))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """T3 batch sessionization: gap-based session ids via lag + running sum.
+
+    A session breaks when the gap since the previous event exceeds
+    `gap_minutes`. Returns input rows + `session_id` (0-based per user).
+    Equivalent to ``F.session_window`` grouping but keeps row granularity.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_ms = gap_minutes * 60 * 1000
+    prev_ms = F.lag(_ms(ts_col)).over(w)
+    new_session = (
+        F.when(prev_ms.isNull(), F.lit(0))
+        .when(_ms(ts_col) - prev_ms > gap_ms, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    running = Window.partitionBy(user_col).orderBy(ts_col, "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (events
+            .withColumn("__new", new_session)
+            .withColumn("session_id", F.sum("__new").over(running).cast("long"))
+            .drop("__new"))
+
+
+def tumbling(events: DataFrame, ts_col: str, duration: str,
+             group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    """T1 tumbling window aggregate; emits `window_start_ms` BIGINT."""
+    return (events
+            .groupBy(F.window(ts_col, duration).alias("__w"), *group_cols)
+            .agg(*aggs)
+            .withColumn("window_start_ms", _ms(F.col("__w.start")))
+            .drop("__w"))
+
+
+def sliding(events: DataFrame, ts_col: str, duration: str, slide: str,
+            group_cols: Sequence[str], *aggs: Column) -> DataFrame:
+    """T2 sliding window aggregate; emits `window_start_ms` BIGINT."""
+    return (events
+            .groupBy(F.window(ts_col, duration, slide).alias("__w"), *group_cols)
+            .agg(*aggs)
+            .withColumn("window_start_ms", _ms(F.col("__w.start")))
+            .drop("__w"))

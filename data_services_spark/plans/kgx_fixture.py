@@ -1,0 +1,165 @@
+"""Deterministic KGX fixture derivation from the driver test tables.
+
+Per FIXTURES.md §B: synthesize multi-source KGX nodes/edges (with deliberate
+duplicate ids, conflicting scalar props, rank priorities) and a
+normalization map — from `customer` / `part` / `lineitem` / `orders` — so the
+graph-merge operator family is exercised with a DuckDB-expressible oracle.
+
+Each Spark builder has a `*_SQL` CTE string that derives the *identical*
+relation in DuckDB; registry oracles compose them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from data_services_spark.catalog import load_table
+
+
+def _curie(prefix: str, col) -> F.Column:
+    return F.concat(F.lit(prefix + ":"), col.cast("string"))
+
+
+def kgx_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three 'sources' with overlapping ids and conflicting props.
+
+    - src1: every customer, rank 1, name as-is, mktsegment set, acctbal as-is;
+    - src2: customers with c_custkey % 3 == 0, rank 2, UPPER name, null
+      mktsegment (exercises first-non-null-by-rank), acctbal + 100;
+    - src3: every part, rank 1 (disjoint id space).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    src1 = c.select(
+        _curie("CUST", F.col("c_custkey")).alias("id"),
+        F.col("c_name").alias("name"),
+        F.array(F.lit("biolink:Person"), F.lit("biolink:NamedThing")).alias("category"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(1).cast("int").alias("source_rank"),
+    )
+    src2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        _curie("CUST", F.col("c_custkey")).alias("id"),
+        F.upper(F.col("c_name")).alias("name"),
+        F.array(F.lit("biolink:Agent")).alias("category"),
+        F.lit(None).cast("string").alias("mktsegment"),
+        (F.col("c_acctbal") + 100).alias("acctbal"),
+        F.lit(2).cast("int").alias("source_rank"),
+    )
+    src3 = p.select(
+        _curie("PART", F.col("p_partkey")).alias("id"),
+        F.col("p_name").alias("name"),
+        F.array(F.lit("biolink:ChemicalEntity")).alias("category"),
+        F.col("p_brand").alias("mktsegment"),
+        F.col("p_retailprice").alias("acctbal"),
+        F.lit(1).cast("int").alias("source_rank"),
+    )
+    return src1.unionByName(src2).unionByName(src3)
+
+
+KGX_NODES_SQL = """
+kgx_nodes AS (
+    SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS name,
+           ['biolink:Person', 'biolink:NamedThing'] AS category,
+           c_mktsegment AS mktsegment,
+           c_acctbal AS acctbal,
+           1 AS source_rank
+    FROM customer
+    UNION ALL
+    SELECT 'CUST:' || CAST(c_custkey AS VARCHAR),
+           UPPER(c_name),
+           ['biolink:Agent'],
+           NULL,
+           c_acctbal + 100,
+           2
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 'PART:' || CAST(p_partkey AS VARCHAR),
+           p_name,
+           ['biolink:ChemicalEntity'],
+           p_brand,
+           p_retailprice,
+           1
+    FROM part
+)"""
+
+
+def kgx_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges from lineitem: ORD:<orderkey> -[predicate]-> PART:<partkey>.
+
+    Duplicate (s,p,o,pks) groups arise when an order contains the same part
+    on multiple lines with the same supplier parity; publications /
+    aggregators differ per line so list-union is exercised.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        _curie("ORD", F.col("l_orderkey")).alias("subject"),
+        F.when(F.col("l_returnflag") == "R", F.lit("biolink:returned"))
+         .otherwise(F.lit("biolink:contains")).alias("predicate"),
+        _curie("PART", F.col("l_partkey")).alias("object"),
+        F.concat(F.lit("infores:src"),
+                 (F.col("l_suppkey") % 3).cast("string"))
+         .alias("primary_knowledge_source"),
+        F.array(_curie("PMID", F.col("l_linenumber") * 7)).alias("publications"),
+        F.array(F.concat(F.lit("infores:agg"),
+                         (F.col("l_suppkey") % 2).cast("string")))
+         .alias("aggregator_knowledge_sources"),
+        F.col("l_linenumber").cast("int").alias("source_rank"),
+    )
+
+
+KGX_EDGES_SQL = """
+kgx_edges AS (
+    SELECT 'ORD:' || CAST(l_orderkey AS VARCHAR) AS subject,
+           CASE WHEN l_returnflag = 'R' THEN 'biolink:returned'
+                ELSE 'biolink:contains' END AS predicate,
+           'PART:' || CAST(l_partkey AS VARCHAR) AS object,
+           'infores:src' || CAST(l_suppkey % 3 AS VARCHAR)
+               AS primary_knowledge_source,
+           ['PMID:' || CAST(l_linenumber * 7 AS VARCHAR)] AS publications,
+           ['infores:agg' || CAST(l_suppkey % 2 AS VARCHAR)]
+               AS aggregator_knowledge_sources,
+           l_linenumber AS source_rank
+    FROM lineitem
+)"""
+
+
+def norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization map: customers normalize to NORM:<2*key>, except
+    custkey % 10 == 7 which are missing (normalization failures)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 10 != 7).select(
+        _curie("CUST", F.col("c_custkey")).alias("orig_id"),
+        _curie("NORM", F.col("c_custkey") * 2).alias("canon_id"),
+        F.lower(F.col("c_name")).alias("canon_name"),
+    )
+
+
+NORM_MAP_SQL = """
+norm_map AS (
+    SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS orig_id,
+           'NORM:' || CAST(c_custkey * 2 AS VARCHAR) AS canon_id,
+           LOWER(c_name) AS canon_name
+    FROM customer WHERE c_custkey % 10 <> 7
+)"""
+
+
+def order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUST:<custkey> -[biolink:placed]-> ORD:<orderkey> from orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        _curie("CUST", F.col("o_custkey")).alias("subject"),
+        F.lit("biolink:placed").alias("predicate"),
+        _curie("ORD", F.col("o_orderkey")).alias("object"),
+    )
+
+
+ORDER_EDGES_SQL = """
+order_edges AS (
+    SELECT 'CUST:' || CAST(o_custkey AS VARCHAR) AS subject,
+           'biolink:placed' AS predicate,
+           'ORD:' || CAST(o_orderkey AS VARCHAR) AS object
+    FROM orders
+)"""

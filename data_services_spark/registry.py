@@ -1,0 +1,980 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair, consumed by ``__spark_entry__.py``.
+
+Conventions that make the driver's order-insensitive value-hash compare
+bit-stable across Spark and DuckDB (SURVEY §7 "hard parts"):
+
+- every aggregate/computed column aliased identically on both sides;
+- double SUMs accumulate exactly via the integer/fraction long-pair
+  decomposition (order-independent, codegen-fast; see functions/numeric.py);
+- array-valued results sorted on both sides;
+- counts / ranks / epoch values cast to BIGINT on both sides;
+- event-time outputs are epoch-ms BIGINTs, never raw ns timestamps;
+- LIMIT queries carry a total order (explicit tie-breaker columns);
+- approximate ops (MinHash LSH, SimHash) register without an oracle ->
+  the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from data_services_spark.catalog import load_table
+from data_services_spark.functions.numeric import (
+    davg, dmoney, dsum, sql_davg, sql_dsum, sql_dsum_expr,
+)
+from data_services_spark.operators import (
+    asof_join, connected_edge_subset, exact_text_dedup, fingerprint,
+    jaccard_pairs, knn_topk, knn_topk_arrow, lang_id, merge_edges,
+    merge_nodes, meta_kg, minhash_lsh_pairs, nearest_within_group,
+    normalization_failures, normalize_edges, quality_score, sessionize,
+    simhash64, sliding, term_frequencies, tfidf, top_k_per_group, tumbling,
+)
+from data_services_spark.operators.multimodal import (
+    attach_binary_payload, decode_media, extract_payload_meta,
+)
+from data_services_spark.plans import kgx_fixture as kgx
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _ms(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    # cast: NTZ parquet timestamps -> LTZ epoch under the UTC session tz
+    return (F.unix_micros(c.cast("timestamp")) / F.lit(1000)).cast("long")
+
+
+def _DSUM_F(e: str, a: str) -> str:
+    return sql_dsum(e, a)
+
+
+def _DAVG_F(e: str, a: str) -> str:
+    return sql_davg(e, a)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2/§2.3/§2.4/§2.6/§2.7)
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM_F('l_quantity', 'sum_qty')},
+       {_DSUM_F('l_extendedprice', 'sum_base_price')},
+       {_DSUM_F('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_DSUM_F('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {_DAVG_F('l_quantity', 'avg_qty')},
+       {_DAVG_F('l_extendedprice', 'avg_price')},
+       {_DAVG_F('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-agg with full pushdown (P4+A8+F3)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (l.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity", "sum_qty"),
+                 dsum("l_extendedprice", "sum_base_price"),
+                 dmoney(disc, "sum_disc_price"),
+                 dmoney(disc * (1 + F.col("l_tax")), "sum_charge"),
+                 davg("l_quantity", "avg_qty"),
+                 davg("l_extendedprice", "avg_price"),
+                 davg("l_discount", "avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("q3_shipping_priority", f"""
+SELECT l_orderkey,
+       {_DSUM_F('l_extendedprice * (1 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
+    Catalyst broadcast-joins the filtered customer side (J5+A8+O2)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        "revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+
+
+@register("q5_region_revenue", f"""
+SELECT n_name,
+       {_DSUM_F('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, facts shuffle once."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation",
+                   "region")}
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01")))
+    return (t["customer"]
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t["supplier"], (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"]),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        "revenue")))
+
+
+@register("proj_curie", """
+SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS id,
+       UPPER(c_name) AS name_upper,
+       LOWER(c_mktsegment) AS segment,
+       c_acctbal AS acctbal
+FROM customer
+""")
+def proj_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: projection + rename + CURIE construction (the per-parser
+    select/alias step of every reference loader)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"))
+
+
+@register("filter_membership", """
+SELECT c_nationkey, COUNT(*) AS n
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY c_nationkey
+""")
+def filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: allow-list membership filter (GOA/ViralProteome taxon lists)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("filter_threshold", """
+SELECT event_id, value
+FROM events
+WHERE event_type = 'purchase' AND value >= 50.0
+""")
+def filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: numeric threshold predicate (GTEx p-value / GWAS significance)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.filter((F.col("event_type") == "purchase")
+                     & (F.col("value") >= 50.0))
+            .select("event_id", "value"))
+
+
+@register("filter_validity", """
+WITH ids AS (
+    SELECT CASE WHEN c_custkey % 7 = 0
+                THEN 'bad_' || CAST(c_custkey AS VARCHAR)
+                ELSE 'CUST:' || CAST(c_custkey AS VARCHAR) END AS id
+    FROM customer
+)
+SELECT id FROM ids WHERE regexp_matches(id, '^[A-Za-z]+:')
+""")
+def filter_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: CURIE validity predicate (every parser's malformed-row skip)."""
+    c = load_table(spark, sf_dir, "customer")
+    ids = c.select(
+        F.when(F.col("c_custkey") % 7 == 0,
+               F.concat(F.lit("bad_"), F.col("c_custkey").cast("string")))
+        .otherwise(F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")))
+        .alias("id"))
+    return ids.filter(F.col("id").rlike("^[A-Za-z]+:"))
+
+
+@register("distinct_rows", """
+SELECT DISTINCT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year
+FROM lineitem
+""")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: exact-row dedup (KGXFileWriter seen-set -> distinct)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.select("l_returnflag", "l_linestatus",
+                     F.year("l_shipdate").cast("long").alias("ship_year"))
+            .distinct())
+
+
+@register("json_props", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F5: JSON prop extraction from the events.props string column."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.withColumn("k", F.from_json("props", "k BIGINT")["k"])
+            .groupBy("event_type")
+            .agg(F.sum("k").cast("long").alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left-semi (customers with at least one order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register("join_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left-anti (customers with no orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("join_range", """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY a.user_id
+""")
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: range/interval join — equi key keeps it a shuffled join with a
+    residual range filter, never a nested-loop cross product."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(F.col("user_id"), F.col("ts").alias("ts_a"))
+    b = e.select(F.col("user_id").alias("user_id_b"), F.col("ts").alias("ts_b"))
+    return (a.join(b, (a.user_id == b.user_id_b)
+                   & (F.col("ts_b") > F.col("ts_a"))
+                   & (F.col("ts_b") <= F.col("ts_a")
+                      + F.expr("INTERVAL 5 MINUTES")))
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+@register("join_asof", """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT * FROM events WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id,
+       CAST(epoch_ms(p.ts) - epoch_ms(s.ts) AS BIGINT) AS gap_ms
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+""")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: as-of join via the union+window trick (one shuffle, no quadratic
+    intermediate) — each purchase matched to the user's latest prior signup."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase") \
+         .select("user_id", "ts", F.col("event_id"))
+    s = e.filter(F.col("event_type") == "signup") \
+         .select("user_id", "ts", F.col("event_id"))
+    res = asof_join(p, s, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["event_id", "ts"])
+    return res.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_right").alias("signup_id"),
+        (_ms("ts") - _ms("ts_right")).alias("gap_ms"))
+
+
+@register("agg_stats", f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       {_DSUM_F('o_totalprice', 'total_price')},
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: partial+final aggregation with distinct agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 dsum("o_totalprice", "total_price"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+@register("agg_rollup", """
+SELECT r_name, n_name, GROUPING(r_name, n_name) AS gid, COUNT(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: rollup with grouping id."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("top_k", """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 15
+""")
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global top-k -> Catalyst TakeOrderedAndProject (no full sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (c.select("c_custkey", "c_name", "c_acctbal")
+            .orderBy(F.desc("c_acctbal"), "c_custkey").limit(15))
+
+
+@register("set_intersect", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: INTERSECT (distinct semantics both engines)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register("set_except", """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier
+""")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: EXCEPT."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register("union_merge", """
+SELECT nationkey, COUNT(*) AS n FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+""")
+def union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: source union then aggregate (the merger's concatenate step)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return (c.unionByName(s).groupBy("nationkey")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("agg_hyperedge", f"""
+SELECT l_partkey, l_suppkey,
+       CAST(MIN(epoch_ms(l_shipdate)) AS BIGINT) AS first_ship_ms,
+       {_DSUM_F('l_quantity', 'total_qty')},
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_partkey, l_suppkey
+""")
+def agg_hyperedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: GTEx-style hyper-edge combine — one row per composite key
+    aggregating over constituent records."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_partkey", "l_suppkey")
+            .agg(_ms(F.min("l_shipdate")).alias("first_ship_ms"),
+                 dsum("l_quantity", "total_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# KGX graph operators (SURVEY §2 A1/A2/A5/A6, J1-J3) over derived fixtures
+# ---------------------------------------------------------------------------
+
+_ARGMIN = ("arg_min({v}, CASE WHEN {v} IS NULL THEN NULL"
+           " ELSE source_rank END) AS {v}")
+
+
+@register("kgx_node_merge", f"""
+WITH {kgx.KGX_NODES_SQL.strip()}
+SELECT id,
+       {_ARGMIN.format(v='name')},
+       list_sort(list_distinct(flatten(list(category)))) AS category,
+       {_ARGMIN.format(v='mktsegment')},
+       {_ARGMIN.format(v='acctbal')},
+       COUNT(*) AS n_merged
+FROM kgx_nodes GROUP BY id
+""")
+def kgx_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 node merge: deterministic first-wins scalars (min_by rank),
+    set-union list props. The core reference operator
+    `[R: Common/merging.py — merge_nodes — unverified]`."""
+    return merge_nodes(kgx.kgx_nodes(spark, sf_dir),
+                       scalar_props=("name", "mktsegment", "acctbal"),
+                       list_props=("category",))
+
+
+@register("kgx_edge_merge", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()}
+SELECT subject, predicate, object, primary_knowledge_source,
+       list_sort(list_distinct(flatten(list(publications)))) AS publications,
+       list_sort(list_distinct(flatten(list(aggregator_knowledge_sources))))
+           AS aggregator_knowledge_sources,
+       COUNT(*) AS n_merged
+FROM kgx_edges
+GROUP BY subject, predicate, object, primary_knowledge_source
+""")
+def kgx_edge_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 edge merge on (s, p, o, primary_knowledge_source)
+    `[R: Common/merging.py — merge_edges — unverified]`."""
+    return merge_edges(kgx.kgx_edges(spark, sf_dir))
+
+
+@register("kgx_normalize", f"""
+WITH {kgx.NORM_MAP_SQL.strip()},
+{kgx.ORDER_EDGES_SQL.strip()}
+SELECT COALESCE(m.canon_id, e.subject) AS subject,
+       e.predicate, e.object,
+       (m.canon_id IS NOT NULL) AS subject_normalized
+FROM order_edges e LEFT JOIN norm_map m ON e.subject = m.orig_id
+""")
+def kgx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 endpoint normalization: broadcast-join id rewrite
+    `[R: Common/kgx_file_normalizer.py — unverified]`."""
+    from data_services_spark.operators.normalize import apply_node_map
+    edges = kgx.order_edges(spark, sf_dir)
+    nmap = kgx.norm_map(spark, sf_dir)
+    return apply_node_map(edges, nmap, "subject").select(
+        "subject", "predicate", "object", "subject_normalized")
+
+
+@register("kgx_norm_failures", f"""
+WITH {kgx.NORM_MAP_SQL.strip()},
+{kgx.ORDER_EDGES_SQL.strip()}
+SELECT DISTINCT e.subject AS failed_id
+FROM order_edges e
+WHERE NOT EXISTS (SELECT 1 FROM norm_map m WHERE m.orig_id = e.subject)
+""")
+def kgx_norm_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 normalization-failure routing (anti join)."""
+    return normalization_failures(kgx.order_edges(spark, sf_dir),
+                                  kgx.norm_map(spark, sf_dir), "subject")
+
+
+@register("kgx_connected_subset", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()},
+node_ids AS (
+    SELECT 'ORD:' || CAST(o_orderkey AS VARCHAR) AS id
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'PART:' || CAST(p_partkey AS VARCHAR)
+    FROM part WHERE p_size <= 25
+)
+SELECT e.subject, e.predicate, e.object, e.primary_knowledge_source
+FROM kgx_edges e
+WHERE EXISTS (SELECT 1 FROM node_ids n WHERE n.id = e.subject)
+  AND EXISTS (SELECT 1 FROM node_ids n WHERE n.id = e.object)
+""")
+def kgx_connected_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 connected-edge-subset merge strategy: keep edges with both
+    endpoints in the node set (two semi joins)
+    `[R: Common/kgx_file_merger.py — unverified]`."""
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    node_ids = (o.filter(F.col("o_orderstatus") == "F")
+                .select(F.concat(F.lit("ORD:"),
+                                 F.col("o_orderkey").cast("string")).alias("id"))
+                .unionByName(
+                    p.filter(F.col("p_size") <= 25)
+                    .select(F.concat(F.lit("PART:"),
+                                     F.col("p_partkey").cast("string"))
+                            .alias("id"))))
+    edges = kgx.kgx_edges(spark, sf_dir).select(
+        "subject", "predicate", "object", "primary_knowledge_source")
+    return connected_edge_subset(edges, node_ids)
+
+
+@register("kgx_meta_kg", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()},
+node_cat AS (
+    SELECT 'ORD:' || CAST(o_orderkey AS VARCHAR) AS id,
+           'biolink:Activity' AS node_category FROM orders
+    UNION ALL
+    SELECT 'PART:' || CAST(p_partkey AS VARCHAR),
+           'biolink:ChemicalEntity' FROM part
+)
+SELECT sc.node_category AS subject_category, e.predicate,
+       oc.node_category AS object_category, COUNT(*) AS n_edges
+FROM kgx_edges e
+JOIN node_cat sc ON e.subject = sc.id
+JOIN node_cat oc ON e.object = oc.id
+GROUP BY sc.node_category, e.predicate, oc.node_category
+""")
+def kgx_meta_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 meta-KG triple counts `[R: Common/meta_kg.py — unverified]`."""
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    nodes = (o.select(F.concat(F.lit("ORD:"),
+                               F.col("o_orderkey").cast("string")).alias("id"),
+                      F.lit("biolink:Activity").alias("node_category"))
+             .unionByName(
+                 p.select(F.concat(F.lit("PART:"),
+                                   F.col("p_partkey").cast("string")).alias("id"),
+                          F.lit("biolink:ChemicalEntity").alias("node_category"))))
+    return meta_kg(kgx.kgx_edges(spark, sf_dir), nodes)
+
+
+@register("cluster_collect", """
+SELECT o_custkey AS cluster_id,
+       list_sort(list(o_orderkey)) AS members,
+       COUNT(*) AS n_members
+FROM orders GROUP BY o_custkey
+""")
+def cluster_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 UniRef-style cluster grouping: representative + sorted members."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_custkey").alias("cluster_id"))
+            .agg(F.array_sort(F.collect_list("o_orderkey")).alias("members"),
+                 F.count(F.lit(1)).alias("n_members")))
+
+
+# ---------------------------------------------------------------------------
+# Window / event-time operators (SURVEY §2.5/§2.9)
+# ---------------------------------------------------------------------------
+
+@register("window_rank", """
+SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rn
+    FROM events
+) WHERE rn <= 3
+""")
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4: ranking + top-k per group."""
+    e = load_table(spark, sf_dir, "events")
+    out = top_k_per_group(e, ["user_id"],
+                          [F.desc("value"), F.col("event_id")], 3)
+    return out.select("user_id", "event_id", "value",
+                      F.col("rn").cast("long").alias("rn"))
+
+
+@register("window_lag_delta", """
+SELECT event_id, user_id,
+       CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS BIGINT) AS delta_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag-based inter-event gaps (sessionization primitive)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", "user_id",
+                    (_ms("ts") - F.lag(_ms("ts")).over(w)).alias("delta_ms"))
+
+
+@register("window_running_sum", """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS running_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: frame-spec running aggregate (decimal-accumulated)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w)
+         .cast("double").alias("running_sum"))
+
+
+@register("tumbling_window", f"""
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+       COUNT(*) AS n,
+       {_DSUM_F('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+""")
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour window aggregate (batch form of the streaming
+    groupBy(window(...)))."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling(e, "ts", "1 hour", ["event_type"],
+                    F.count(F.lit(1)).alias("n"),
+                    dsum("value", "sum_value"))
+
+
+@register("sliding_window", """
+SELECT (epoch_ms(ts) // 900000 - k) * 900000 AS window_start_ms,
+       event_type, COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+GROUP BY 1, 2
+""")
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding 1h/15min window aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding(e, "ts", "1 hour", "15 minutes", ["event_type"],
+                   F.count(F.lit(1)).alias("n"))
+
+
+@register("session_window", """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: session windows (30-min gap); Spark ``session_window`` vs the
+    lag+cumsum formulation in the oracle — same session semantics (a gap of
+    exactly 30min starts a new session in both)."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("__w"),
+                      "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    _ms(F.col("__w.start")).alias("session_start_ms"),
+                    "n_events"))
+
+
+@register("dedup_stateful", """
+SELECT event_id, user_id, event_type, value FROM (
+    SELECT DISTINCT event_id, user_id, event_type, value FROM (
+        SELECT event_id, user_id, event_type, value FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE event_id % 5 = 0
+    )
+)
+""")
+def dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch form: event-id dedup over a stream with replayed records
+    (streaming twin: dropDuplicatesWithinWatermark — see streaming/)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    replay = e.filter(F.col("event_id") % 5 == 0)
+    return e.unionByName(replay).dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+@register("text_dedup_exact", """
+WITH docs2 AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT sha256(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM docs2 GROUP BY 1
+""")
+def text_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash over a corpus with injected dups."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return exact_text_dedup(d.unionByName(dups))
+
+
+@register("doc_fingerprint", """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (stable 128-bit content id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(d).alias("fp"))
+
+
+@register("near_dup_jaccard", """
+WITH toks AS (
+    SELECT lang, doc_id,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'))) AS tok
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM toks a JOIN toks b
+      ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, c / (sa.sz + sb.sz - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / (sa.sz + sb.sz - c) >= 0.8
+""")
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup, language-blocked. The
+    exact verifier that pairs with MinHash LSH candidates at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, block_cols=("lang",), threshold=0.8)
+
+
+@register("minhash_lsh_pairs")  # approximate -> rows-only check
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash LSH candidate pairs (deterministic seeds, approximate
+    recall -> no SQL oracle; driver records rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=32, bands=8)
+
+
+@register("simhash_fingerprint")  # xxhash64 not available in DuckDB
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (rows-only: hash family not in DuckDB)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+_KNN_SQL = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) AS sim
+    FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("knn_cosine", _KNN_SQL)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: brute-force cosine top-k, pure Catalyst (zip_with fold)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_topk(e, query_id=0, k=10).select("rank", "vec_id")
+
+
+@register("knn_cosine_arrow", _KNN_SQL)
+def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: same contract, Arrow/numpy partition-local top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_topk_arrow(e, query_id=0, k=10).select("rank", "vec_id")
+
+
+@register("knn_per_label", """
+WITH pairs AS (
+    SELECT a.vec_id, b.vec_id AS nn_id,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id FROM (
+    SELECT vec_id, nn_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, nn_id) AS rn
+    FROM pairs
+) WHERE rn = 1
+""")
+def knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: blocked similarity self-join — nearest neighbour within label."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return nearest_within_group(e).select("vec_id", "nn_id")
+
+
+@register("text_token_stats", """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+)
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM toks GROUP BY term
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: corpus term frequencies (tokenize -> explode -> agg)."""
+    d = load_table(spark, sf_dir, "documents")
+    return term_frequencies(d)
+
+
+@register("text_tfidf", """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM (
+    SELECT doc_id, term, tf, df,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf * ln(CAST(n.n AS DOUBLE) / df) DESC,
+                                       term) AS rn
+    FROM tf JOIN df USING (term) CROSS JOIN n
+) WHERE rn <= 5
+""")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: per-doc top-5 terms by tf-idf. The tfidf double itself is kept
+    out of the output (libm ln may differ at the last ulp across engines);
+    ranking is robust because equal (tf, df) ties break on term."""
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf(d, top_k=5).select("doc_id", "term", "tf", "df")
+
+
+@register("text_quality", """
+SELECT doc_id,
+       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+       (length(text) - (len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1))
+           / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           AS mean_token_len,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> list_contains(['the','and','of','a'], t)))
+           / len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+           AS stopword_ratio,
+       length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) / length(text)
+           AS non_alpha_ratio
+FROM documents
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: quality features (composite score kept package-side; the oracle
+    compares the feature columns, which determine it)."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "n_tokens", "mean_token_len",
+                                   "stopword_ratio", "non_alpha_ratio")
+
+
+@register("lang_id", """
+WITH h AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['der','die','und','das'], t))) AS de,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['the','and','of','a'], t))) AS en,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['el','la','de','y'], t))) AS es,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['le','la','et','les'], t))) AS fr,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['de5','shi4','le5','he2'], t))) AS zh
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+            WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+            WHEN es >= fr AND es >= zh THEN 'es'
+            WHEN fr >= zh THEN 'fr'
+            ELSE 'zh' END AS lang_guess,
+       CAST(greatest(de, en, es, fr, zh) AS BIGINT) AS marker_hits
+FROM h
+""")
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: heuristic language ID by marker-token hits."""
+    d = load_table(spark, sf_dir, "documents")
+    return lang_id(d)
+
+
+@register("token_count_regex", """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_tokens
+FROM documents
+""")
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: BPE-ish regex token counting."""
+    from data_services_spark.operators.text import regex_token_count
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", regex_token_count("text").alias("n_tokens"))
+
+
+@register("multimodal_meta", """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+FROM documents
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: multimodal payload plumbing — binary column + typed metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    return extract_payload_meta(attach_binary_payload(d))
+
+
+@register("multimodal_decode")  # stubbed decoder -> rows-only check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: Arrow-batched decode/feature-extract over binary payloads
+    (deterministic stub decoder — see operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return decode_media(attach_binary_payload(d))
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

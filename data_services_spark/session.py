@@ -1,0 +1,80 @@
+"""SparkSession factory and session-level configuration.
+
+Two entry paths:
+- our own code / tests / bench call :func:`get_spark` (builds a local session);
+- the driver harness hands us an already-built session, so every query first
+  routes through :func:`configure_session` to apply the *runtime-settable*
+  confs we depend on (ns-parquet reading, UTC timezone, Arrow).
+
+Scale posture: all knobs here are the ones that matter on a real cluster
+(AQE + skew-join handling, shuffle partition count, Arrow batching); nothing
+assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs required for correctness on the test tables and for
+# sane Python-boundary performance. Applied defensively to any session we are
+# handed (driver-owned sessions included).
+_RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects outright; with this flag it surfaces as LongType ns-since-epoch
+    # and catalog.load_table converts losslessly to a microsecond timestamp
+    # (the data has no sub-microsecond precision — verified).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics vs the DuckDB oracle (naive UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas boundary (similarity / multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+}
+
+# Build-time confs for sessions we create ourselves.
+_BUILD_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent, cheap)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A static conf on some build — never fatal; the reader raises a
+            # clear error later if the conf truly could not be applied.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "data_services_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Local default mirrors the driver harness: ``local[$SPARK_GRAFT_CPUS]``
+    with shuffle partitions sized to the core count (at cluster scale you
+    size these to data volume instead; AQE coalesces down).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    )
+    for k, v in {**_BUILD_CONFS, **_RUNTIME_CONFS}.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())

@@ -1,0 +1,76 @@
+"""Structured Streaming surface (SURVEY §2.9 T1-T5).
+
+The reference is pure batch; this is the engine's added streaming veneer.
+Design rule: every streaming transform has a batch twin in
+``operators/windows.py`` producing identical results on the same data —
+tests assert that equivalence (stream with availableNow trigger == batch).
+
+At scale: file-source streams read new files incrementally; watermarks bound
+state for window aggs and dedup; ``foreachBatch`` handles sinks Spark lacks
+native streaming writers for.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from data_services_spark.session import configure_session
+
+EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over events parquet (ns ts -> us timestamp,
+    same normalization as the batch catalog)."""
+    configure_session(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def stream_tumbling_counts(events: DataFrame, duration: str = "1 hour",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """T1+T4: watermarked tumbling-window counts per event type."""
+    from data_services_spark.functions.numeric import dsum
+
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", duration).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value", "sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+def stream_session_counts(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """T3 streaming: session windows per user."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events"))
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5: stateful dedup by event id within the watermark horizon."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+def run_to_memory_sink(stream: DataFrame, name: str,
+                       output_mode: str = "append") -> DataFrame:
+    """Drain a stream with the availableNow trigger into an in-memory table
+    and return it as a batch DataFrame (test/bench harness)."""
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream.sparkSession.table(name)

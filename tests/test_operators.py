@@ -1,0 +1,131 @@
+"""Unit tests for asof/range joins, normalization service, subset, dedup,
+similarity, text, multimodal operators on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_services_spark.operators import (
+    asof_join, connected_edge_subset, exact_text_dedup, knn_topk,
+    minhash_lsh_pairs, normalization_failures, sessionize, simhash64,
+)
+from data_services_spark.operators.normalize import (
+    NodeNormalizerService, apply_node_map,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(2), "p2"), (2, _ts(5), "p3")],
+        "user_id long, ts timestamp, pid string")
+    right = spark.createDataFrame(
+        [(1, _ts(3), "s1"), (1, _ts(10), "s2"), (3, _ts(0), "s3")],
+        "user_id long, ts timestamp, sid string")
+    out = {r["pid"]: r for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["sid"]).collect()}
+    assert out["p1"]["sid_right"] == "s2"   # inclusive: equal ts matches
+    assert out["p2"]["sid_right"] is None   # no prior signup
+    assert out["p3"]["sid_right"] is None   # user has no signups
+
+
+def test_apply_node_map_rewrites_and_flags(spark):
+    edges = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y")], "subject string, predicate string, object string")
+    nmap = spark.createDataFrame([("a", "A!")], "orig_id string, canon_id string")
+    out = {r["object"]: r for r in apply_node_map(edges, nmap, "subject").collect()}
+    assert out["x"]["subject"] == "A!" and out["x"]["subject_normalized"]
+    assert out["y"]["subject"] == "b" and not out["y"]["subject_normalized"]
+    fails = normalization_failures(edges, nmap, "subject").collect()
+    assert [r["failed_id"] for r in fails] == ["b"]
+
+
+def test_normalizer_service_builds_map(spark):
+    def resolver(ids):
+        return {i: (i.upper() if i != "skip" else None) for i in ids}
+
+    svc = NodeNormalizerService(resolver, batch_size=2)
+    ids = spark.createDataFrame([("a",), ("b",), ("skip",)], "id string")
+    out = {r["orig_id"]: r["canon_id"] for r in svc.build_map(ids).collect()}
+    assert out == {"a": "A", "b": "B", "skip": None}
+
+
+def test_connected_edge_subset(spark):
+    edges = spark.createDataFrame(
+        [("n1", "p", "n2"), ("n1", "p", "missing"), ("missing", "p", "n2")],
+        "subject string, predicate string, object string")
+    nodes = spark.createDataFrame([("n1",), ("n2",)], "id string")
+    kept = connected_edge_subset(edges, nodes).collect()
+    assert len(kept) == 1
+    assert kept[0]["subject"] == "n1" and kept[0]["object"] == "n2"
+
+
+def test_sessionize_gap(spark):
+    e = spark.createDataFrame(
+        [(1, 1, _ts(0)), (2, 1, _ts(10)), (3, 1, _ts(50)), (4, 2, _ts(0))],
+        "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_id"] for r in
+           sessionize(e, gap_minutes=30).collect()}
+    assert out[1] == 0 and out[2] == 0   # 10-min gap, same session
+    assert out[3] == 1                   # 40-min gap, new session
+    assert out[4] == 0
+
+
+def test_exact_dedup_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello world "), (3, "other")],
+        "doc_id long, text string")
+    out = {r["keep_id"]: r["n_dups"] for r in exact_text_dedup(d).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words entirely unrelated content here " * 4
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(d, num_hashes=32, bands=16).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    d = spark.createDataFrame(
+        [(1, base), (2, base.replace("lazy", "sleepy")), (3, "zzz yyy xxx")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: int(r["sh"], 16) for r in
+           d.select("doc_id", simhash64("text").alias("sh")).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_knn_excludes_query_and_orders(spark):
+    d = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.01])],
+        "vec_id long, embedding array<float>")
+    out = knn_topk(d, query_id=0, k=2).collect()
+    assert [r["vec_id"] for r in out] == [3, 1]
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_multimodal_decode_shape(spark):
+    from data_services_spark.operators.multimodal import (
+        attach_binary_payload, decode_media,
+    )
+    d = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["features"] for r in
+            decode_media(attach_binary_payload(d), feature_dim=4).collect()}
+    assert len(rows[1]) == 4 and len(rows[2]) == 4
+    assert rows[2] == [0.0, 0.0, 0.0, 0.0]
+    assert rows[1] == [float(ord("a")), float(ord("b")), float(ord("c")), 0.0]
