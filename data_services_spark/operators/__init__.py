@@ -9,7 +9,7 @@ from data_services_spark.operators.windows import (
 from data_services_spark.operators.asof import asof_join, range_join
 from data_services_spark.operators.dedup import (
     exact_text_dedup, fingerprint, minhash_signature, minhash_lsh_pairs,
-    simhash64, jaccard_pairs,
+    simhash64, simhash64_df, minhash_signatures, jaccard_pairs,
 )
 from data_services_spark.operators.similarity import (
     knn_topk, knn_topk_arrow, nearest_within_group,
@@ -28,7 +28,8 @@ __all__ = [
     "top_k_per_group", "sessionize", "tumbling", "sliding",
     "asof_join", "range_join",
     "exact_text_dedup", "fingerprint", "minhash_signature",
-    "minhash_lsh_pairs", "simhash64", "jaccard_pairs",
+    "minhash_lsh_pairs", "simhash64", "simhash64_df", "minhash_signatures",
+    "jaccard_pairs",
     "knn_topk", "knn_topk_arrow", "nearest_within_group",
     "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
     "attach_binary_payload", "extract_payload_meta", "decode_media",

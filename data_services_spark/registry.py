@@ -31,7 +31,7 @@ from data_services_spark.operators import (
     jaccard_pairs, knn_topk, knn_topk_arrow, lang_id, merge_edges,
     merge_nodes, meta_kg, minhash_lsh_pairs, nearest_within_group,
     normalization_failures, normalize_edges, quality_score, sessionize,
-    simhash64, sliding, term_frequencies, tfidf, top_k_per_group, tumbling,
+    simhash64_df, sliding, term_frequencies, tfidf, top_k_per_group, tumbling,
 )
 from data_services_spark.operators.multimodal import (
     attach_binary_payload, decode_media, extract_payload_meta,
@@ -792,7 +792,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit fingerprints (rows-only: hash family not in DuckDB)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash64_df(d)
 
 
 _KNN_SQL = """
