@@ -26,13 +26,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session_id, sf_dir, name) -> DataFrame. DataFrames are immutable plan
+# handles, so reuse is safe; caching skips the per-call file listing and
+# parquet footer/schema read (~100ms of driver I/O per load_table call).
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; returns a DataFrame with engine-normalized schema."""
+    key = (id(spark._jsparkSession), sf_dir, name)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # lossless ns -> us (data verified to carry no sub-us precision)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    _CACHE[key] = df
     return df
 
 

@@ -82,6 +82,85 @@ def knn_topk_arrow(embeddings: DataFrame, query_id: int, k: int = 10,
                       F.col(id_col), F.col("cosine_sim"))
 
 
+def hyperplane_planes(dim: int, n_planes: int = 4, seed: int = 42,
+                      decimals: int = 6) -> list[list[float]]:
+    """Deterministic random-hyperplane set for sign-LSH, rounded so the same
+    literals can be embedded in both Spark expressions and oracle SQL."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [[float(x) for x in np.round(row, decimals)]
+            for row in rs.uniform(-1.0, 1.0, size=(n_planes, dim))]
+
+
+def _bucket_expr(vec_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
+    """Sign-bit bucket string: one bit per hyperplane, '1' iff dot >= 0."""
+    from data_services_spark.functions.vectors import dot_product
+
+    bits = [F.when(dot_product(F.col(vec_col),
+                               F.array(*[F.lit(p) for p in plane])) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for plane in planes]
+    return F.concat(*bits)
+
+
+def bucket_sql(vec_expr: str, planes: Sequence[Sequence[float]]) -> str:
+    """DuckDB equivalent of :func:`_bucket_expr` (list_dot_product signs)."""
+    bits = [
+        "CASE WHEN list_dot_product(CAST(%s AS DOUBLE[]), [%s]) >= 0 "
+        "THEN '1' ELSE '0' END" % (vec_expr, ", ".join(repr(p) for p in plane))
+        for plane in planes
+    ]
+    return " || ".join(bits)
+
+
+def ann_hyperplane_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+                        n_planes: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """L3 scale path: approximate top-k via sign-LSH bucket pruning.
+
+    Candidates are restricted to the query's hyperplane-sign bucket
+    (expected fraction 2^-n_planes of the corpus), then scored exactly —
+    the IVF/nprobe=1 pattern. Deterministic: fixed seeded hyperplanes, and
+    the query's bucket is computed with the *same* Catalyst fold as the
+    candidates' (no driver-side float arithmetic to disagree with).
+    Returns (rank, vec_id, cosine_sim) within the probed bucket.
+    """
+    dim = len(_query_vector(embeddings, query_id, id_col, vec_col))
+    planes = hyperplane_planes(dim, n_planes)
+    b = _bucket_expr(vec_col, planes)
+    q = (embeddings.filter(F.col(id_col) == query_id)
+         .select(b.alias("__qb"), F.col(vec_col).alias("__qv")))
+    cand = (embeddings.filter(F.col(id_col) != query_id)
+            .withColumn("__b", b)
+            .join(F.broadcast(q), F.col("__b") == F.col("__qb"))
+            .select(F.col(id_col),
+                    cosine_similarity(F.col(vec_col), F.col("__qv"))
+                    .alias("cosine_sim")))
+    top = cand.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return top.select(F.row_number().over(w).cast("long").alias("rank"),
+                      F.col(id_col), F.col("cosine_sim"))
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.8,
+                       group_col: str = "label", id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by `group_col`
+    (at scale: LSH buckets). Returns (id_a, id_b) with id_a < id_b and
+    cosine >= threshold."""
+    a = embeddings.select(F.col(group_col).alias("g"),
+                          F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(group_col).alias("g"),
+                          F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb"))
+    return (a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_similarity("va", "vb") >= threshold)
+            .select("id_a", "id_b"))
+
+
 def nearest_within_group(embeddings: DataFrame, group_col: str = "label",
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

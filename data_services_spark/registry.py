@@ -366,6 +366,81 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+@register("agg_cube", """
+SELECT r_name, n_name, GROUPING(r_name, n_name) AS gid, COUNT(*) AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, n_name)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: cube over two dims with grouping id."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .cube("r_name", "n_name")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: explicit GROUPING SETS (Spark SQL surface over a temp view)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@register("approx_distinct")  # HLL sketches differ across engines -> rows-only
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: approx_count_distinct (HyperLogLog++); deterministic for a given
+    dataset but not algorithm-compatible with DuckDB's sketch, so registered
+    rows-only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.approx_count_distinct("l_orderkey").alias("approx_orders")))
+
+
+@register("date_functions", """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+       CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ms,
+       COUNT(*) AS n,
+       CAST(MIN(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+           AS min_ship_lag_days,
+       CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+           AS max_ship_lag_days
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2, 3
+""")
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: date/time functions — year/quarter extraction, month truncation,
+    day differences (ship lag per order month)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(F.year("o_orderdate").cast("long").alias("order_year"),
+                     F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+                     _ms(F.date_trunc("month", F.col("o_orderdate")))
+                     .alias("month_ms"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.datediff("l_shipdate", "o_orderdate")).cast("long")
+                 .alias("min_ship_lag_days"),
+                 F.max(F.datediff("l_shipdate", "o_orderdate")).cast("long")
+                 .alias("max_ship_lag_days")))
+
+
 @register("top_k", """
 SELECT c_custkey, c_name, c_acctbal FROM customer
 ORDER BY c_acctbal DESC, c_custkey LIMIT 15
@@ -611,6 +686,30 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rn").cast("long").alias("rn"))
 
 
+@register("window_analytics", """
+SELECT event_id, user_id,
+       CAST(dense_rank() OVER wv AS BIGINT) AS drank,
+       CAST(ntile(4) OVER wv AS BIGINT) AS quartile,
+       lead(value) OVER wt AS next_value,
+       first_value(value) OVER wt AS first_value
+FROM events
+WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+       wt AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: dense_rank + ntile over a value ordering, lead + first_value
+    over event time, in one pass."""
+    e = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.dense_rank().over(wv).cast("long").alias("drank"),
+        F.ntile(4).over(wv).cast("long").alias("quartile"),
+        F.lead("value").over(wt).alias("next_value"),
+        F.first("value").over(wt).alias("first_value"))
+
+
 @register("window_lag_delta", """
 SELECT event_id, user_id,
        CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS BIGINT) AS delta_ms
@@ -821,6 +920,64 @@ def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: same contract, Arrow/numpy partition-local top-k."""
     e = load_table(spark, sf_dir, "embeddings")
     return knn_topk_arrow(e, query_id=0, k=10).select("rank", "vec_id")
+
+
+def _ann_sql() -> str:
+    from data_services_spark.operators.similarity import (
+        bucket_sql, hyperplane_planes)
+    b = bucket_sql("embedding", hyperplane_planes(64, 4))
+    return f"""
+WITH q AS (SELECT {b} AS qb, embedding AS qv
+           FROM embeddings WHERE vec_id = 0),
+cand AS (
+    SELECT e.vec_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])) AS sim
+    FROM (SELECT *, {b} AS b FROM embeddings WHERE vec_id <> 0) e,
+         (SELECT {b} AS qb, embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.b = q.qb
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM cand ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", _ann_sql())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: sign-LSH bucket pruning (IVF/nprobe=1 pattern) before
+    exact scoring — candidate set ~2^-planes of the corpus, deterministic
+    seeded hyperplanes shared with the oracle."""
+    from data_services_spark.operators.similarity import ann_hyperplane_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_hyperplane_topk(e, query_id=0, k=10, n_planes=4) \
+        .select("rank", "vec_id")
+
+
+@register("embedding_near_dup", """
+WITH emb2 AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, list_transform(embedding, x -> x * 2), label
+    FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM emb2 a JOIN emb2 b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.8
+""")
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks, over a corpus
+    with injected scaled copies (cosine(v, 2v) = 1) — the corpus vectors
+    themselves are random (max within-label cosine ~0.47)."""
+    from data_services_spark.operators.similarity import embedding_near_dup
+    e = load_table(spark, sf_dir, "embeddings")
+    dups = (e.filter(F.col("vec_id") % 50 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x * 2).alias("embedding"),
+                    "label"))
+    return embedding_near_dup(e.unionByName(dups), threshold=0.8)
 
 
 @register("knn_per_label", """

@@ -129,3 +129,38 @@ def test_multimodal_decode_shape(spark):
     assert len(rows[1]) == 4 and len(rows[2]) == 4
     assert rows[2] == [0.0, 0.0, 0.0, 0.0]
     assert rows[1] == [float(ord("a")), float(ord("b")), float(ord("c")), 0.0]
+
+
+def test_ann_hyperplane_subset_of_bruteforce(spark):
+    """LSH bucket pruning returns exactly the brute-force ranking restricted
+    to the query's bucket, and the top hit survives when it shares a bucket
+    with the query (here: an identical vector always does)."""
+    from data_services_spark.operators.similarity import (
+        ann_hyperplane_topk, knn_topk)
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)], 0)
+            for i in range(30)]
+    rows.append((99, list(rows[0][1]), 0))  # exact dup of vec 0
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    ann = ann_hyperplane_topk(e, query_id=0, k=5, n_planes=2).collect()
+    assert ann, "query bucket must contain at least the exact dup"
+    assert ann[0]["vec_id"] == 99 and ann[0]["cosine_sim"] > 0.999999
+    brute = {r["vec_id"] for r in knn_topk(e, query_id=0, k=31).collect()}
+    assert {r["vec_id"] for r in ann} <= brute
+
+
+def test_embedding_near_dup_pairs(spark):
+    from data_services_spark.operators.similarity import embedding_near_dup
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 0),
+         (2, [2.0, 0.0, 0.0], 0),      # scaled dup of 1, same label
+         (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+         (4, [1.0, 0.0, 0.0], 1)],     # dup of 1 but different label block
+        "vec_id long, embedding array<float>, label int")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup(e, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}

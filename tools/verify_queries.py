@@ -54,9 +54,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     failures = []
+    attempted = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -100,7 +102,7 @@ def main() -> int:
             continue
         print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    print(f"\n{attempted - len(failures)}/{attempted} pass")
     return 1 if failures else 0
 
 
