@@ -1,0 +1,103 @@
+"""Source reader tests: CSV with comments, JSONL, XML (S4), N-Triples (S5)."""
+
+from __future__ import annotations
+
+import gzip
+
+from data_services_spark.sources.rdf import (
+    contract_curies, read_ntriples, subclass_edges,
+)
+from data_services_spark.sources.readers import read_csv, read_jsonl
+from data_services_spark.sources.xml import read_xml
+
+
+def test_csv_gaf_style_comments(spark, tmp_path):
+    p = tmp_path / "goa.tsv"
+    p.write_text("!gaf-version: 2.2\n"
+                 "db\tid\ttaxon\n"
+                 "UniProtKB\tP12345\t9606\n"
+                 "!comment row\n"
+                 "UniProtKB\tQ67890\t10090\n")
+    df = read_csv(spark, str(p), sep="\t", header=True, comment="!")
+    rows = {r["id"]: r["taxon"] for r in df.collect()}
+    assert rows == {"P12345": 9606, "Q67890": 10090}
+
+
+def test_csv_gzip_transparent(spark, tmp_path):
+    p = tmp_path / "data.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a\tb\n1\tx\n2\ty\n")
+    df = read_csv(spark, str(p), sep="\t", header=True,
+                  schema="a int, b string")
+    assert df.count() == 2
+
+
+def test_jsonl_schema(spark, tmp_path):
+    p = tmp_path / "n.jsonl"
+    p.write_text('{"id": "A:1", "name": "x"}\n{"id": "B:2"}\n')
+    df = read_jsonl(spark, str(p), schema="id string, name string")
+    assert {r["id"] for r in df.collect()} == {"A:1", "B:2"}
+
+
+HMDB_XML = """<?xml version="1.0"?>
+<hmdb xmlns="http://www.hmdb.ca">
+  <metabolite>
+    <accession>HMDB0000001</accession>
+    <name>1-Methylhistidine</name>
+    <chemical_formula>C7H11N3O2</chemical_formula>
+    <secondary_accessions><accession>HMDB00001</accession></secondary_accessions>
+  </metabolite>
+  <metabolite>
+    <accession>HMDB0000002</accession>
+    <name>1,3-Diaminopropane</name>
+  </metabolite>
+</hmdb>
+"""
+
+
+def test_xml_rowtag_extraction(spark, tmp_path):
+    p = tmp_path / "hmdb.xml"
+    p.write_text(HMDB_XML)
+    df = read_xml(spark, str(p), row_tag="metabolite",
+                  fields=["accession", "name", "chemical_formula"])
+    rows = {r["accession"]: r for r in df.collect()}
+    # first-match wins: the nested secondary accession must not override
+    assert rows["HMDB0000001"]["name"] == "1-Methylhistidine"
+    assert rows["HMDB0000001"]["chemical_formula"] == "C7H11N3O2"
+    assert rows["HMDB0000002"]["chemical_formula"] is None
+
+
+NT = """# a comment line
+<http://purl.obolibrary.org/obo/UBERON_0000001> <http://www.w3.org/2000/01/rdf-schema#subClassOf> <http://purl.obolibrary.org/obo/UBERON_0000002> .
+<http://purl.obolibrary.org/obo/UBERON_0000001> <http://www.w3.org/2000/01/rdf-schema#label> "anatomical entity"@en .
+
+<http://example.org/x> <http://example.org/count> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+
+
+def test_ntriples_parse(spark, tmp_path):
+    p = tmp_path / "ub.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    by_pred = {r["predicate"]: r for r in rows}
+    lab = by_pred["http://www.w3.org/2000/01/rdf-schema#label"]
+    assert lab["object_literal"] == "anatomical entity"
+    assert lab["literal_lang"] == "en"
+    cnt = by_pred["http://example.org/count"]
+    assert cnt["object_literal"] == "42"
+    assert cnt["literal_datatype"].endswith("#integer")
+
+
+def test_ntriples_subclass_and_curies(spark, tmp_path):
+    p = tmp_path / "ub.nt"
+    p.write_text(NT)
+    triples = read_ntriples(spark, str(p))
+    pm = spark.createDataFrame(
+        [("http://purl.obolibrary.org/obo/UBERON_", "UBERON")],
+        "iri_prefix string, curie_prefix string")
+    edges = subclass_edges(contract_curies(triples, pm))
+    r = edges.collect()
+    assert [(e["subject"], e["predicate"], e["object"]) for e in r] == [
+        ("UBERON:0000001", "biolink:subclass_of", "UBERON:0000002")]
