@@ -51,7 +51,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             # Arrow-batched materialization — the Spark-idiomatic fetch
             # path, same fetch-all semantics as the baseline's fetchall

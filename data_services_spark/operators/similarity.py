@@ -36,12 +36,18 @@ def knn_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 
     Excludes the query vector itself. Deterministic total order:
     (similarity desc, id asc). Returns (rank, vec_id, cosine_sim).
+
+    The query vector joins in via a 1-row broadcast rather than a
+    driver-side fetch — one Spark job instead of two, and the scoring
+    arithmetic runs through the identical Catalyst fold for both sides.
     """
-    q = _query_vector(embeddings, query_id, id_col, vec_col)
-    qcol = F.array(*[F.lit(float(x)) for x in q])
+    q = (embeddings.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("__qv")))
     scored = (embeddings.filter(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
               .select(F.col(id_col),
-                      cosine_similarity(F.col(vec_col), qcol).alias("cosine_sim")))
+                      cosine_similarity(F.col(vec_col), F.col("__qv"))
+                      .alias("cosine_sim")))
     top = scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
     return top.select(F.row_number().over(w).cast("long").alias("rank"),

@@ -801,6 +801,41 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
+@register("stream_tumbling", f"""
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+       COUNT(*) AS n,
+       {_DSUM_F('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+""")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4 via a REAL Structured Streaming pipeline: file-source readStream
+    -> watermark -> tumbling agg -> complete-mode memory sink, drained with
+    the availableNow trigger. Checked against the same batch oracle as
+    `tumbling_window` — the design rule that every streaming transform has a
+    batch twin with identical results (streaming/events.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_services_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink, stream_tumbling_counts)
+    # file-source streams read *directories*; expose the single parquet file
+    # through a stable symlink dir (a real deployment streams a landing dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_"
+                     + hashlib.md5(src.encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = read_event_stream(spark, d)
+    out = run_to_memory_sink(stream_tumbling_counts(stream),
+                             name="__bench_stream_tumbling",
+                             output_mode="complete")
+    return out.select(_ms("window_start").alias("window_start_ms"),
+                      "event_type", "n", "sum_value")
+
+
 @register("dedup_stateful", """
 SELECT event_id, user_id, event_type, value FROM (
     SELECT DISTINCT event_id, user_id, event_type, value FROM (
