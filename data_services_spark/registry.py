@@ -166,6 +166,50 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "revenue")))
 
 
+@register("q4_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — expressed as a semi join (what
+    Catalyst decorrelates the subquery into anyway)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01")))
+    l = load_table(spark, sf_dir, "lineitem")
+    return (o.join(l, (o.o_orderkey == l.l_orderkey)
+                   & (l.l_shipdate > o.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register("q17_small_qty", f"""
+SELECT {_DSUM_F('l_extendedprice', 'total_price')}, COUNT(*) AS n_lines
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+""")
+def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate subquery — per-part
+    average joined back (the decorrelated plan), threshold in double
+    arithmetic identical on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    avg_by_part = (l.groupBy(F.col("l_partkey").alias("__pk"))
+                   .agg((F.lit(0.5) * (F.sum("l_quantity")
+                                       / F.count("l_quantity")))
+                        .alias("__half_avg")))
+    return (l.join(avg_by_part, l.l_partkey == F.col("__pk"))
+            .filter(F.col("l_quantity") < F.col("__half_avg"))
+            .agg(dsum("l_extendedprice", "total_price"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
 @register("proj_curie", """
 SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS id,
        UPPER(c_name) AS name_upper,
@@ -649,6 +693,21 @@ def kgx_meta_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("p_partkey").cast("string")).alias("id"),
                           F.lit("biolink:ChemicalEntity").alias("node_category"))))
     return meta_kg(kgx.kgx_edges(spark, sf_dir), nodes)
+
+
+@register("skew_salted_degree", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()}
+SELECT subject, COUNT(*) AS degree
+FROM kgx_edges GROUP BY subject
+""")
+def skew_salted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe node out-degree via two-phase salted aggregation
+    (operators/skew.py) — identical result to a plain groupBy, but hub
+    nodes spread across 32 reducers in phase 1. AQE splits skewed joins;
+    skewed *aggregations* need this."""
+    from data_services_spark.operators.skew import salted_count
+    edges = kgx.kgx_edges(spark, sf_dir)
+    return salted_count(edges.select("subject"), ["subject"], out="degree")
 
 
 @register("cluster_collect", """

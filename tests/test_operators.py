@@ -164,3 +164,39 @@ def test_embedding_near_dup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"])
              for r in embedding_near_dup(e, threshold=0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_salted_agg_matches_plain(spark):
+    from data_services_spark.operators.skew import salted_agg, salted_count
+
+    df = spark.createDataFrame(
+        [("hub", float(i)) for i in range(200)] + [("cold", 1.0), ("cold", 2.0)],
+        "k string, v double")
+    plain = {(r["k"]): (r["s"], r["c"]) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"),
+                                 F.count("v").alias("c")).collect()}
+    salted = {(r["k"]): (r["s"], r["c"]) for r in
+              salted_agg(df, ["k"],
+                         partial=[F.sum("v").alias("s"),
+                                  F.count("v").alias("c")],
+                         combine=[F.sum("s").alias("s"),
+                                  F.sum("c").cast("long").alias("c")],
+                         n_buckets=8).collect()}
+    assert plain == salted
+    counts = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
+    assert counts == {"hub": 200, "cold": 2}
+
+
+def test_salted_join_matches_plain(spark):
+    from data_services_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [("hub", i) for i in range(100)] + [("x", 0), ("miss", 1)],
+        "k string, pv int")
+    build = spark.createDataFrame(
+        [("hub", "H"), ("x", "X"), ("unused", "U")], "k string, bv string")
+    plain = sorted((r["k"], r["pv"], r["bv"]) for r in
+                   probe.join(build, "k").collect())
+    salted = sorted((r["k"], r["pv"], r["bv"]) for r in
+                    salted_join(probe, build, "k", n_buckets=4).collect())
+    assert plain == salted and len(plain) == 101
