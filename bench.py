@@ -33,7 +33,7 @@ BENCH_QUERIES = (
 
 
 def main() -> None:
-    from data_services_spark.registry import QUERIES
+    from data_services_spark.registry import RAW_QUERIES
     from data_services_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,8 +46,11 @@ def main() -> None:
     # Untimed warmup pass: JIT/codegen/Arrow init dominate the first
     # executions in a fresh JVM; the baseline likewise reports warm runs.
     for name in BENCH_QUERIES:
-        QUERIES[name](spark, sf_dir).toPandas()
+        RAW_QUERIES[name](spark, sf_dir).toPandas()
 
+    # RAW_QUERIES builds a FRESH DataFrame per timed run, so every run pays
+    # the full plan + shuffle + collect cost (a memoized handle would reuse
+    # materialized shuffle stages and under-report the query's work).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
@@ -55,7 +58,7 @@ def main() -> None:
             t0 = time.perf_counter()
             # Arrow-batched materialization — the Spark-idiomatic fetch
             # path, same fetch-all semantics as the baseline's fetchall
-            QUERIES[name](spark, sf_dir).toPandas()
+            RAW_QUERIES[name](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

@@ -1,0 +1,101 @@
+"""Graph-spec-driven multi-source build — the engine's equivalent of the
+reference's EP2 entry point (`python Common/build_manager.py build <graph>`;
+`[R: Common/build_manager.py — GraphBuilder, Common/kgx_file_merger.py —
+KGXFileMerger, Common/kgxmodel.py — GraphSpec dataclasses — unverified]`,
+SURVEY §3).
+
+A graph spec names sources, gives each a merge priority (arrival rank) and a
+merge strategy:
+
+- ``default``: union the source into the graph, node-merge (A1) + edge-merge
+  (A2) resolving conflicts by rank;
+- ``connected_edge_subset``: admit the source's edges only where BOTH
+  endpoints already exist in the merged node set (J3) — secondary literature
+  sources must not introduce new nodes.
+
+The reference merges sources sequentially file-by-file; here the build is a
+single declarative plan: all 'default' sources union once and merge in one
+shuffle, then each connected_edge_subset source filters with two semi joins
+against the merged node ids. Normalization (J1) runs per-source before the
+merge when a node map is supplied, mirroring EP1's normalize stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from data_services_spark.operators.merge import merge_edges, merge_nodes
+from data_services_spark.operators.normalize import normalize_edges
+from data_services_spark.operators.subset import connected_edge_subset
+
+
+@dataclass
+class GraphSource:
+    """One source in a graph spec (nodes + edges DataFrames, KGX schema)."""
+    name: str
+    nodes: DataFrame
+    edges: DataFrame
+    merge_priority: int = 1
+    merge_strategy: str = "default"  # or "connected_edge_subset"
+
+
+@dataclass
+class GraphSpec:
+    graph_id: str
+    sources: list[GraphSource] = field(default_factory=list)
+    node_scalar_props: tuple[str, ...] = ("name",)
+    node_list_props: tuple[str, ...] = ("category",)
+
+
+def build_graph(spec: GraphSpec,
+                node_map: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
+    """Assemble a named graph per spec; returns (nodes, edges) merged frames.
+
+    Every source row is stamped with the source's merge priority as its
+    ``source_rank`` so first-wins conflicts resolve by spec order,
+    deterministically, in one shuffle (SURVEY §4 hard-part 1).
+    """
+    default = [s for s in spec.sources if s.merge_strategy == "default"]
+    subset = [s for s in spec.sources
+              if s.merge_strategy == "connected_edge_subset"]
+    unknown = [s.name for s in spec.sources if s not in default + subset]
+    if unknown:
+        raise ValueError(f"unknown merge_strategy for sources: {unknown}")
+    if not default:
+        raise ValueError("graph spec needs at least one 'default' source")
+
+    def stamp(df: DataFrame, rank: int) -> DataFrame:
+        return df.withColumn("source_rank", F.lit(rank).cast("int"))
+
+    def norm(edges: DataFrame) -> DataFrame:
+        if node_map is None:
+            return edges
+        return normalize_edges(edges, node_map).drop(
+            "subject_normalized", "object_normalized")
+
+    nodes_u = None
+    edges_u = None
+    for s in default:
+        n, e = stamp(s.nodes, s.merge_priority), stamp(norm(s.edges),
+                                                       s.merge_priority)
+        nodes_u = n if nodes_u is None else nodes_u.unionByName(
+            n, allowMissingColumns=True)
+        edges_u = e if edges_u is None else edges_u.unionByName(
+            e, allowMissingColumns=True)
+
+    merged_nodes = merge_nodes(nodes_u,
+                               scalar_props=spec.node_scalar_props,
+                               list_props=spec.node_list_props)
+
+    for s in subset:
+        admitted = connected_edge_subset(norm(s.edges),
+                                         merged_nodes.select("id"))
+        edges_u = edges_u.unionByName(stamp(admitted, s.merge_priority),
+                                      allowMissingColumns=True)
+
+    merged_edges = merge_edges(edges_u)
+    return merged_nodes, merged_edges
