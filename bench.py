@@ -46,7 +46,7 @@ def main() -> None:
     # Untimed warmup pass: JIT/codegen/Arrow init dominate the first
     # executions in a fresh JVM; the baseline likewise reports warm runs.
     for name in BENCH_QUERIES:
-        RAW_QUERIES[name](spark, sf_dir).toPandas()
+        RAW_QUERIES[name](spark, sf_dir).toArrow()
 
     # RAW_QUERIES builds a FRESH DataFrame per timed run, so every run pays
     # the full plan + shuffle + collect cost (a memoized handle would reuse
@@ -56,9 +56,11 @@ def main() -> None:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            # Arrow-batched materialization — the Spark-idiomatic fetch
-            # path, same fetch-all semantics as the baseline's fetchall
-            RAW_QUERIES[name](spark, sf_dir).toPandas()
+            # toArrow(): full materialization of every result row into
+            # driver memory (same fetch-all semantics as the baseline's
+            # fetchall) via the Spark-idiomatic Arrow fetch path, without
+            # the pandas object-array conversion tax neither engine needs.
+            RAW_QUERIES[name](spark, sf_dir).toArrow()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

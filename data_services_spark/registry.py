@@ -22,9 +22,9 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from data_services_spark.catalog import load_table
+from data_services_spark.catalog import load_table, load_tables
 from data_services_spark.functions.numeric import (
-    davg, dmoney, dsum, sql_davg, sql_dsum, sql_dsum_expr,
+    davg, dmoney, dsum, dsum_expr, sql_davg, sql_dsum, sql_dsum_expr,
 )
 from data_services_spark.operators import (
     asof_join, connected_edge_subset, exact_text_dedup, fingerprint,
@@ -1247,6 +1247,202 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic stub decoder — see operators/multimodal.py)."""
     d = load_table(spark, sf_dir, "documents")
     return decode_media(attach_binary_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function families (SURVEY §2.8 F1/F4/F6) + A4 record counting +
+# additional TPC-H-shaped relational queries (J5/A8/O2 depth)
+# ---------------------------------------------------------------------------
+
+@register("string_functions", """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LOWER(p_type) AS type_lower,
+       SUBSTRING(p_name, 1, 10) AS name_prefix,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       REGEXP_REPLACE(p_type, '[aeiou]', '', 'g') AS type_novowel,
+       REGEXP_EXTRACT(p_type, '^([A-Za-z]+)', 1) AS type_first,
+       'PART:' || CAST(p_partkey AS VARCHAR) AS curie,
+       STRING_SPLIT(p_type, ' ')[-1] AS type_last
+FROM part
+""")
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 string family: CURIE concat, case, substring, regex, split
+    `[R: Common/utils.py, parsers passim — unverified]`. All JVM built-ins
+    inside one WholeStageCodegen project — no Python boundary."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", "[aeiou]", "").alias("type_novowel"),
+        F.regexp_extract("p_type", "^([A-Za-z]+)", 1).alias("type_first"),
+        F.concat(F.lit("PART:"), F.col("p_partkey").cast("string"))
+         .alias("curie"),
+        F.element_at(F.split("p_type", " "), -1).alias("type_last"))
+
+
+@register("array_functions", """
+SELECT p_partkey,
+       LIST_SORT(LIST_DISTINCT(STRING_SPLIT(p_type, ' '))) AS words_uniq,
+       CAST(LEN(STRING_SPLIT(p_type, ' ')) AS BIGINT) AS n_words,
+       LIST_CONTAINS(STRING_SPLIT(p_type, ' '), 'BRUSHED') AS has_brushed,
+       LIST_SORT(FLATTEN([STRING_SPLIT(p_type, ' '), [p_brand]]))
+           AS words_with_brand
+FROM part
+""")
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 array family: distinct/sort/size/contains/flatten
+    `[R: Common/merging.py list-prop union — unverified]`."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.sort_array(F.array_distinct(words)).alias("words_uniq"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_contains(words, "BRUSHED").alias("has_brushed"),
+        F.sort_array(F.flatten(F.array(words, F.array("p_brand"))))
+         .alias("words_with_brand"))
+
+
+@register("conditional_null", """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_band,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+       (c_acctbal IS NOT NULL AND c_acctbal >= 0) AS in_good_standing
+FROM customer
+""")
+def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 conditional/null family: when/otherwise, coalesce, nullif."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "negative").when(bal < 5000, "low")
+         .otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")),
+                   F.lit("OTHER")).alias("segment_masked"),
+        (bal.isNotNull() & (bal >= 0)).alias("in_good_standing"))
+
+
+@register("record_counts", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()}
+SELECT primary_knowledge_source,
+       COUNT(*) AS n_records,
+       CAST(COUNT(DISTINCT subject) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT object) AS BIGINT) AS n_objects
+FROM kgx_edges
+GROUP BY primary_knowledge_source
+""")
+def record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-source record counting — the load-metadata numbers the
+    reference tracks per stage `[R: Common/metadata.py — unverified]`.
+    (The streaming-friendly ``df.observe`` variant lives in
+    plans/metadata.py; this is the query-shaped equivalent.)"""
+    e = kgx.kgx_edges(spark, sf_dir)
+    return (e.groupBy("primary_knowledge_source")
+            .agg(F.count(F.lit(1)).alias("n_records"),
+                 F.countDistinct("subject").alias("n_subjects"),
+                 F.countDistinct("object").alias("n_objects")))
+
+
+@register("q10_returned_items", f"""
+SELECT c_custkey, c_name, n_name,
+       {_DSUM_F('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    nation broadcasts; the fact join shuffles once on orderkey."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        "revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+@register("cond_agg_priority", """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+""")
+def cond_agg_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to available columns): conditional
+    aggregation over a fact join (F6 inside A8)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(is_high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~is_high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@register("q14_promo_revenue", f"""
+SELECT 100.0 * {sql_dsum_expr("CASE WHEN p_type LIKE 'PROMO%' THEN "
+                              "l_extendedprice * (1 - l_discount) "
+                              "ELSE 0.0 END")} /
+       {sql_dsum_expr('l_extendedprice * (1 - l_discount)')}
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue ratio — conditional dsum over a
+    part join, single-row result. Both operands are exact quantized sums,
+    so the final double division is bit-stable vs the oracle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0)
+    return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .agg((F.lit(100.0) * dsum_expr(promo)
+                  / dsum_expr(disc)).alias("promo_revenue_pct")))
+
+
+@register("q18_large_volume", f"""
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, {_DSUM_F('l_quantity', 'total_qty')}
+      FROM lineitem GROUP BY l_orderkey) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE total_qty > 250
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""")
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — pre-aggregate the fact table
+    (map-side partials), filter on the aggregate, then join back to the
+    dims. The pre-agg shrinks lineitem ~4x before any join shuffle."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (t["lineitem"].groupBy("l_orderkey")
+           .agg(dsum("l_quantity", "total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                    "total_qty")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
 
 
 def queries() -> dict[str, QueryFn]:

@@ -30,7 +30,9 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas boundary (similarity / multimodal operators).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Larger Arrow batches amortize per-batch IPC overhead on wide fetches
+    # (600k-row merge results); still far below executor memory at scale.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
 }
 
 # Build-time confs for sessions we create ourselves.
