@@ -20,6 +20,7 @@ from data_services_spark.operators.text import (
 from data_services_spark.operators.multimodal import (
     attach_binary_payload, extract_payload_meta, decode_media,
 )
+from data_services_spark.operators.supplement import supplement
 
 __all__ = [
     "merge_nodes", "merge_edges", "first_by_rank",
@@ -33,4 +34,5 @@ __all__ = [
     "knn_topk", "knn_topk_arrow", "nearest_within_group",
     "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
     "attach_binary_payload", "extract_payload_meta", "decode_media",
+    "supplement",
 ]

@@ -1445,6 +1445,26 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
 
 
+@register("udtf_tokenize", """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT)
+           AS pos
+FROM documents
+""")
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 UDTF surface: Python table function via SQL LATERAL — the
+    user-defined analogue of posexplode(split(...)). Arrow-evaluated
+    (session conf); prefer explode/posexplode whenever a lambda suffices,
+    this entry exists to keep the UDTF path exercised end-to-end."""
+    from data_services_spark.functions.udtfs import register_udtfs
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, t.token, t.pos
+        FROM udtf_docs d, LATERAL tokenize_tf(d.text) t""")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -33,6 +33,8 @@ _RUNTIME_CONFS = {
     # Larger Arrow batches amortize per-batch IPC overhead on wide fetches
     # (600k-row merge results); still far below executor memory at scale.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Arrow-optimized Python UDTF evaluation (D5 surface).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
 }
 
 # Build-time confs for sessions we create ourselves.

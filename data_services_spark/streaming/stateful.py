@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.9 / north-star "custom stateful operators").
+
+Shape: ``stream.groupBy(key).applyInPandasWithState(fn, output, state,
+"update", timeout)``. Spark shuffles rows to their key's state partition;
+``fn`` receives Arrow batches per key plus a ``GroupState`` handle whose
+contents survive across micro-batches (backed by the state store —
+RocksDB/HDFS-checkpointed on a cluster, so state size scales with keys, not
+events).
+
+The operator here is a per-user activity accumulator: running event count,
+exact value total, and last-seen event time. Its batch twin is a plain
+``groupBy(user).agg(...)`` — tests assert stream == batch after draining
+(the design rule of this package).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = ("user_id bigint, n_events bigint, total_value_micros bigint,"
+                 " last_ts_ms bigint")
+STATE_SCHEMA = "n bigint, total_micros bigint, last_ms bigint"
+
+_MICROS = 1_000_000
+
+
+def _accumulate(key: tuple[Any, ...],
+                batches: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    n, total_micros, last_ms = state.get if state.exists else (0, 0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        # exact integer accumulation (same 1e-6 quantization as
+        # functions/numeric.dsum — float sums would drift vs the batch twin)
+        total_micros += int((pdf["value"] * _MICROS).round().astype("int64")
+                            .sum())
+        last_ms = max(last_ms, int(pdf["ts_ms"].max()))
+    state.update((n, total_micros, last_ms))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "total_value_micros": [total_micros],
+                        "last_ts_ms": [last_ms]})
+
+
+def stream_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals, one state row per user, emitted each
+    micro-batch the user appears in (output mode: update).
+
+    Event time crosses the Arrow boundary as epoch-ms LONG (computed
+    JVM-side) — never a raw timestamp, per the registry's determinism
+    conventions."""
+    import pyspark.sql.functions as F
+
+    prepped = events.select(
+        "user_id", "value",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000))
+        .cast("long").alias("ts_ms"))
+    return (prepped.groupBy("user_id")
+            .applyInPandasWithState(_accumulate, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    "update", GroupStateTimeout.NoTimeout))

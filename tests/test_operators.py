@@ -200,3 +200,40 @@ def test_salted_join_matches_plain(spark):
     salted = sorted((r["k"], r["pv"], r["bv"]) for r in
                     salted_join(probe, build, "k", n_buckets=4).collect())
     assert plain == salted and len(plain) == 101
+
+
+def test_supplement_deterministic_fake(spark):
+    from data_services_spark.operators import supplement
+
+    df = spark.createDataFrame(
+        [("CUST:1", "a"), ("CUST:2", "b")], ["id", "payload"])
+    out = supplement(df, id_col="id").collect()
+    assert [r.annotation for r in out] == [
+        r.annotation for r in supplement(df, id_col="id").collect()]
+    assert all(r.annotation.startswith("ANN:") for r in out)
+    assert out[0].annotation != out[1].annotation
+
+
+def test_supplement_subprocess_line_protocol(spark):
+    from data_services_spark.operators import supplement
+
+    df = spark.createDataFrame([("x",), ("y",)], ["id"]).coalesce(1)
+    out = supplement(df, id_col="id",
+                     cmd=["sed", "s/^/got:/"]).collect()
+    assert sorted(r.annotation for r in out) == ["got:x", "got:y"]
+
+
+def test_local_fetcher_roundtrip(tmp_path):
+    from data_services_spark.sources.fetch import (
+        LocalFileFetcher, SourceFetcher,
+    )
+
+    src = tmp_path / "dump.tsv"
+    src.write_text("a\tb\n")
+    res = LocalFileFetcher().fetch(f"file://{src}", str(tmp_path / "in.tsv"))
+    assert res.success and res.bytes_fetched == 4
+    try:
+        SourceFetcher().fetch("http://x", "y")
+        raise AssertionError("base fetcher must not do network I/O")
+    except NotImplementedError:
+        pass

@@ -66,3 +66,34 @@ def test_stream_dedup_drops_replays(spark, events_dir, tmp_path):
     got = run_to_memory_sink(stream_dedup(stream), "t5_sink")
     batch_n = load_table(spark, SF_DIR, "events").count()
     assert got.count() == batch_n
+
+
+def test_stateful_user_totals_equals_batch(spark, events_dir):
+    """applyInPandasWithState running totals == batch groupBy after drain."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.streaming.events import run_to_memory_sink
+    from data_services_spark.streaming.stateful import stream_user_totals
+
+    stream = read_event_stream(spark, events_dir)
+    out = run_to_memory_sink(stream_user_totals(stream),
+                             "stateful_totals", output_mode="update")
+    # keep the LAST emitted row per user (running totals grow per batch)
+    final = (out.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"),
+                  F.max("total_value_micros").alias("total_value_micros"),
+                  F.max("last_ts_ms").alias("last_ts_ms")))
+
+    from data_services_spark.catalog import load_table
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                   .alias("total_value_micros"),
+                  (F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                   / F.lit(1000)).cast("long").alias("last_ts_ms")))
+    got = {r.user_id: (r.n_events, r.total_value_micros, r.last_ts_ms)
+           for r in final.collect()}
+    want = {r.user_id: (r.n_events, r.total_value_micros, r.last_ts_ms)
+            for r in batch.collect()}
+    assert got == want
