@@ -57,6 +57,20 @@ def co_located_join(spark: SparkSession, left_table: str, right_table: str,
                                    how)
 
 
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: Sequence[str]) -> None:
+    """Hive-style partitioned parquet layout (`path/col=value/...`).
+
+    The scale twin of bucketing: partition columns turn selective
+    predicates into directory pruning — a filtered scan lists only the
+    matching partitions (PartitionFilters in the plan) instead of reading
+    100 TB to discard 99% of it. Partition on low-cardinality, always-
+    filtered columns (event date, source id); bucket on high-cardinality
+    join keys."""
+    (df.write.mode("overwrite").partitionBy(*partition_cols)
+     .parquet(path))
+
+
 def physical_plan(df: DataFrame) -> str:
     """The final physical plan string (AQE-resolved where possible) —
     used by tests to assert shuffle absence."""
