@@ -21,6 +21,9 @@ from data_services_spark.operators.multimodal import (
     attach_binary_payload, extract_payload_meta, decode_media,
 )
 from data_services_spark.operators.supplement import supplement
+from data_services_spark.operators.components import (
+    connected_components, dedup_clusters,
+)
 
 __all__ = [
     "merge_nodes", "merge_edges", "first_by_rank",
@@ -35,4 +38,5 @@ __all__ = [
     "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
     "attach_binary_payload", "extract_payload_meta", "decode_media",
     "supplement",
+    "connected_components", "dedup_clusters",
 ]

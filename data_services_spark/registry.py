@@ -1445,6 +1445,53 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
 
 
+@register("dedup_components", """
+WITH RECURSIVE toks AS (
+    SELECT lang, doc_id,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'))) AS tok
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM toks a JOIN toks b
+      ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c / (sa.sz + sb.sz - c) >= 0.8
+), und AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+), reach AS (
+    SELECT a AS src, b AS dst FROM und
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+), labels AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+""")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 clustering step: exact Jaccard pair graph -> connected
+    components (iterative min-label propagation) -> one cluster id per
+    document, singletons labeling themselves. The oracle computes the
+    same components via a recursive-CTE transitive closure — an exact
+    check on an iterative distributed algorithm."""
+    from data_services_spark.operators.components import dedup_clusters
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, block_cols=("lang",), threshold=0.8) \
+        .select("id_a", "id_b")
+    return dedup_clusters(d, pairs)
+
+
 @register("udtf_tokenize", """
 SELECT doc_id, unnest(string_split(text, ' ')) AS token,
        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT)

@@ -237,3 +237,24 @@ def test_local_fetcher_roundtrip(tmp_path):
         raise AssertionError("base fetcher must not do network I/O")
     except NotImplementedError:
         pass
+
+
+def test_connected_components_two_clusters_and_chain(spark):
+    from data_services_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 4), (6, 5)],  # chain 4-5-6
+        ["src", "dst"])
+    got = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4}
+
+
+def test_dedup_clusters_labels_singletons(spark):
+    from data_services_spark.operators import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    pairs = spark.createDataFrame([(2, 3), (4, 5)], ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 4, 5: 4}
