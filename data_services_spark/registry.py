@@ -1445,6 +1445,54 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
 
 
+@register("stats_exact", """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       (CAST(SUM(CAST(round(l_quantity * 1000000) AS DECIMAL(38,0))
+                 * CAST(round(l_quantity * 1000000) AS DECIMAL(38,0)))
+             AS DOUBLE)
+        - CAST(SUM(CAST(round(l_quantity * 1000000) AS DECIMAL(38,0)))
+               AS DOUBLE)
+          * CAST(SUM(CAST(round(l_quantity * 1000000) AS DECIMAL(38,0)))
+                 AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) / 1e12 AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 dispersion statistics with order-independent accumulation:
+    sample variance from exact DECIMAL(38) sums of 1e-6-quantized values
+    (sum and sum-of-squares), finishing in double. A naive
+    stddev/var_samp over doubles is shuffle-order-dependent and can
+    hash-mismatch any oracle at the last ulp."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 1000000).cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    return (l.groupBy("l_returnflag")
+            .agg(n.alias("n"),
+                 ((s2 - s1 * s1 / n) / (n - F.lit(1)) / F.lit(1e12))
+                 .alias("var_qty")))
+
+
+@register("pivot_status", """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 pivot: long-to-wide with an explicit value list (an implicit
+    list would need a driver-side distinct pass — never at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    # fill 0: pivot emits NULL for empty cells, COUNT FILTER emits 0
+    return (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"]).count()
+            .na.fill(0, ["F", "O", "P"]))
+
+
 @register("dedup_components", """
 WITH RECURSIVE toks AS (
     SELECT lang, doc_id,
