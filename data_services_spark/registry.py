@@ -30,7 +30,7 @@ from data_services_spark.operators import (
     asof_join, connected_edge_subset, exact_text_dedup, fingerprint,
     jaccard_pairs, knn_topk, knn_topk_arrow, lang_id, merge_edges,
     merge_nodes, meta_kg, minhash_lsh_pairs, nearest_within_group,
-    normalization_failures, normalize_edges, quality_score, sessionize,
+    normalization_failures, quality_score,
     simhash64_df, sliding, term_frequencies, tfidf, top_k_per_group, tumbling,
 )
 from data_services_spark.operators.multimodal import (
@@ -1443,6 +1443,56 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
                     "total_qty")
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
+
+
+@register("resample_gapfill", """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo,
+           date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM bounds
+), agg AS (
+    SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT CAST(epoch_ms(s.bucket) AS BIGINT) AS bucket_ms,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN agg a USING (bucket)
+""")
+def resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: an hourly spine generated
+    JVM-side (sequence+explode — no driver loop, no UDTF) left-joined to
+    the windowed counts, empty buckets as zero. The spine generation is
+    O(range/step) rows from a 1-row input, so it parallelizes trivially
+    at any range."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence(
+        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"))
+    agg = (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    return (spine.join(agg, "bucket", "left")
+            .select(_ms(F.col("bucket")).alias("bucket_ms"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+@register("order_export", """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+""")
+def order_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 global total-order sort (the canonical-export path): range
+    partitioning samples split points, every partition sorts locally —
+    Spark's distributed external sort replaces the reference's chunked
+    heapq merge `[R: Common/merging.py DiskGraphMerger — unverified]`."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_orderdate", "o_totalprice")
+            .orderBy("o_orderdate", "o_orderkey"))
 
 
 @register("stats_exact", """
