@@ -50,6 +50,58 @@ class GraphSpec:
     node_list_props: tuple[str, ...] = ("category",)
 
 
+def load_graph_spec(spark, yaml_text_or_path: str) -> GraphSpec:
+    """Parse a reference-style YAML graph spec into a :class:`GraphSpec`
+    `[R: graph_specs/default-graph-spec.yml — unverified]`.
+
+    Expected shape::
+
+        graph_id: my_graph
+        node_scalar_props: [name]          # optional
+        node_list_props: [category]        # optional
+        sources:
+          - name: src1
+            nodes: /data/src1/nodes.jsonl  # KGX JSONL paths
+            edges: /data/src1/edges.jsonl
+            merge_priority: 1              # optional (spec order default)
+            merge_strategy: default        # or connected_edge_subset
+
+    PyYAML is an optional dependency (import-gated); the dataclass API
+    works without it.
+    """
+    try:
+        import yaml
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("YAML graph specs need pyyaml; construct "
+                          "GraphSpec/GraphSource directly instead") from e
+    from data_services_spark.sources.kgx import (
+        read_kgx_edges, read_kgx_nodes,
+    )
+
+    if "\n" not in yaml_text_or_path:
+        with open(yaml_text_or_path) as fh:
+            raw = yaml.safe_load(fh)
+    else:
+        raw = yaml.safe_load(yaml_text_or_path)
+
+    sources = [
+        GraphSource(
+            name=s["name"],
+            nodes=read_kgx_nodes(spark, s["nodes"]),
+            edges=read_kgx_edges(spark, s["edges"]),
+            merge_priority=int(s.get("merge_priority", i + 1)),
+            merge_strategy=s.get("merge_strategy", "default"),
+        )
+        for i, s in enumerate(raw["sources"])
+    ]
+    spec = GraphSpec(graph_id=raw["graph_id"], sources=sources)
+    if "node_scalar_props" in raw:
+        spec.node_scalar_props = tuple(raw["node_scalar_props"])
+    if "node_list_props" in raw:
+        spec.node_list_props = tuple(raw["node_list_props"])
+    return spec
+
+
 def build_graph(spec: GraphSpec,
                 node_map: DataFrame | None = None
                 ) -> tuple[DataFrame, DataFrame]:

@@ -85,3 +85,50 @@ def test_load_metadata_counts_without_extra_pass(spark):
     assert out["stages"]["parse"] == {"records": 3, "skipped": 1}
     assert out["stages"]["normalize"] == {"records": 2}
     assert out["source_id"] == "demo" and out["version"] == "v1"
+
+
+def test_yaml_graph_spec_roundtrip(spark, tmp_path):
+    """Reference-style YAML spec -> GraphSpec -> built graph."""
+    import json
+
+    from data_services_spark.plans.graph_build import load_graph_spec
+
+    for src, rows in (
+        ("a", [{"id": "X:1", "name": "one", "category": ["biolink:Gene"]},
+               {"id": "X:2", "name": "two", "category": ["biolink:Gene"]}]),
+        ("b", [{"id": "X:1", "name": "ONE", "category": ["biolink:Entity"]}]),
+    ):
+        d = tmp_path / src
+        d.mkdir()
+        (d / "nodes.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n")
+        (d / "edges.jsonl").write_text(json.dumps(
+            {"subject": "X:1", "predicate": "biolink:related_to",
+             "object": "X:2", "primary_knowledge_source": f"infores:{src}",
+             "publications": [f"PMID:{src}"],
+             "aggregator_knowledge_sources": []}) + "\n")
+
+    spec_yaml = f"""
+graph_id: test_graph
+node_scalar_props: [name]
+node_list_props: [category]
+sources:
+  - name: a
+    nodes: {tmp_path}/a/nodes.jsonl
+    edges: {tmp_path}/a/edges.jsonl
+    merge_priority: 1
+  - name: b
+    nodes: {tmp_path}/b/nodes.jsonl
+    edges: {tmp_path}/b/edges.jsonl
+    merge_priority: 2
+"""
+    spec = load_graph_spec(spark, spec_yaml)
+    assert spec.graph_id == "test_graph"
+    assert [s.name for s in spec.sources] == ["a", "b"]
+
+    nodes, edges = build_graph(spec)
+    got = {r.id: r for r in nodes.collect()}
+    assert got["X:1"].name == "one"  # priority 1 wins
+    assert sorted(got["X:1"].category) == ["biolink:Entity", "biolink:Gene"]
+    e = edges.collect()
+    assert len(e) == 2  # distinct primary_knowledge_source -> no merge
