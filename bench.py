@@ -53,6 +53,10 @@ def main() -> None:
     # materialized shuffle stages and under-report the query's work).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # Collect garbage between queries: the 600k-row Arrow fetches
+        # otherwise leave enough JVM garbage that GC pauses land on
+        # whichever small query runs next, inflating its min-of-3.
+        spark._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

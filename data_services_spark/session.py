@@ -35,14 +35,17 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Arrow-optimized Python UDTF evaluation (D5 surface).
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
-}
-
-# Build-time confs for sessions we create ourselves.
-_BUILD_CONFS = {
+    # Scale posture on ANY session, driver-owned included: these are all
+    # runtime-settable SQL confs, so apply them defensively rather than
+    # only at build time.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+# Static confs for sessions we create ourselves (JVM-start-time only).
+_BUILD_CONFS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
