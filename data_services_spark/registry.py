@@ -1526,6 +1526,54 @@ def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("var_qty")))
 
 
+@register("window_range_frame", """
+SELECT event_id,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER (
+            PARTITION BY user_id
+            ORDER BY epoch_s
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS trailing_hour_micros
+FROM (SELECT event_id, user_id, value,
+             epoch_ms(ts) // 1000 AS epoch_s
+      FROM events)
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RANGE frame: per-user trailing-hour sum keyed on event TIME, not
+    row position (rows and range frames diverge whenever timestamps
+    cluster). Accumulates exact quantized longs — in-frame double sums
+    would be segment-tree-order-dependent vs the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = (F.unix_micros(F.col("ts").cast("timestamp"))
+               / F.lit(1_000_000)).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("epoch_s")
+         .rangeBetween(-3600, Window.currentRow))
+    return (e.select("event_id", "user_id", "value",
+                     epoch_s.alias("epoch_s"))
+            .select("event_id",
+                    F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                    .over(w).cast("long").alias("trailing_hour_micros")))
+
+
+@register("percentile_qty", """
+SELECT l_returnflag,
+       median(l_quantity) AS med,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+""")
+def percentile_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 order statistics: exact median/percentile (sort-based, not the
+    approx sketch). Deterministic vs the oracle here because l_quantity
+    is integer-valued, so linear interpolation lands on exact binary
+    fractions in both engines; for arbitrary doubles prefer
+    approx-with-tolerance or rank-based definitions."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.groupBy("l_returnflag")
+            .agg(F.median("l_quantity").alias("med"),
+                 F.percentile("l_quantity", 0.25).alias("p25"),
+                 F.percentile("l_quantity", 0.99).alias("p99")))
+
+
 @register("pivot_status", """
 SELECT o_orderpriority,
        COUNT(*) FILTER (o_orderstatus = 'F') AS F,
