@@ -39,6 +39,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> Column:
     return F.md5(_norm_text(text_col))
 
 
+def md5_long_hash(col: Column, seed) -> Column:
+    """Portable 60-bit token hash: integer value of the first 15 hex chars
+    of md5(seed:token). Slower than xxhash64 but expressible identically
+    in DuckDB (``('0x' || substr(md5(...), 1, 15))::BIGINT``), which turns
+    the "approximate" MinHash/SimHash family into exactly-oracle-checkable
+    algorithms (they are deterministic once the hash family is fixed)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)),
+                              1, 15), 16, 10).cast("long")
+
+
+def _slot_hash(family: str, col: Column, seed) -> Column:
+    if family == "md5":
+        return md5_long_hash(col, seed)
+    return F.xxhash64(col, F.lit(seed)) if not isinstance(seed, str) \
+        else F.xxhash64(F.concat(F.lit(seed + ":"), col))
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles of a whitespace-tokenized text column."""
     toks = F.split(_norm_text(col), r"\s+")
@@ -74,7 +91,8 @@ def minhash_signature(col: Column | str, num_hashes: int = 32,
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """(id, sig) DataFrame via explode -> wide hash columns -> groupBy(min).
 
     Deliberately NOT the nested-lambda form (`transform(seq, i ->
@@ -86,7 +104,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(shingles(text_col, shingle_n)).alias("__sh"))
     hashed = toks.select(
-        "id", *[F.xxhash64(F.col("__sh"), F.lit(i)).alias(f"__h{i}")
+        "id", *[_slot_hash(hash_family, F.col("__sh"), i).alias(f"__h{i}")
                 for i in range(num_hashes)])
     agg = hashed.groupBy("id").agg(
         *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)])
@@ -96,7 +114,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
-                      bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                      bands: int = 8, shingle_n: int = 3,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """L2: candidate near-duplicate pairs via banded MinHash LSH.
 
     Signature is split into `bands` bands of `num_hashes/bands` rows; docs
@@ -105,7 +124,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     signature slots (deduped across bands).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
+                             hash_family)
     sig = sig.persist()
     banded = sig.select(
         "id", "sig",
@@ -114,8 +134,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.concat_ws(
-                        ",", F.slice("sig", b * rows + 1, rows))).alias("bh"),
+                    _slot_hash(hash_family,
+                               F.concat_ws(
+                                   ",", F.slice("sig", b * rows + 1, rows)),
+                               "band").alias("bh"),
                 ),
             )
         ).alias("bb"),
@@ -162,7 +184,8 @@ def _simhash_bits(binstrs: Column) -> Column:
 
 def simhash64_df(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", shingle_n: int = 2,
-                 out_col: str = "simhash") -> DataFrame:
+                 out_col: str = "simhash",
+                 hash_family: str = "xxhash64") -> DataFrame:
     """(id, simhash) DataFrame via explode -> per-bit vote columns ->
     groupBy(sum) — same codegen-safe shape as ``minhash_signatures`` (the
     single-expression form in ``simhash64`` is interpreted-mode slow on
@@ -171,24 +194,27 @@ def simhash64_df(docs: DataFrame, text_col: str = "text",
     Per shingle row: 64 vote columns (+1 if bit set else -1), each a
     literal-position substr of the hash's binary string — all codegen'd.
     groupBy(id).sum gives the bit votes with map-side combine."""
+    # md5 family hashes carry 60 meaningful bits (15 hex chars)
+    n_bits, hex_w = (60, 15) if hash_family == "md5" else (64, 16)
     hashed = docs.select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("__sh"),
-    ).select(id_col, F.xxhash64(F.col("__sh")).alias("__h"))
+    ).select(id_col, _slot_hash(hash_family, F.col("__sh"), "sim")
+             .alias("__h"))
     # vote_p = 2*bit_p - 1, all integer arithmetic (no string ops)
     votes = hashed.select(
         id_col, *[(F.shiftright("__h", p).bitwiseAND(F.lit(1)) * 2 - 1)
-                  .alias(f"__v{p}") for p in range(64)])
+                  .alias(f"__v{p}") for p in range(n_bits)])
     agg = votes.groupBy(id_col).agg(
-        *[F.sum(f"__v{p}").alias(f"__v{p}") for p in range(64)])
+        *[F.sum(f"__v{p}").alias(f"__v{p}") for p in range(n_bits)])
     # MSB-first assembly to match simhash64's bin()-string bit order
     fp = None
-    for p in range(64):
+    for p in range(n_bits):
         term = F.shiftleft(F.when(F.col(f"__v{p}") > 0, 1).otherwise(0)
                            .cast("long"), p)
         fp = term if fp is None else fp + term
     return agg.select(id_col,
-                      F.lpad(F.hex(fp), 16, "0").alias(out_col))
+                      F.lpad(F.hex(fp), hex_w, "0").alias(out_col))
 
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",

@@ -999,17 +999,109 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, block_cols=("lang",), threshold=0.8)
 
 
-@register("minhash_lsh_pairs")  # approximate -> rows-only check
+@register("minhash_lsh_pairs")  # xxhash64 family -> rows-only check
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash LSH candidate pairs (deterministic seeds, approximate
-    recall -> no SQL oracle; driver records rows-only)."""
+    """L2: MinHash LSH candidate pairs, production hash family (xxhash64,
+    fastest JVM path — not available in DuckDB, so rows-only here; the
+    md5-family twin `minhash_lsh_md5` proves the algorithm exactly)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, num_hashes=32, bands=8)
 
 
-@register("simhash_fingerprint")  # xxhash64 not available in DuckDB
+def _sql_md5h(seed, expr: str) -> str:
+    """DuckDB twin of operators.dedup.md5_long_hash."""
+    return (f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT")
+
+
+_MH_N, _MH_BANDS = 16, 4
+_MH_ROWS = _MH_N // _MH_BANDS
+_MH_SIG_COLS = ", ".join(
+    f"MIN({_sql_md5h(i, 's')}) AS h{i}" for i in range(_MH_N))
+_MH_BAND_SELECTS = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + _sql_md5h("band", " || ',' || ".join(
+        f"CAST(h{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)))
+    + f" AS bh, [{', '.join(f'h{i}' for i in range(_MH_N))}] AS sig FROM sig"
+    for b in range(_MH_BANDS))
+
+
+@register("minhash_lsh_md5", f"""
+WITH toksn AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' ||
+                                         t[i+2]) END AS shl
+    FROM toksn
+), ex AS (
+    SELECT doc_id, unnest(shl) AS s FROM sh
+), sig AS (
+    SELECT doc_id, {_MH_SIG_COLS} FROM ex GROUP BY doc_id
+), banded AS (
+    {_MH_BAND_SELECTS}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sa, b.sig AS sb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_filter(generate_series(1, {_MH_N}), i -> sa[i] = sb[i]))
+       / {_MH_N}.0 AS est_jaccard
+FROM pairs
+""")
+def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exactly-checked: the SAME banded MinHash LSH algorithm with a
+    portable md5-derived hash family — LSH is deterministic once the
+    family is fixed, so the oracle reproduces every candidate pair and
+    signature-estimated Jaccard bit-for-bit (16 hashes, 4 bands)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
+                              hash_family="md5")
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+_SH_BITS = 60
+_SH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS v{p}"
+    for p in range(_SH_BITS))
+_SH_FP = " + ".join(
+    f"CASE WHEN v{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(_SH_BITS))
+
+
+@register("simhash_md5", f"""
+WITH toksn AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 1 <= 0 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1]) END AS shl
+    FROM toksn
+), ex AS (
+    SELECT doc_id, {_sql_md5h('sim', 'unnest(shl)')} AS h FROM sh
+), votes AS (
+    SELECT doc_id, {_SH_VOTES} FROM ex GROUP BY doc_id
+)
+SELECT doc_id, lpad(hex({_SH_FP}), 15, '0') AS simhash
+FROM votes
+""")
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5 family (60 bits): per-bit +-1 votes
+    summed per document, sign picks the bit — exactly reproduced by the
+    oracle's generated 60-term vote aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64_df(d, hash_family="md5")
+
+
+@register("simhash_fingerprint")  # xxhash64 family -> rows-only check
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (rows-only: hash family not in DuckDB)."""
+    """SimHash 64-bit fingerprints, production hash family (xxhash64 —
+    rows-only; `simhash_md5` is the exactly-checked twin)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash64_df(d)
 
