@@ -1333,10 +1333,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_payload_meta(attach_binary_payload(d))
 
 
-@register("multimodal_decode")  # stubbed decoder -> rows-only check
+@register("multimodal_decode", """
+SELECT doc_id,
+       list_transform(generate_series(0, 7), i ->
+           CAST(COALESCE(list_sum(list_transform(
+                    generate_series(1 + i, length(text), 8),
+                    p -> ascii(substr(text, p, 1)))), 0) % 997 AS DOUBLE))
+           AS features
+FROM documents
+""")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6: Arrow-batched decode/feature-extract over binary payloads
-    (deterministic stub decoder — see operators/multimodal.py)."""
+    """L6: Arrow-batched decode/feature-extract over binary payloads.
+    The decode itself is a deterministic stub (no codecs in-container;
+    see operators/multimodal.py) whose strided byte-sum features the
+    oracle recomputes from the text (payload bytes == ASCII text here),
+    so the mapInPandas plumbing is value-checked end to end."""
     d = load_table(spark, sf_dir, "documents")
     return decode_media(attach_binary_payload(d))
 
