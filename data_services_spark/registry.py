@@ -1629,6 +1629,92 @@ def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("var_qty")))
 
 
+@register("q6_forecast_revenue", f"""
+SELECT {_DSUM_F('l_extendedprice * l_discount', 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan to a single global aggregate —
+    every predicate pushes to the parquet scan, no shuffle at all (the
+    partial sums combine in one final task)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= F.lit("1997-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1998-01-01"))
+                     & (F.col("l_discount").between(0.05, 0.07))
+                     & (F.col("l_quantity") < 24))
+            .agg(dmoney(F.col("l_extendedprice") * F.col("l_discount"),
+                        "revenue")))
+
+
+@register("q19_disjunctive", f"""
+SELECT {_DSUM_F('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides —
+    Catalyst extracts the common join key as an equi condition and keeps
+    the disjunction as a post-join filter (vs. the naive nested-loop)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+            | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+            | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30)))
+    return (l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        "revenue")))
+
+
+@register("event_funnel", """
+WITH stages AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_purchase > t_signup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN t_purchase > t_signup
+                      AND t_purchase <= t_signup + INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
+FROM stages
+""")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis over events: per-user first signup / first
+    purchase via conditional MIN (one shuffle), then conversion and
+    conversion-within-1h counts — the sessionized product-analytics
+    pattern (W-family + F6 composition)."""
+    e = load_table(spark, sf_dir, "events")
+    t_signup = F.min(F.when(F.col("event_type") == "signup",
+                            F.col("ts"))).alias("t_signup")
+    t_purchase = F.min(F.when(F.col("event_type") == "purchase",
+                              F.col("ts"))).alias("t_purchase")
+    stages = e.groupBy("user_id").agg(t_signup, t_purchase)
+    conv = F.col("t_purchase") > F.col("t_signup")
+    conv_1h = conv & (F.col("t_purchase")
+                      <= F.col("t_signup") + F.expr("INTERVAL 1 HOUR"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(F.when(conv, 1).otherwise(0)).cast("long")
+        .alias("n_converted"),
+        F.sum(F.when(conv_1h, 1).otherwise(0)).cast("long")
+        .alias("n_converted_1h"))
+
+
 @register("window_range_frame", """
 SELECT event_id,
        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER (
