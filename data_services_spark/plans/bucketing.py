@@ -71,6 +71,26 @@ def write_partitioned(df: DataFrame, path: str,
      .parquet(path))
 
 
+def compact(spark: SparkSession, src_dir: str, dest_dir: str,
+            target_file_bytes: int = 256 * 1024 * 1024) -> int:
+    """Rewrite a parquet directory into ~target-size files; returns the
+    output file count.
+
+    The small-files problem is the quiet killer of 100 TB scans: a
+    landing zone of 10^6 tiny files costs more in listing + task
+    scheduling than in I/O. Output count is computed from actual input
+    bytes (driver-side file listing — metadata only, no data read), and
+    the rewrite is a single shuffle-free coalesce when shrinking."""
+    import os
+
+    total = sum(e.stat().st_size for e in os.scandir(src_dir)
+                if e.is_file() and not e.name.startswith(("_", ".")))
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n).write.mode("overwrite").parquet(dest_dir)
+    return n
+
+
 def physical_plan(df: DataFrame) -> str:
     """The final physical plan string (AQE-resolved where possible) —
     used by tests to assert shuffle absence."""

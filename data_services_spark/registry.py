@@ -1715,6 +1715,42 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_converted_1h"))
 
 
+@register("cohort_retention", """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           datediff('week', f.cohort_week, date_trunc('week', e.ts))
+               AS week_n
+    FROM events e JOIN firsts f USING (user_id)
+)
+SELECT CAST(epoch_ms(cohort_week) AS BIGINT) AS cohort_week_ms,
+       CAST(week_n AS BIGINT) AS week_n,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, week_n
+""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per subsequent active week — two shuffles total (first-event agg,
+    then distinct+count), with the firsts side broadcast when small."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = (e.join(firsts, "user_id")
+                .select("user_id", "cohort_week",
+                        (F.floor(F.datediff(
+                            F.date_trunc("week", F.col("ts")),
+                            F.col("cohort_week")) / 7))
+                        .cast("long").alias("week_n"))
+                .distinct())
+    return (activity.groupBy("cohort_week", "week_n")
+            .agg(F.count(F.lit(1)).alias("active_users"))
+            .select(_ms(F.col("cohort_week")).alias("cohort_week_ms"),
+                    "week_n", "active_users"))
+
+
 @register("window_range_frame", """
 SELECT event_id,
        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER (

@@ -37,3 +37,20 @@ def test_partition_values_roundtrip(spark, events_by_type):
     want = {r.event_type for r in load_table(spark, SF_DIR, "events")
             .select("event_type").distinct().collect()}
     assert got == want
+
+
+def test_compact_rewrites_to_computed_file_count(spark, tmp_path):
+    from data_services_spark.plans.bucketing import compact
+
+    src = str(tmp_path / "many")
+    load_table(spark, SF_DIR, "events").repartition(16).write.parquet(src)
+    import os
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 16
+
+    dest = str(tmp_path / "compacted")
+    n = compact(spark, src, dest)
+    n_out = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
+    assert n == 1 and n_out == 1  # tiny input -> one target-size file
+    assert spark.read.parquet(dest).count() == \
+        load_table(spark, SF_DIR, "events").count()
