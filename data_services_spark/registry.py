@@ -1715,6 +1715,38 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_converted_1h"))
 
 
+@register("q22_lost_customers", f"""
+WITH avg_bal AS (
+    SELECT {sql_dsum_expr('c_acctbal')} / COUNT(*) AS a
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       {_DSUM_F('c_acctbal', 'totacctbal')}
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_nationkey
+""")
+def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (exact dsum-based
+    average, broadcast as a 1-row cross join) + anti join for
+    high-balance customers with no recent orders, grouped per nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01"))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg((dsum_expr(F.col("c_acctbal"))
+                     / F.count(F.col("c_acctbal"))).alias("a")))
+    return (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a"))
+            .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal", "totacctbal")))
+
+
 @register("cohort_retention", """
 WITH firsts AS (
     SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

@@ -97,3 +97,41 @@ def test_stateful_user_totals_equals_batch(spark, events_dir):
     want = {r.user_id: (r.n_events, r.total_value_micros, r.last_ts_ms)
             for r in batch.collect()}
     assert got == want
+
+
+def test_stream_merge_nodes_equals_batch_merge(spark, tmp_path):
+    """foreachBatch incremental KGX merge == from-scratch batch merge,
+    regardless of which batch each source arrives in."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.merge import merge_nodes
+    from data_services_spark.streaming.ingest import (
+        read_merged_state, stream_merge_nodes,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    rows1 = [("X:1", None, ["c1"], 1), ("X:2", "two", ["c2"], 1)]
+    rows2 = [("X:1", "one-late", ["c3"], 2), ("X:3", "three", [], 2)]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(rows1, NODES).coalesce(1).write.parquet(
+        str(src / "batch1"))
+    spark.createDataFrame(rows2, NODES).coalesce(1).write.parquet(
+        str(src / "batch2"))
+
+    stream = (spark.readStream.schema(NODES)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/batch*/"))
+    q = stream_merge_nodes(stream, str(tmp_path / "state"),
+                           str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {r.id: (r.name, r.category, r.n_merged)
+           for r in read_merged_state(spark, str(tmp_path / "state"))
+           .collect()}
+    both = spark.createDataFrame(rows1 + rows2, NODES)
+    want = {r.id: (r.name, r.category, r.n_merged)
+            for r in merge_nodes(both).collect()}
+    assert got == want
+    # the rank-1-null scalar fell through to the rank-2 value
+    assert got["X:1"][0] == "one-late"
