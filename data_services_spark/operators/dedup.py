@@ -217,6 +217,28 @@ def simhash64_df(docs: DataFrame, text_col: str = "text",
                       F.lpad(F.hex(fp), hex_w, "0").alias(out_col))
 
 
+def verify_jaccard(docs: DataFrame, candidates: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact token-set Jaccard computed ONLY on candidate (id_a, id_b)
+    pairs — the production near-dup shape: LSH proposes, this verifies.
+    Cost is O(|candidates|), never O(n^2); the two token joins broadcast
+    when the candidate set is small relative to the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(_norm_text(text_col), r"\s+"))
+        .alias("toks"))
+    a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    return (candidates.select("id_a", "id_b")
+            .join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard",
+                        inter / (F.size("t_a") + F.size("t_b") - inter))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   block_cols: tuple[str, ...] = (),
