@@ -22,7 +22,7 @@ from data_services_spark.operators.multimodal import (
 )
 from data_services_spark.operators.supplement import supplement
 from data_services_spark.operators.components import (
-    connected_components, dedup_clusters,
+    connected_components, connected_components_star, dedup_clusters,
 )
 
 __all__ = [
@@ -38,5 +38,6 @@ __all__ = [
     "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
     "attach_binary_payload", "extract_payload_meta", "decode_media",
     "supplement",
-    "connected_components", "dedup_clusters",
+    "connected_components", "connected_components_star",
+    "dedup_clusters",
 ]

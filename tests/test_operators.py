@@ -258,3 +258,28 @@ def test_dedup_clusters_labels_singletons(spark):
     got = {r.doc_id: r.cluster_id
            for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 4, 5: 4}
+
+
+def test_star_components_chain_and_random(spark):
+    """large-star/small-star components == simple propagation, including
+    a long chain (the diameter case the simple variant is slow on)."""
+    import random
+
+    from data_services_spark.operators import connected_components
+    from data_services_spark.operators.components import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(0, 40)]          # diameter 40
+    rng = random.Random(42)
+    rand = [(rng.randrange(100, 160), rng.randrange(100, 160))
+            for _ in range(60)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in chain + rand if a != b], ["src", "dst"])
+
+    got = {r.node: r.component
+           for r in connected_components_star(edges).collect()}
+    want = {r.node: r.component
+            for r in connected_components(edges, max_rounds=60).collect()}
+    assert got == want
+    assert got[40] == 0  # far chain end reaches the root
