@@ -283,3 +283,16 @@ def test_star_components_chain_and_random(spark):
             for r in connected_components(edges, max_rounds=60).collect()}
     assert got == want
     assert got[40] == 0  # far chain end reaches the root
+
+
+def test_verify_jaccard_only_scores_candidates(spark):
+    from data_services_spark.operators.dedup import verify_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "a b c d")],
+        ["doc_id", "text"])
+    # 1-3 are identical but NOT candidates -> must not appear
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = verify_jaccard(docs, cand, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    assert abs(got[0].jaccard - 3 / 5) < 1e-12

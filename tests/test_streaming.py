@@ -135,3 +135,26 @@ def test_stream_merge_nodes_equals_batch_merge(spark, tmp_path):
     assert got == want
     # the rank-1-null scalar fell through to the rank-2 value
     assert got["X:1"][0] == "one-late"
+
+
+def test_ingest_orphaned_generation_is_ignored(spark, tmp_path):
+    """A generation written but never committed (crash before pointer
+    swap) must not be read back."""
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, read_merged_state,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    state.mkdir()
+    b1 = spark.createDataFrame([("X:1", "one", ["c"], 1)], NODES)
+    merge_upsert_batch(spark, b1, str(state), batch_id=0)
+
+    # simulate a crash: gen=1 parquet lands but _CURRENT never moves
+    b2 = spark.createDataFrame([("X:1", "CLOBBER", ["d"], 1)], NODES)
+    from data_services_spark.streaming.ingest import _to_stateful
+    _to_stateful(b2, ("name",), ("category",), "source_rank") \
+        .write.parquet(str(state / "gen=1"))
+
+    got = read_merged_state(spark, str(state)).collect()
+    assert [(r.id, r.name) for r in got] == [("X:1", "one")]
