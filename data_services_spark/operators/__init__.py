@@ -12,7 +12,7 @@ from data_services_spark.operators.dedup import (
     simhash64, simhash64_df, minhash_signatures, jaccard_pairs,
 )
 from data_services_spark.operators.similarity import (
-    knn_topk, knn_topk_arrow, nearest_within_group,
+    ivf_topk, knn_topk, knn_topk_arrow, nearest_within_group,
 )
 from data_services_spark.operators.text import (
     tokenize, term_frequencies, tfidf, quality_score, lang_id,
@@ -34,7 +34,7 @@ __all__ = [
     "exact_text_dedup", "fingerprint", "minhash_signature",
     "minhash_lsh_pairs", "simhash64", "simhash64_df", "minhash_signatures",
     "jaccard_pairs",
-    "knn_topk", "knn_topk_arrow", "nearest_within_group",
+    "ivf_topk", "knn_topk", "knn_topk_arrow", "nearest_within_group",
     "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
     "attach_binary_payload", "extract_payload_meta", "decode_media",
     "supplement",

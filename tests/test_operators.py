@@ -296,3 +296,22 @@ def test_verify_jaccard_only_scores_candidates(spark):
     got = verify_jaccard(docs, cand, threshold=0.5).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
     assert abs(got[0].jaccard - 3 / 5) < 1e-12
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from data_services_spark.catalog import load_table
+    from data_services_spark.operators import knn_topk
+    from data_services_spark.operators.similarity import ivf_topk
+
+    from tests.conftest import SF_DIR
+    emb = load_table(spark, SF_DIR, "embeddings")
+    want = [r.vec_id for r in knn_topk(emb, query_id=0, k=10).collect()]
+    got = [r.vec_id for r in
+           ivf_topk(emb, query_id=0, k=10, n_cells=8, nprobe=4).collect()]
+    # approximate: probing half the cells must recover most of top-10,
+    # and ordering among found ids must match brute force
+    overlap = len(set(want) & set(got))
+    assert overlap >= 6, (want, got)
+    got_filtered = [v for v in got if v in set(want)]
+    want_filtered = [v for v in want if v in set(got)]
+    assert got_filtered == want_filtered
