@@ -1764,6 +1764,42 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_converted_1h"))
 
 
+@register("q7_nation_volume", f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {_DSUM_F('l_extendedprice * (1 - l_discount)', 'volume')}
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension
+    broadcast twice under different aliases, inequality between the two
+    join products, yearly rollup."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders",
+                    "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("cust_nation"))
+    return (t["supplier"]
+            .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("ship_year"))
+            .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        "volume")))
+
+
 @register("q22_lost_customers", f"""
 WITH avg_bal AS (
     SELECT {sql_dsum_expr('c_acctbal')} / COUNT(*) AS a
