@@ -596,7 +596,8 @@ _ARGMIN = ("arg_min({v}, CASE WHEN {v} IS NULL THEN NULL"
 WITH {kgx.KGX_NODES_SQL.strip()}
 SELECT id,
        {_ARGMIN.format(v='name')},
-       list_sort(list_distinct(flatten(list(category)))) AS category,
+       array_to_string(list_sort(list_distinct(flatten(list(category)))), '|')
+           AS category,
        {_ARGMIN.format(v='mktsegment')},
        {_ARGMIN.format(v='acctbal')},
        COUNT(*) AS n_merged
@@ -605,26 +606,40 @@ FROM kgx_nodes GROUP BY id
 def kgx_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 node merge: deterministic first-wins scalars (min_by rank),
     set-union list props. The core reference operator
-    `[R: Common/merging.py — merge_nodes — unverified]`."""
-    return merge_nodes(kgx.kgx_nodes(spark, sf_dir),
-                       scalar_props=("name", "mktsegment", "acctbal"),
-                       list_props=("category",))
+    `[R: Common/merging.py — merge_nodes — unverified]`.
+
+    Array props are emitted '|'-joined (already sorted+distinct by the
+    merge) so the result is scalar-only — the driver canonicalizer cannot
+    sort array cells. The KGX JSONL sink (sources/kgx.py) still receives
+    real arrays from merge_nodes directly."""
+    merged = merge_nodes(kgx.kgx_nodes(spark, sf_dir),
+                         scalar_props=("name", "mktsegment", "acctbal"),
+                         list_props=("category",))
+    return merged.withColumn("category", F.array_join("category", "|"))
 
 
 @register("kgx_edge_merge", f"""
 WITH {kgx.KGX_EDGES_SQL.strip()}
 SELECT subject, predicate, object, primary_knowledge_source,
-       list_sort(list_distinct(flatten(list(publications)))) AS publications,
-       list_sort(list_distinct(flatten(list(aggregator_knowledge_sources))))
-           AS aggregator_knowledge_sources,
+       array_to_string(list_sort(list_distinct(flatten(list(publications)))),
+                       '|') AS publications,
+       array_to_string(
+           list_sort(list_distinct(flatten(list(aggregator_knowledge_sources)))),
+           '|') AS aggregator_knowledge_sources,
        COUNT(*) AS n_merged
 FROM kgx_edges
 GROUP BY subject, predicate, object, primary_knowledge_source
 """)
 def kgx_edge_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 edge merge on (s, p, o, primary_knowledge_source)
-    `[R: Common/merging.py — merge_edges — unverified]`."""
-    return merge_edges(kgx.kgx_edges(spark, sf_dir))
+    `[R: Common/merging.py — merge_edges — unverified]`.
+    List props '|'-joined for the scalar-only driver compare (see
+    kgx_node_merge)."""
+    merged = merge_edges(kgx.kgx_edges(spark, sf_dir))
+    return (merged
+            .withColumn("publications", F.array_join("publications", "|"))
+            .withColumn("aggregator_knowledge_sources",
+                        F.array_join("aggregator_knowledge_sources", "|")))
 
 
 @register("kgx_normalize", f"""
@@ -738,15 +753,19 @@ def skew_salted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("cluster_collect", """
 SELECT o_custkey AS cluster_id,
-       list_sort(list(o_orderkey)) AS members,
+       array_to_string(list_sort(list(o_orderkey)), '|') AS members,
        COUNT(*) AS n_members
 FROM orders GROUP BY o_custkey
 """)
 def cluster_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 UniRef-style cluster grouping: representative + sorted members."""
+    """A6 UniRef-style cluster grouping: representative + sorted members,
+    '|'-joined (sorted numerically BEFORE the string join on both sides)."""
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy(F.col("o_custkey").alias("cluster_id"))
-            .agg(F.array_sort(F.collect_list("o_orderkey")).alias("members"),
+            .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list("o_orderkey")),
+                                 lambda x: x.cast("string")),
+                     "|").alias("members"),
                  F.count(F.lit(1)).alias("n_members")))
 
 
@@ -1384,10 +1403,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_decode", """
 SELECT doc_id,
-       list_transform(generate_series(0, 7), i ->
-           CAST(COALESCE(list_sum(list_transform(
+       array_to_string(list_transform(generate_series(0, 7), i ->
+           CAST(CAST(COALESCE(list_sum(list_transform(
                     generate_series(1 + i, length(text), 8),
-                    p -> ascii(substr(text, p, 1)))), 0) % 997 AS DOUBLE))
+                    p -> ascii(substr(text, p, 1)))), 0) % 997 AS BIGINT)
+                AS VARCHAR)), '|')
            AS features
 FROM documents
 """)
@@ -1396,9 +1416,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The decode itself is a deterministic stub (no codecs in-container;
     see operators/multimodal.py) whose strided byte-sum features the
     oracle recomputes from the text (payload bytes == ASCII text here),
-    so the mapInPandas plumbing is value-checked end to end."""
+    so the mapInPandas plumbing is value-checked end to end. Features are
+    integer-valued by construction, so the '|'-join casts through BIGINT
+    (driver-safe scalars; '136.0' vs '136' formatting cannot diverge)."""
     d = load_table(spark, sf_dir, "documents")
-    return decode_media(attach_binary_payload(d))
+    return decode_media(attach_binary_payload(d)).select(
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("long").cast("string")),
+            "|").alias("features"))
 
 
 # ---------------------------------------------------------------------------
@@ -1438,24 +1464,29 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("array_functions", """
 SELECT p_partkey,
-       LIST_SORT(LIST_DISTINCT(STRING_SPLIT(p_type, ' '))) AS words_uniq,
+       array_to_string(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(p_type, ' '))),
+                       '|') AS words_uniq,
        CAST(LEN(STRING_SPLIT(p_type, ' ')) AS BIGINT) AS n_words,
        LIST_CONTAINS(STRING_SPLIT(p_type, ' '), 'BRUSHED') AS has_brushed,
-       LIST_SORT(FLATTEN([STRING_SPLIT(p_type, ' '), [p_brand]]))
+       array_to_string(LIST_SORT(FLATTEN([STRING_SPLIT(p_type, ' '),
+                                          [p_brand]])), '|')
            AS words_with_brand
 FROM part
 """)
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 array family: distinct/sort/size/contains/flatten
-    `[R: Common/merging.py list-prop union — unverified]`."""
+    `[R: Common/merging.py list-prop union — unverified]`. Array results
+    '|'-joined post-sort for the scalar-only driver compare."""
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_type", " ")
     return p.select(
         "p_partkey",
-        F.sort_array(F.array_distinct(words)).alias("words_uniq"),
+        F.array_join(F.sort_array(F.array_distinct(words)), "|")
+         .alias("words_uniq"),
         F.size(words).cast("long").alias("n_words"),
         F.array_contains(words, "BRUSHED").alias("has_brushed"),
-        F.sort_array(F.flatten(F.array(words, F.array("p_brand"))))
+        F.array_join(
+            F.sort_array(F.flatten(F.array(words, F.array("p_brand")))), "|")
          .alias("words_with_brand"))
 
 
