@@ -52,6 +52,8 @@ def md5_long_hash(col: Column, seed) -> Column:
 def _slot_hash(family: str, col: Column, seed) -> Column:
     if family == "md5":
         return md5_long_hash(col, seed)
+    if seed is None:  # unseeded — matches plain xxhash64(col) composition
+        return F.xxhash64(col)
     return F.xxhash64(col, F.lit(seed)) if not isinstance(seed, str) \
         else F.xxhash64(F.concat(F.lit(seed + ":"), col))
 
@@ -126,7 +128,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
                              hash_family)
-    sig = sig.persist()
+    # No persist: the self-join's two branches share an identical groupBy
+    # exchange, which Spark's ReuseExchange rule computes once (asserted in
+    # tests/test_dedup.py) — an explicit .persist() here would leak cached
+    # blocks across calls in a long-lived session with no unpersist point
+    # (the consumer of this lazy DataFrame decides when execution happens).
     banded = sig.select(
         "id", "sig",
         F.explode(
@@ -196,10 +202,15 @@ def simhash64_df(docs: DataFrame, text_col: str = "text",
     groupBy(id).sum gives the bit votes with map-side combine."""
     # md5 family hashes carry 60 meaningful bits (15 hex chars)
     n_bits, hex_w = (60, 15) if hash_family == "md5" else (64, 16)
+    # xxhash64 family is UNSEEDED so this fingerprint equals simhash64()'s
+    # (both hash the raw shingle) — the two physical shapes of the same
+    # algorithm must agree; md5 family keeps its 'sim' seed, mirrored in
+    # the simhash_md5 oracle SQL.
+    seed = "sim" if hash_family == "md5" else None
     hashed = docs.select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("__sh"),
-    ).select(id_col, _slot_hash(hash_family, F.col("__sh"), "sim")
+    ).select(id_col, _slot_hash(hash_family, F.col("__sh"), seed)
              .alias("__h"))
     # vote_p = 2*bit_p - 1, all integer arithmetic (no string ops)
     votes = hashed.select(

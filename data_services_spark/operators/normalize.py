@@ -55,6 +55,36 @@ def normalize_edges(edges: DataFrame, node_map: DataFrame,
     return apply_node_map(out, node_map, object_col)
 
 
+def apply_predicate_map(edges: DataFrame, predicate_map: DataFrame,
+                        predicate_col: str = "predicate",
+                        default: str | None = "biolink:related_to",
+                        broadcast: bool = True) -> DataFrame:
+    """J1 edge/predicate normalization (EdgeNormalizer twin): rewrite the
+    predicate column to its canonical biolink predicate via a
+    ``(raw_pred, biolink_pred)`` map `[R: Common/normalization.py —
+    EdgeNormalizer — unverified]`.
+
+    The predicate vocabulary is tiny (hundreds of relation types against
+    billions of edges at 100 TB), so this is always a broadcast hash join —
+    zero shuffle of the edge side. Unmapped predicates keep the row
+    (reference routes them / defaults to a fallback), rewritten to
+    ``default`` when given, flagged ``predicate_normalized = false`` either
+    way so callers can route failures exactly like node-norm failures (J2).
+    """
+    m = predicate_map.select(F.col("raw_pred").alias("__raw_pred"),
+                             F.col("biolink_pred").alias("__biolink_pred"))
+    if broadcast:
+        m = F.broadcast(m)
+    joined = edges.join(m, edges[predicate_col] == m["__raw_pred"], "left")
+    fallback = F.lit(default) if default is not None else F.col(predicate_col)
+    return (joined
+            .withColumn("predicate_normalized",
+                        F.col("__biolink_pred").isNotNull())
+            .withColumn(predicate_col,
+                        F.coalesce(F.col("__biolink_pred"), fallback))
+            .drop("__raw_pred", "__biolink_pred"))
+
+
 def normalization_failures(edges: DataFrame, node_map: DataFrame,
                            endpoint: str = "subject") -> DataFrame:
     """J2: distinct endpoint ids with no canonical mapping (anti join).

@@ -152,9 +152,14 @@ def ann_hyperplane_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.8,
                        group_col: str = "label", id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by `group_col`
-    (at scale: LSH buckets). Returns (id_a, id_b) with id_a < id_b and
-    cosine >= threshold."""
+    """Embedding-cosine near-duplicate pairs, blocked by `group_col`.
+    Returns (id_a, id_b) with id_a < id_b and cosine >= threshold.
+
+    NOTE: group-blocking is quadratic within a block — only safe when the
+    grouping key is fine-grained. The scale path is
+    :func:`lsh_banded_near_dup`, where blocks are LSH buckets whose size
+    is controlled by the number of planes, independent of any label
+    cardinality."""
     a = embeddings.select(F.col(group_col).alias("g"),
                           F.col(id_col).alias("id_a"),
                           F.col(vec_col).alias("va"))
@@ -163,6 +168,70 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.8,
                           F.col(vec_col).alias("vb"))
     return (a.join(b, "g")
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cosine_similarity("va", "vb") >= threshold)
+            .select("id_a", "id_b"))
+
+
+def band_bucket_exprs(vec_col: str, dim: int, n_bands: int,
+                      planes_per_band: int,
+                      seed: int = 42) -> list[F.Column]:
+    """One sign-bit bucket string per LSH band (banded random-hyperplane
+    family). Two vectors are near-dup *candidates* iff they share a bucket
+    in at least one band (OR-amplification: per-band collision prob is
+    p^planes where p = 1 - angle/pi, so more bands raise recall, more
+    planes per band cut false candidates)."""
+    planes = hyperplane_planes(dim, n_bands * planes_per_band, seed)
+    return [_bucket_expr(vec_col, planes[i * planes_per_band:
+                                         (i + 1) * planes_per_band])
+            for i in range(n_bands)]
+
+
+def band_bucket_sql(vec_expr: str, dim: int, n_bands: int,
+                    planes_per_band: int, seed: int = 42) -> list[str]:
+    """DuckDB twins of :func:`band_bucket_exprs` (same seeded planes)."""
+    planes = hyperplane_planes(dim, n_bands * planes_per_band, seed)
+    return [bucket_sql(vec_expr, planes[i * planes_per_band:
+                                        (i + 1) * planes_per_band])
+            for i in range(n_bands)]
+
+
+def lsh_banded_near_dup(embeddings: DataFrame, dim: int,
+                        threshold: float = 0.8, n_bands: int = 3,
+                        planes_per_band: int = 6, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        seed: int = 42) -> DataFrame:
+    """L4 scale path: embedding near-dup via banded sign-LSH blocking —
+    propose pairs that collide in >= 1 band, then verify with exact
+    cosine. Returns (id_a, id_b), id_a < id_b, cosine >= threshold.
+
+    Never all-pairs: each band is an equi-join on the bucket string, so
+    the candidate count is sum over buckets of |bucket|^2 — controlled by
+    `planes_per_band` (each plane halves the expected bucket), NOT by any
+    data-dependent label cardinality. Deterministic seeded planes mean
+    the oracle reproduces the identical candidate set in SQL.
+
+    Shuffle shape: explode x n_bands (map-side, no shuffle) -> one
+    shuffle on band_key for the self-join -> distinct on (id_a, id_b)
+    pairs only (ids, not vectors) -> two joins back to fetch vectors for
+    the O(candidates) verify. Recall for true pairs at cosine c is
+    1-(1-p^P)^B with p = 1 - arccos(c)/pi; scale deployments raise B.
+    """
+    bands = band_bucket_exprs(vec_col, dim, n_bands, planes_per_band, seed)
+    sig = embeddings.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"), b) for i, b in enumerate(bands)
+        ])).alias("band_key"))
+    a = sig.select("band_key", F.col(id_col).alias("id_a"))
+    b = sig.select("band_key", F.col(id_col).alias("id_b"))
+    cand = (a.join(b, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vb"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
             .filter(cosine_similarity("va", "vb") >= threshold)
             .select("id_a", "id_b"))
 

@@ -2,10 +2,12 @@
 
 The reference pipes sequence variants through a snpEff JVM subprocess to
 add consequence annotations `[R: Common/supplementation.py — unverified]`.
-Spark-first shape: ``mapInPandas`` — each *partition* launches the tool
-once, streams its rows through stdin/stdout, and yields annotated Arrow
-batches. That keeps tool startup cost at O(partitions), not O(rows), and
-scales linearly with executors.
+Spark-first shape: ``mapInPandas`` — each Arrow *batch* (65536 rows at
+the default Arrow batch size) pipes its rows through one tool process
+via stdin/stdout and yields the annotated batch. That keeps tool startup
+cost at O(rows / batch_size), not O(rows), scales linearly with
+executors, and — unlike a single streamed process per partition — cannot
+deadlock against stdio-block-buffered tools.
 
 The container has no snpEff, so the subprocess path is gated: with
 ``cmd=None`` a deterministic fake annotator runs instead (same schema, same
@@ -27,7 +29,7 @@ def supplement(df: DataFrame, id_col: str = "id",
                cmd: Sequence[str] | None = None,
                annotation_col: str = "annotation") -> DataFrame:
     """Append ``annotation_col`` (string) produced by an external per-row
-    tool, one subprocess per partition.
+    tool, one subprocess per Arrow batch.
 
     cmd semantics: the tool reads one id per stdin line and writes one
     annotation per stdout line, order-preserving (the snpEff/VEP-style
@@ -50,17 +52,32 @@ def supplement(df: DataFrame, id_col: str = "id",
                 ]
                 yield pdf[cols + [annotation_col]]
             return
-        proc = subprocess.Popen(list(cmd), stdin=subprocess.PIPE,
-                                stdout=subprocess.PIPE, text=True)
-        try:
-            for pdf in batches:
+        # One process per Arrow BATCH (65536 rows at the default Arrow
+        # batch size): communicate() writes the whole batch, closes stdin,
+        # and drains stdout to EOF. A single streamed process per
+        # partition would deadlock on any stdio-block-buffered tool (the
+        # tool only flushes at EOF while we block on readline), and a
+        # single communicate() per partition crashes on the second batch
+        # ("cannot send input after starting communication") — per-batch
+        # processes are correct for ANY filter tool, and launch cost is
+        # O(rows / 65536), amortized exactly like O(partitions) at scale.
+        for pdf in batches:
+            proc = subprocess.Popen(list(cmd), stdin=subprocess.PIPE,
+                                    stdout=subprocess.PIPE, text=True)
+            try:
                 lines = "".join(f"{v}\n" for v in pdf[id_col].astype(str))
                 out, _ = proc.communicate(lines)
-                pdf[annotation_col] = out.splitlines()[: len(pdf)]
+                lines_out = out.splitlines()
+                if len(lines_out) != len(pdf):
+                    raise RuntimeError(
+                        f"supplement tool {cmd!r} violated the line "
+                        f"protocol: expected {len(pdf)} output lines for "
+                        f"{len(pdf)} input rows, got {len(lines_out)}")
+                pdf[annotation_col] = lines_out
                 yield pdf[cols + [annotation_col]]
-        finally:
-            if proc.poll() is None:
-                proc.kill()
+            finally:
+                if proc.poll() is None:
+                    proc.kill()
 
     return df.mapInPandas(run, out_schema)
 

@@ -83,8 +83,14 @@ def compact(spark: SparkSession, src_dir: str, dest_dir: str,
     the rewrite is a single shuffle-free coalesce when shrinking."""
     import os
 
-    total = sum(e.stat().st_size for e in os.scandir(src_dir)
-                if e.is_file() and not e.name.startswith(("_", ".")))
+    # Walk the tree: partitioned/nested layouts keep data files below
+    # col=value subdirectories, where a flat scandir would sum 0 bytes and
+    # coalesce arbitrarily large input into one file (and one task).
+    total = 0
+    for root, dirs, files in os.walk(src_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        total += sum(os.path.getsize(os.path.join(root, f))
+                     for f in files if not f.startswith(("_", ".")))
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(src_dir)
     df.coalesce(n).write.mode("overwrite").parquet(dest_dir)

@@ -126,6 +126,52 @@ kgx_edges AS (
 )"""
 
 
+def raw_pred_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges carrying RAW (pre-normalization) predicates, for the
+    EdgeNormalizer twin: 'returned' / 'affects' / 'contains' from
+    lineitem flags; 'affects' is deliberately absent from the predicate
+    map so fallback routing is exercised."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        _curie("ORD", F.col("l_orderkey")).alias("subject"),
+        F.when(F.col("l_returnflag") == "R", F.lit("returned"))
+         .when(F.col("l_returnflag") == "A", F.lit("affects"))
+         .otherwise(F.lit("contains")).alias("predicate"),
+        _curie("PART", F.col("l_partkey")).alias("object"),
+        F.col("l_linenumber").cast("int").alias("line_no"),
+    )
+
+
+RAW_PRED_EDGES_SQL = """
+raw_pred_edges AS (
+    SELECT 'ORD:' || CAST(l_orderkey AS VARCHAR) AS subject,
+           CASE WHEN l_returnflag = 'R' THEN 'returned'
+                WHEN l_returnflag = 'A' THEN 'affects'
+                ELSE 'contains' END AS predicate,
+           'PART:' || CAST(l_partkey AS VARCHAR) AS object,
+           l_linenumber AS line_no
+    FROM lineitem
+)"""
+
+
+def predicate_map(spark: SparkSession) -> DataFrame:
+    """Tiny raw→biolink predicate vocabulary (broadcast side)."""
+    return spark.createDataFrame(
+        [("returned", "biolink:returned"),
+         ("contains", "biolink:contains"),
+         ("ships", "biolink:ships")],  # unused entry: map ⊅ data is normal
+        "raw_pred string, biolink_pred string")
+
+
+PREDICATE_MAP_SQL = """
+pred_map AS (
+    SELECT * FROM (VALUES ('returned', 'biolink:returned'),
+                          ('contains', 'biolink:contains'),
+                          ('ships', 'biolink:ships'))
+        AS t(raw_pred, biolink_pred)
+)"""
+
+
 def norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization map: customers normalize to NORM:<2*key>, except
     custkey % 10 == 7 which are missing (normalization failures)."""

@@ -27,12 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 _CURRENT = "_CURRENT"
 
 
-def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def _committed_gen(state_dir: str) -> int | None:
     ptr = os.path.join(state_dir, _CURRENT)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        gen = fh.read().strip()
+        return int(fh.read().strip())
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    gen = _committed_gen(state_dir)
+    if gen is None:
+        return None
     return spark.read.parquet(os.path.join(state_dir, f"gen={gen}"))
 
 
@@ -88,6 +94,14 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     batch overwrites its own uncommitted generation). The per-scalar-rank
     state makes incremental merge EXACTLY equal to a from-scratch batch
     merge in any arrival order (asserted in tests/test_streaming.py)."""
+    # foreachBatch is at-least-once: a crash between the _CURRENT swap and
+    # the streaming checkpoint commit re-runs this batch_id on restart.
+    # Without this guard the retry would read gen=<batch_id> and overwrite
+    # the very directory the lazy plan is reading (Spark refuses -> stream
+    # permanently wedged) — and a successful re-merge would double-count.
+    committed = _committed_gen(state_dir)
+    if committed is not None and committed >= batch_id:
+        return
     incoming = _to_stateful(batch, scalar_props, list_props, rank_col)
     state = _read_state(spark, state_dir)
     if state is not None:

@@ -49,3 +49,19 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables):
     assert "Exchange" not in plan, plan
     assert agg.count() == load_table(spark, SF_DIR, "lineitem") \
         .select("l_orderkey").distinct().count()
+
+
+def test_compact_sizes_partitioned_source(spark, tmp_path):
+    """compact() must sum data-file bytes recursively: a Hive-partitioned
+    source keeps files under col=value subdirs where a flat scandir sees
+    0 bytes and would collapse everything into one file/task."""
+    from data_services_spark.plans.bucketing import compact, write_partitioned
+
+    src = tmp_path / "src"
+    o = load_table(spark, SF_DIR, "orders")
+    write_partitioned(o, str(src), ["o_orderstatus"])
+    n = compact(spark, str(src), str(tmp_path / "out"),
+                target_file_bytes=16 * 1024)
+    assert n > 1  # nonzero recursive size -> multiple target files
+    got = spark.read.parquet(str(tmp_path / "out")).count()
+    assert got == o.count()

@@ -315,3 +315,66 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     got_filtered = [v for v in got if v in set(want)]
     want_filtered = [v for v in want if v in set(got)]
     assert got_filtered == want_filtered
+
+
+def test_supplement_subprocess_handles_multiple_batches(spark):
+    """A partition producing several Arrow batches must annotate them all
+    (a single communicate() per partition closes stdin after the first
+    batch and crashes the second; per-batch processes also can't deadlock
+    against stdio-block-buffered tools — note: plain sed, no -u)."""
+    from data_services_spark.operators import supplement
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        df = spark.createDataFrame(
+            [(f"id{i}",) for i in range(7)], ["id"]).coalesce(1)
+        out = supplement(df, id_col="id", cmd=["sed", "s/^/got:/"])
+        assert sorted(r.annotation for r in out.collect()) == sorted(
+            f"got:id{i}" for i in range(7))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_supplement_subprocess_short_output_raises(spark):
+    """A tool emitting fewer lines than rows is a protocol violation with
+    a descriptive error, not an opaque pandas length mismatch."""
+    from data_services_spark.operators import supplement
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["id"]).coalesce(1)
+    out = supplement(df, id_col="id", cmd=["head", "-n", "1"])
+    try:
+        out.collect()
+        raise AssertionError("expected line-protocol violation")
+    except Exception as e:  # Py4J wraps the executor-side RuntimeError
+        assert "line" in str(e) and "protocol" in str(e)
+
+
+def test_simhash_column_and_df_forms_agree(spark):
+    """simhash64 (single-expression) and simhash64_df (explode/groupBy)
+    are two physical shapes of the SAME fingerprint — default (xxhash64,
+    unseeded) families must produce identical hex strings."""
+    from data_services_spark.operators import simhash64, simhash64_df
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "sphinx of black quartz judge my vow")],
+        "doc_id long, text string")
+    col_form = {r.doc_id: r.sh for r in
+                d.select("doc_id", simhash64("text").alias("sh")).collect()}
+    df_form = {r.doc_id: r.simhash for r in simhash64_df(d).collect()}
+    assert col_form == df_form
+
+
+def test_minhash_lsh_leaves_no_cached_rdds(spark):
+    """minhash_lsh_pairs must not leak persisted blocks in a long-lived
+    session (the self-join reuses the signature aggregation via Spark's
+    ReuseExchange rule instead of an explicit persist)."""
+    from data_services_spark.operators import minhash_lsh_pairs
+
+    d = spark.createDataFrame(
+        [(i, f"shared prefix words {'x' if i % 2 else 'y'} tail {i}")
+         for i in range(20)], "doc_id long, text string")
+    minhash_lsh_pairs(d, num_hashes=16, bands=8).collect()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()

@@ -158,3 +158,29 @@ def test_ingest_orphaned_generation_is_ignored(spark, tmp_path):
 
     got = read_merged_state(spark, str(state)).collect()
     assert [(r.id, r.name) for r in got] == [("X:1", "one")]
+
+
+def test_ingest_retry_of_committed_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running an already-committed
+    batch_id (crash between pointer swap and checkpoint commit) must be a
+    no-op — no double-counted merges, no read-overwrite wedge."""
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, read_merged_state,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    state.mkdir()
+    b0 = spark.createDataFrame([("X:1", "one", ["c"], 1)], NODES)
+    merge_upsert_batch(spark, b0, str(state), batch_id=0)
+    b1 = spark.createDataFrame([("X:1", None, ["d"], 2)], NODES)
+    merge_upsert_batch(spark, b1, str(state), batch_id=1)
+    before = {(r.id, r.name, r.n_merged)
+              for r in read_merged_state(spark, str(state)).collect()}
+    assert before == {("X:1", "one", 2)}
+
+    # retry the committed batch: state must be unchanged (not n_merged=3)
+    merge_upsert_batch(spark, b1, str(state), batch_id=1)
+    after = {(r.id, r.name, r.n_merged)
+             for r in read_merged_state(spark, str(state)).collect()}
+    assert after == before
