@@ -26,20 +26,60 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of all currently persisted RDDs (includes localCheckpoint
+    blocks, which Spark exposes no public unpersist handle for)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_rdds(spark, ids) -> None:
+    """Drop the checkpoint blocks behind ``ids`` (non-blocking)."""
+    if not ids:
+        return
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() in ids:
+            kv._2().unpersist(False)
+
+
+def _eager_checkpoint(df: DataFrame):
+    """``localCheckpoint(eager=True)`` plus the ids of the blocks it
+    pinned, so iterative callers can free superseded rounds' checkpoints.
+    Without this, a long-lived session accumulates O(rounds) stale
+    blocks per call (the round-2 suite-order pytest red). Id tracking is
+    a before/after diff, so concurrent persists from other threads would
+    be misattributed — fine for per-query iterative use."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_rdd_ids(spark) - before
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          max_rounds: int = 25) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id in its connected component. Raises if not converged within
-    ``max_rounds`` (deterministic output matters more than best-effort)."""
+    ``max_rounds`` (deterministic output matters more than best-effort).
+
+    Superseded rounds' checkpoint blocks are unpersisted as soon as the
+    next round materializes; the returned DataFrame keeps exactly ONE
+    pinned checkpoint (its own data), so a long-lived session leaks
+    O(1), not O(rounds), per call."""
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym, sym_ids = _eager_checkpoint(sym)
 
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+    labels, labels_ids = _eager_checkpoint(
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node")))
 
     for _ in range(max_rounds):
         neighbor_min = (sym.join(labels, sym.b == labels.node)
@@ -55,11 +95,14 @@ def connected_components(edges: DataFrame, src: str = "src",
                                   F.col("label"),
                                   F.coalesce("nlabel", "label")))
                               .alias("changed")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels, new_ids = _eager_checkpoint(new_labels)
         n_changed = new_labels.filter("changed").count()
-        labels = new_labels.drop("changed")
+        _unpersist_rdds(spark, labels_ids)  # superseded by new_labels
+        labels, labels_ids = new_labels.drop("changed"), new_ids
         if n_changed == 0:
+            _unpersist_rdds(spark, sym_ids)
             return labels.select("node", F.col("label").alias("component"))
+    _unpersist_rdds(spark, sym_ids | labels_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "graph diameter too large; use the large-star/small-star variant")
@@ -78,12 +121,13 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     collect_list, so hub nodes cost a shuffle skew (AQE-splittable), not
     executor memory.
     """
+    spark = edges.sparkSession
     # orient every edge both ways; drop self-loops
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = (e.unionByName(e.select(F.col("v").alias("u"),
-                                F.col("u").alias("v")))
-         .filter(F.col("u") != F.col("v")).distinct()
-         .localCheckpoint(eager=True))
+    e, e_ids = _eager_checkpoint(
+        e.unionByName(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v")).distinct())
 
     for _ in range(max_rounds):
         # large-star: m(u) = min(u, min neighbors); for v > u: (v, m)
@@ -100,16 +144,20 @@ def connected_components_star(edges: DataFrame, src: str = "src",
               .unionByName(smins.select("u", F.col("m").alias("v"))))
         new_e = (ls.unionByName(ss)
                  .filter(F.col("u") != F.col("v")).distinct())
-        new_sym = (new_e.unionByName(
-            new_e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct().localCheckpoint(eager=True))
+        new_sym, new_ids = _eager_checkpoint(
+            new_e.unionByName(
+                new_e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct())
         # converged when the canonical (undirected) edge set is stable
-        if (new_sym.exceptAll(e).limit(1).count() == 0
-                and e.exceptAll(new_sym).limit(1).count() == 0):
-            e = new_sym
+        # (check against the OLD e before freeing its checkpoint blocks)
+        converged = (new_sym.exceptAll(e).limit(1).count() == 0
+                     and e.exceptAll(new_sym).limit(1).count() == 0)
+        _unpersist_rdds(spark, e_ids)  # superseded by new_sym
+        e, e_ids = new_sym, new_ids
+        if converged:
             break
-        e = new_sym
     else:
+        _unpersist_rdds(spark, e_ids)
         raise RuntimeError(
             f"star components did not converge in {max_rounds} rounds")
 

@@ -129,8 +129,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
                              hash_family)
     # No persist: the self-join's two branches share an identical groupBy
-    # exchange, which Spark's ReuseExchange rule computes once (asserted in
-    # tests/test_dedup.py) — an explicit .persist() here would leak cached
+    # exchange, which Spark's ReuseExchange rule computes once (plan-asserted
+    # in tests/test_operators.py::test_minhash_lsh_leaves_no_cached_rdds)
+    # — an explicit .persist() here would leak cached
     # blocks across calls in a long-lived session with no unpersist point
     # (the consumer of this lazy DataFrame decides when execution happens).
     banded = sig.select(

@@ -81,7 +81,11 @@ def register(name: str, sql: str | None = None, cache_plan: bool = True):
 
 def _ms(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
-    # cast: NTZ parquet timestamps -> LTZ epoch under the UTC session tz
+    # cast: NTZ parquet timestamps -> LTZ epoch under the UTC session tz.
+    # /1000 + cast truncates toward zero — empirically identical to both
+    # DuckDB epoch_ms() and BIGINT // on pre-1970 sub-ms timestamps
+    # (all give 0 for 1969-12-31T23:59:59.9995; checked 2026-08-13).
+    # Double division is exact for |micros| < 2^53 (~year 2255).
     return (F.unix_micros(c.cast("timestamp")) / F.lit(1000)).cast("long")
 
 
@@ -97,7 +101,7 @@ def _DAVG_F(e: str, a: str) -> str:
 # Relational core (SURVEY §2.2/§2.3/§2.4/§2.6/§2.7)
 # ---------------------------------------------------------------------------
 
-@register("q1_pricing_summary", f"""
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {_DSUM_F('l_quantity', 'sum_qty')},
        {_DSUM_F('l_extendedprice', 'sum_base_price')},
@@ -110,21 +114,22 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
 GROUP BY l_returnflag, l_linestatus
-""")
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter-agg with full pushdown (P4+A8+F3)."""
+    """TPC-H Q1 shape: scan-filter-agg with full pushdown (P4+A8+F3).
+
+    Executes the IDENTICAL pure-ANSI SQL text the DuckDB oracle checks
+    (sql_dsum/sql_davg are dialect-portable), via one spark.sql() call
+    with the table plugged in as a DataFrame template arg. Single parse
+    JVM-side — the previous Column-by-Column build spent ~0.13s of
+    py4j round trips per submission (profiled 2026-08-13); same
+    Catalyst plan either way."""
     l = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (l.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(dsum("l_quantity", "sum_qty"),
-                 dsum("l_extendedprice", "sum_base_price"),
-                 dmoney(disc, "sum_disc_price"),
-                 dmoney(disc * (1 + F.col("l_tax")), "sum_charge"),
-                 davg("l_quantity", "avg_qty"),
-                 davg("l_extendedprice", "avg_price"),
-                 davg("l_discount", "avg_disc"),
-                 F.count(F.lit(1)).alias("count_order")))
+    return spark.sql(_Q1_SQL.replace("FROM lineitem", "FROM {lineitem}"),
+                     lineitem=l)
 
 
 @register("q3_shipping_priority", f"""
@@ -867,24 +872,29 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on event TIME, not row position (rows and range diverge when
     timestamps cluster). RANGE accumulates exact quantized longs —
     in-frame double sums would be segment-tree-order-dependent vs the
-    oracle. Same sort order serves both frames, so Catalyst plans one
-    Exchange + one Sort for all three columns."""
+    oracle. All three windows order by (epoch_s, ts, event_id) — the
+    same total order as (ts, event_id) since epoch_s is ts truncated to
+    seconds — so the RANGE window's required sort (user_id, epoch_s) is
+    a PREFIX of the ROWS windows' sort and Catalyst plans exactly one
+    Exchange + one Sort for all three columns (plan-asserted in
+    tests/test_operators.py)."""
     e = load_table(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-         .rowsBetween(Window.unboundedPreceding, 0))
     epoch_s = (F.unix_micros(F.col("ts").cast("timestamp"))
                / F.lit(1_000_000)).cast("long")
-    wr = (Window.partitionBy("user_id").orderBy(epoch_s)
+    e = e.withColumn("__epoch_s", epoch_s)
+    w = (Window.partitionBy("user_id")
+         .orderBy("__epoch_s", "ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wl = Window.partitionBy("user_id").orderBy("__epoch_s", "ts", "event_id")
+    wr = (Window.partitionBy("user_id").orderBy("__epoch_s")
           .rangeBetween(-3600, Window.currentRow))
     val = F.col("value")
     return e.select(
         "event_id", "user_id",
         F.sum(val.cast("decimal(25,6)")).over(w)
          .cast("double").alias("running_sum"),
-        F.round((val - F.coalesce(
-            F.lag(val).over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")),
-            val)) * 1000000).cast("long").alias("delta_micros"),
+        F.round((val - F.coalesce(F.lag(val).over(wl), val)) * 1000000)
+         .cast("long").alias("delta_micros"),
         F.sum(F.round(val * 1000000).cast("long")).over(wr)
          .cast("long").alias("trailing_hour_micros"))
 
@@ -1331,7 +1341,8 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     session via the registry plan cache — the memoized DataFrame pins the
     trained centroids), probe the 4 nearest of 16 cells, exact cosine
     within probed cells. Approximate by design -> rows-only driver check;
-    tests/test_similarity.py asserts recall >= 0.9 vs brute force."""
+    tests/test_operators.py::test_ivf_topk_recall_vs_bruteforce asserts
+    recall >= 0.9 vs brute force."""
     from data_services_spark.operators.similarity import ivf_topk
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(e, query_id=0, k=10, n_cells=16, nprobe=4)
@@ -2041,24 +2052,37 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .na.fill(0, ["F", "O", "P"]))
 
 
-@register("dedup_components", """
-WITH RECURSIVE toks AS (
-    SELECT lang, doc_id,
-           unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
-                                                      '\\s+'))) AS tok
+@register("dedup_components", f"""
+WITH RECURSIVE toksn AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
     FROM documents
-), sizes AS (
-    SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
-), inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-    FROM toks a JOIN toks b
-      ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' ||
+                                         t[i+2]) END AS shl
+    FROM toksn
+), ex AS (
+    SELECT doc_id, unnest(shl) AS s FROM sh
+), sig AS (
+    SELECT doc_id, {_MH_SIG_COLS} FROM ex GROUP BY doc_id
+), banded AS (
+    {_MH_BAND_SELECTS}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), tokd AS (
+    SELECT doc_id, list_distinct(t) AS tk FROM toksn
 ), pairs AS (
-    SELECT id_a, id_b FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE c / (sa.sz + sb.sz - c) >= 0.8
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN tokd ta ON ta.doc_id = c.id_a
+    JOIN tokd tb ON tb.doc_id = c.id_b
+    WHERE len(list_intersect(ta.tk, tb.tk))
+          / CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))
+                 AS DOUBLE) >= 0.8
 ), und AS (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION ALL
@@ -2076,15 +2100,24 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN labels l USING (doc_id)
 """)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2/L4 clustering step: exact Jaccard pair graph -> connected
-    components (iterative min-label propagation) -> one cluster id per
-    document, singletons labeling themselves. The oracle computes the
-    same components via a recursive-CTE transitive closure — an exact
-    check on an iterative distributed algorithm."""
+    """L2/L4 clustering step, fed by the SCALE-SAFE candidate source:
+    banded MinHash LSH proposes pairs (per-bucket joins, never all-pairs),
+    exact token-set Jaccard verifies them, and connected components
+    (iterative min-label propagation) turns verified pairs into cluster
+    ids, singletons labeling themselves. The previous green path fed the
+    clustering from `jaccard_pairs`' common-token self-join — candidate
+    rows there scale as sum over tokens of df(token)^2, which Zipfian
+    token frequencies make effectively quadratic at 100 TB (that exact
+    form survives as the `near_dup_jaccard` demo). The oracle reproduces
+    the md5 LSH family, the verify step, and the component closure via a
+    recursive CTE — an exact end-to-end check on an approximate pipeline
+    plus an iterative distributed algorithm."""
     from data_services_spark.operators.components import dedup_clusters
+    from data_services_spark.operators.dedup import verify_jaccard
     d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, block_cols=("lang",), threshold=0.8) \
-        .select("id_a", "id_b")
+    cand = minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
+                             hash_family="md5")
+    pairs = verify_jaccard(d, cand, threshold=0.8).select("id_a", "id_b")
     return dedup_clusters(d, pairs)
 
 
@@ -2149,7 +2182,8 @@ PRIORITY = (
 
 def _ordered(mapping: dict[str, object]) -> dict:
     missing = [n for n in PRIORITY if n not in QUERIES]
-    assert not missing, f"PRIORITY names not registered: {missing}"
+    if missing:  # explicit raise — a bare assert vanishes under python -O
+        raise RuntimeError(f"PRIORITY names not registered: {missing}")
     tail = [n for n in mapping if n not in PRIORITY]
     return {n: mapping[n] for n in (*PRIORITY, *tail) if n in mapping}
 

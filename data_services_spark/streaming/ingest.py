@@ -100,8 +100,17 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     # the very directory the lazy plan is reading (Spark refuses -> stream
     # permanently wedged) — and a successful re-merge would double-count.
     committed = _committed_gen(state_dir)
-    if committed is not None and committed >= batch_id:
-        return
+    if committed is not None and committed == batch_id:
+        return  # legitimate foreachBatch retry of the just-committed batch
+    if committed is not None and committed > batch_id:
+        # batch ids restart at 0 when the streaming checkpoint is reset;
+        # pairing a fresh checkpoint with old state would silently drop
+        # every batch until batch_id catches up — fail loudly instead.
+        raise RuntimeError(
+            f"state_dir {state_dir} is at generation {committed} but the "
+            f"stream delivered batch {batch_id}: the streaming checkpoint "
+            "and merge state are out of sync (checkpoint reset against "
+            "retained state?). Clear one or the other.")
     incoming = _to_stateful(batch, scalar_props, list_props, rank_col)
     state = _read_state(spark, state_dir)
     if state is not None:

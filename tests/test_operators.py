@@ -370,11 +370,43 @@ def test_simhash_column_and_df_forms_agree(spark):
 def test_minhash_lsh_leaves_no_cached_rdds(spark):
     """minhash_lsh_pairs must not leak persisted blocks in a long-lived
     session (the self-join reuses the signature aggregation via Spark's
-    ReuseExchange rule instead of an explicit persist)."""
+    ReuseExchange rule instead of an explicit persist). Snapshot-diff —
+    not global emptiness — so the assertion tests minhash, not whatever
+    other tests legitimately left pinned in the shared session."""
     from data_services_spark.operators import minhash_lsh_pairs
+    from data_services_spark.plans.bucketing import physical_plan
 
     d = spark.createDataFrame(
         [(i, f"shared prefix words {'x' if i % 2 else 'y'} tail {i}")
          for i in range(20)], "doc_id long, text string")
-    minhash_lsh_pairs(d, num_hashes=16, bands=8).collect()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    pairs = minhash_lsh_pairs(d, num_hashes=16, bands=8)
+    pairs.collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # <= not ==: the ContextCleaner may concurrently drop blocks whose
+    # DataFrames earlier tests released; minhash itself must add none
+    assert after <= before
+    # the no-persist design leans on ReuseExchange firing for the
+    # signature aggregation's two consumers — assert it actually does
+    assert "ReusedExchange" in physical_plan(pairs)
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Iterative CC localCheckpoints every round; superseded rounds'
+    blocks must be unpersisted as they're replaced, leaving exactly the
+    final result's checkpoint pinned (O(1) per call, not O(rounds))."""
+    from data_services_spark.operators.components import (
+        connected_components, connected_components_star)
+
+    # a 7-node chain forces multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = connected_components(edges)
+    assert out.count() == 8
+    mid = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert mid - before <= 1
+    out2 = connected_components_star(edges)
+    assert out2.count() == 8
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - mid <= 1
