@@ -184,3 +184,65 @@ def test_ingest_retry_of_committed_batch_is_noop(spark, tmp_path):
     after = {(r.id, r.name, r.n_merged)
              for r in read_merged_state(spark, str(state)).collect()}
     assert after == before
+
+
+def test_ingest_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental state is bucketed by id hash: a batch must rewrite
+    only the buckets its ids land in, leave every other bucket's files
+    byte-identical (not copied, not rewritten), and still equal the
+    from-scratch batch merge."""
+    import hashlib
+    import os
+
+    from data_services_spark.operators.merge import merge_nodes
+    from data_services_spark.streaming.ingest import (
+        _bucket_col, merge_upsert_batch, read_merged_state,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    state.mkdir()
+    ids = [f"X:{i}" for i in range(8)]
+    b0 = spark.createDataFrame([(i, f"n{i}", ["c"], 1) for i in ids], NODES)
+    merge_upsert_batch(spark, b0, str(state), batch_id=0, num_buckets=4)
+
+    bk = {r.id: r.b
+          for r in spark.createDataFrame([(i,) for i in ids], "id string")
+          .select("id", _bucket_col(4).alias("b")).collect()}
+    touched_id = ids[0]
+    tb = bk[touched_id]
+    untouched = sorted(set(bk.values()) - {tb})
+    assert untouched, "fixture needs ids spanning >=2 buckets"
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(state):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[p] = (os.path.getsize(p),
+                              hashlib.md5(fh.read()).hexdigest())
+        return out
+
+    before = snap()
+    b1 = spark.createDataFrame([(touched_id, None, ["d"], 2)], NODES)
+    merge_upsert_batch(spark, b1, str(state), batch_id=1, num_buckets=4)
+    after = snap()
+
+    untouched_files = [
+        p for p in before if "gen=0" in p
+        and any(f"__bucket={b}" in p for b in untouched)]
+    assert untouched_files
+    for p in untouched_files:
+        assert after[p] == before[p], f"untouched bucket file rewritten: {p}"
+
+    gen1 = sorted(d for d in os.listdir(state / "gen=1")
+                  if d.startswith("__bucket="))
+    assert gen1 == [f"__bucket={tb}"]
+
+    both = b0.unionByName(b1)
+    want = {r.id: (r.name, r.category, r.n_merged)
+            for r in merge_nodes(both).collect()}
+    got = {r.id: (r.name, r.category, r.n_merged)
+           for r in read_merged_state(spark, str(state)).collect()}
+    assert got == want
