@@ -313,3 +313,101 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
     return top.select(F.row_number().over(w).cast("long").alias("rank"),
                       F.col(id_col), F.col("cosine_sim"))
+
+
+def ivf_build_index(embeddings: DataFrame, index_dir: str,
+                    n_cells: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42,
+                    sample_fraction: float | None = None) -> dict:
+    """Materialize an IVF index: the corpus written PARTITIONED BY its
+    k-means cell id, plus a tiny ``centroids.json`` artifact (the trained
+    coarse quantizer + build params). Build once, probe many — the
+    100 TB contract:
+
+    - training reads a sample (`sample_fraction`), never the full corpus;
+    - the partitioned layout turns cell selection into DIRECTORY pruning:
+      a probe lists only `nprobe` of `n_cells` directories
+      (plan-asserted in tests/test_operators.py), i.e. it scans
+      ~nprobe/n_cells of the corpus before any row is read;
+    - centroids are a driver-side artifact (n_cells × dim floats), so
+      probes never re-fit — re-fitting per query was the round-2 weak
+      spot this replaces.
+    """
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"))
+    train = vecs if sample_fraction is None else \
+        vecs.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__fv",
+                   predictionCol="__cell").fit(train)
+    assigned = model.transform(vecs).select(id_col, vec_col, "__cell")
+    corpus_dir = os.path.join(index_dir, "corpus")
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(corpus_dir)
+
+    meta = {
+        "n_cells": n_cells, "seed": seed,
+        "id_col": id_col, "vec_col": vec_col,
+        "centroids": [[float(x) for x in c]
+                      for c in model.clusterCenters()],
+    }
+    # artifact lands atomically AFTER the corpus: a crash mid-build
+    # leaves no centroids.json, and the builder simply rebuilds
+    tmp = os.path.join(index_dir, "centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+    return meta
+
+
+def ivf_load_meta(index_dir: str) -> dict | None:
+    """The build artifact, or None if the index was never (fully) built."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, "centroids.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def ivf_probe_topk(spark, index_dir: str, query_vec: Sequence[float],
+                   k: int = 10, nprobe: int = 4,
+                   exclude_id: int | None = None) -> DataFrame:
+    """Probe a built IVF index: rank cells by centroid distance to the
+    query DRIVER-SIDE (n_cells × dim floats — metadata scale), then scan
+    only the `nprobe` nearest cells' partition directories. Same output
+    contract as :func:`knn_topk` (rank, id, cosine_sim)."""
+    import math
+    import os
+
+    meta = ivf_load_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no built IVF index in {index_dir}")
+    qv = [float(x) for x in query_vec]
+    probe_ids = sorted(
+        range(meta["n_cells"]),
+        key=lambda i: math.dist(meta["centroids"][i], qv))[:nprobe]
+
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    cand = corpus.filter(F.col("__cell").isin(probe_ids))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    # one JVM-side parse for the query literal (%.17g round-trips float64)
+    q_expr = F.expr("array({})".format(
+        ", ".join("CAST(%.17g AS DOUBLE)" % x for x in qv)))
+    scored = cand.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), q_expr).alias("cosine_sim"))
+    top = scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return top.select(F.row_number().over(w).cast("long").alias("rank"),
+                      F.col(id_col), F.col("cosine_sim"))

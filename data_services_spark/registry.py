@@ -1337,15 +1337,32 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_topk")  # trained k-means cells -> rows-only (recall in pytest)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 IVF ANN: k-means coarse quantizer (seeded, fitted once per
-    session via the registry plan cache — the memoized DataFrame pins the
-    trained centroids), probe the 4 nearest of 16 cells, exact cosine
-    within probed cells. Approximate by design -> rows-only driver check;
+    """L3 IVF ANN, build-once-probe-many: the first call trains the
+    k-means coarse quantizer and materializes the index (corpus
+    partitioned by cell id + centroids.json artifact, keyed by
+    (sf, n_cells, seed) under spark-warehouse/); every later call —
+    including every bench rep — loads the artifact and scans only the 4
+    probed cells' partition directories (directory pruning
+    plan-asserted in tests/test_operators.py). Approximate by design ->
+    rows-only driver check;
     tests/test_operators.py::test_ivf_topk_recall_vs_bruteforce asserts
     recall >= 0.9 vs brute force."""
-    from data_services_spark.operators.similarity import ivf_topk
+    import os
+
+    from data_services_spark.operators.similarity import (
+        _query_vector, ivf_build_index, ivf_load_meta, ivf_probe_topk,
+    )
+    n_cells, seed = 16, 42
+    index_dir = os.path.join(
+        "spark-warehouse",
+        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_c{n_cells}_s{seed}")
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e, query_id=0, k=10, n_cells=16, nprobe=4)
+    if ivf_load_meta(index_dir) is None:
+        ivf_build_index(e, index_dir, n_cells=n_cells, seed=seed)
+    qv = _query_vector(e, 0, "vec_id", "embedding")
+    return ivf_probe_topk(spark, index_dir, qv, k=10, nprobe=4,
+                          exclude_id=0)
 
 
 @register("knn_per_label", """
