@@ -24,6 +24,10 @@ from data_services_spark.operators.supplement import supplement
 from data_services_spark.operators.components import (
     connected_components, connected_components_star, dedup_clusters,
 )
+from data_services_spark.operators.sampling import (
+    deterministic_split, ngram_contamination, pack_by_token_budget,
+    vocab_top_k,
+)
 
 __all__ = [
     "merge_nodes", "merge_edges", "first_by_rank",
@@ -40,4 +44,6 @@ __all__ = [
     "supplement",
     "connected_components", "connected_components_star",
     "dedup_clusters",
+    "deterministic_split", "ngram_contamination", "pack_by_token_budget",
+    "vocab_top_k",
 ]

@@ -1,0 +1,145 @@
+"""Training-data pipeline operators: deterministic splits, vocabulary
+extraction, n-gram decontamination, and token-budget packing.
+
+These are the corpus-preparation steps between "deduplicated documents"
+and "training shards" in an LLM data pipeline. All four are pure JVM
+expressions (no Python boundary) and SQL-expressible, so each registry
+query carries an exact DuckDB oracle.
+
+Scale notes (100 TB posture):
+- splits are STATELESS per row (hash of the id) — no global sort, no
+  sampling pass, and stable under re-runs / retries / repartitioning;
+  the md5-derived uniform matches the portable hash family used by the
+  MinHash/SimHash oracles (operators/dedup.md5_long_hash);
+- vocabulary extraction is one explode + one groupBy shuffle with a
+  count aggregate; document-frequency bounds prune Zipf head and tail
+  BEFORE top-k so the final ordering sorts only the surviving vocab;
+- decontamination joins doc shingles to probe shingles on the shingle
+  HASH — the join key is a long, never the string; probe corpora
+  (benchmarks) are tiny, so Catalyst broadcasts them and the doc side
+  never shuffles;
+- packing assigns chunk ids from an exclusive prefix sum of token
+  counts over an explicit deterministic order; a document may straddle
+  a chunk boundary (contiguous budgeted chunking, the shard-building
+  variant) — exact greedy bin-packing is inherently sequential and
+  would need a stateful single pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from data_services_spark.operators.dedup import md5_long_hash, shingles
+from data_services_spark.operators.text import tokenize
+
+_SPLIT_BUCKETS = 1_000_000
+
+
+def split_uniform(id_col, seed: int = 0) -> F.Column:
+    """Deterministic uniform in [0, 1) from a row id: md5-derived 60-bit
+    hash reduced mod 1e6 (plenty of resolution for split fractions, and
+    exactly reproducible in DuckDB integer arithmetic — no float hash)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = md5_long_hash(c.cast("string"), seed)
+    return F.pmod(h, F.lit(_SPLIT_BUCKETS)) / F.lit(float(_SPLIT_BUCKETS))
+
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        splits: Sequence[tuple[str, float]] = (
+                            ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+                        seed: int = 0) -> DataFrame:
+    """Assign every row a split label by hashing its id — stable across
+    runs, cluster sizes, and row order, so train/test membership never
+    leaks when the corpus is rebuilt. `splits` are (label, fraction)
+    in priority order; fractions must sum to 1."""
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, not 1")
+    u = split_uniform(id_col, seed)
+    expr = None
+    cum = 0.0
+    for label, frac in splits[:-1]:
+        cum += frac
+        cond = u < F.lit(cum)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (F.lit(splits[-1][0]) if expr is None
+            else expr.otherwise(splits[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def vocab_top_k(docs: DataFrame, text_col: str = "text",
+                min_df: int = 2, max_df_frac: float = 0.5,
+                k: int = 100) -> DataFrame:
+    """Corpus vocabulary by document frequency, bounded: drop tokens in
+    fewer than `min_df` docs (noise/typos) or more than `max_df_frac` of
+    docs (stopwords), keep the top `k` by (df desc, token asc).
+
+    Returns (token, df) — the tokenizer-training / feature-hashing prep
+    step. One shuffle (groupBy token), then top-k over survivors only."""
+    n_docs = docs.select(F.count(F.lit(1))).first()[0]
+    max_df = int(n_docs * max_df_frac)
+    df_counts = (docs.select(F.explode(F.array_distinct(
+                     tokenize(text_col))).alias("token"))
+                 .groupBy("token")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    return (df_counts.orderBy(F.desc("df"), F.col("token")).limit(k))
+
+
+def ngram_contamination(docs: DataFrame, probes: DataFrame,
+                        doc_id: str = "doc_id", text_col: str = "text",
+                        probe_id: str = "probe_id", n: int = 3) -> DataFrame:
+    """Benchmark decontamination: for every document, the fraction of its
+    distinct word n-grams that appear ANYWHERE in the probe corpus
+    (benchmark/eval set). Returns (doc_id, n_ngrams, n_contaminated,
+    contamination) — filter on `contamination` to quarantine docs.
+
+    Join runs on the 60-bit shingle hash (long vs long, never strings);
+    the probe side is the tiny one and broadcasts."""
+    doc_grams = (docs.select(F.col(doc_id),
+                             F.explode(F.array_distinct(
+                                 shingles(text_col, n))).alias("g"))
+                 .select(doc_id, md5_long_hash(F.col("g"), 0).alias("gh")))
+    probe_grams = (probes.select(F.explode(F.array_distinct(
+                       shingles(text_col, n))).alias("g"))
+                   .select(md5_long_hash(F.col("g"), 0).alias("gh"))
+                   .distinct())
+    flagged = (doc_grams.join(F.broadcast(probe_grams), "gh", "left_semi")
+               .groupBy(doc_id)
+               .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    totals = doc_grams.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_ngrams"))
+    return (totals.join(flagged, doc_id, "left")
+            .na.fill({"n_contaminated": 0})
+            .select(doc_id, "n_ngrams", "n_contaminated",
+                    (F.col("n_contaminated") / F.col("n_ngrams"))
+                    .alias("contamination")))
+
+
+def pack_by_token_budget(docs: DataFrame, budget: int,
+                         doc_id: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Assign documents to fixed token-budget chunks (training-shard
+    construction): order deterministically by id, take the EXCLUSIVE
+    prefix sum of token counts, chunk = prefix_sum div budget. A doc may
+    straddle its chunk boundary (contiguous chunking — the variant used
+    when sequences are concatenated then re-split at budget boundaries);
+    exact greedy bin packing is sequential-stateful by nature.
+
+    Returns (doc_id, n_tokens, chunk_id). The global ordering window is
+    the scale constraint — at 100 TB you run this per shard-partition
+    (e.g. per source/date bucket), which is also what keeps shard
+    contents stable under corpus growth."""
+    w = Window.orderBy(doc_id).rowsBetween(
+        Window.unboundedPreceding, -1)
+    toks = docs.select(F.col(doc_id),
+                       F.size(tokenize(text_col)).cast("long")
+                       .alias("n_tokens"))
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return toks.select(doc_id, "n_tokens",
+                       prefix.cast("long").alias("__p")) \
+        .select(doc_id, "n_tokens",
+                F.expr(f"__p div {budget}").alias("chunk_id"))

@@ -2159,6 +2159,128 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: splits / vocab / decontamination / packing
+# ---------------------------------------------------------------------------
+
+
+@register("dataset_split", """
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 1000000 AS DOUBLE) / 1000000.0 AS u
+    FROM documents
+)
+""")
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: membership is a pure function
+    of the row id (portable md5-derived uniform), so it is stable across
+    runs, cluster sizes, and row order — rebuilding the corpus can never
+    leak eval rows into train. Stateless per row: no sampling pass, no
+    global sort, no shuffle at all."""
+    from data_services_spark.operators.sampling import deterministic_split
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(d, "doc_id")
+
+
+@register("vocab_topk", """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'))) AS token
+    FROM documents
+), dfs AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY token
+)
+SELECT token, df FROM dfs
+WHERE df >= 2 AND df <= (SELECT COUNT(*) // 2 FROM documents)
+ORDER BY df DESC, token LIMIT 100
+""")
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: document frequencies bounded by
+    min_df/max_df (Zipf head and tail pruned BEFORE the top-k sort) —
+    one explode + one groupBy shuffle, then top-k over survivors only."""
+    from data_services_spark.operators.sampling import vocab_top_k
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_top_k(d, min_df=2, max_df_frac=0.5, k=100)
+
+
+@register("contamination", f"""
+WITH toksn AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' ||
+                                         t[i+2]) END AS shl
+    FROM toksn
+), dg AS (
+    SELECT doc_id, {_sql_md5h(0, 'g')} AS gh
+    FROM (SELECT doc_id, unnest(list_distinct(shl)) AS g FROM sh)
+), pg AS (
+    SELECT DISTINCT gh FROM dg WHERE doc_id % 20 = 0
+), flagged AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+    FROM dg WHERE gh IN (SELECT gh FROM pg) GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM dg
+    GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_ngrams,
+       COALESCE(f.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(f.n_contaminated, 0) AS DOUBLE)
+       / CAST(t.n_ngrams AS DOUBLE) AS contamination
+FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+""")
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct word
+    3-grams appearing anywhere in a probe (benchmark) corpus — here a
+    deterministic 5% slice of documents standing in for the eval set, so
+    probe members score 1.0 and the oracle can reproduce the slice. The
+    join runs on the portable 60-bit shingle hash (long keys, broadcast
+    probe side), never on gram strings."""
+    from data_services_spark.operators.sampling import ngram_contamination
+    d = load_table(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 20 == 0)
+    out = ngram_contamination(d, probes, n=3)
+    return out.select("doc_id", "n_ngrams", "n_contaminated",
+                      F.col("contamination").cast("double")
+                      .alias("contamination"))
+
+
+@register("token_packing", """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), pre AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS p
+    FROM toks
+)
+SELECT doc_id, n_tokens, CAST(p // 512 AS BIGINT) AS chunk_id FROM pre
+""")
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard construction: contiguous token-budget chunking via
+    an exclusive prefix sum over a deterministic doc order (one window,
+    budget 512). A doc may straddle its boundary — the concat-then-split
+    sharding variant; exact greedy bin packing is inherently a stateful
+    sequential pass."""
+    from data_services_spark.operators.sampling import pack_by_token_budget
+    d = load_table(spark, sf_dir, "documents")
+    return pack_by_token_budget(d, budget=512)
+
+
+# ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------
 # The driver verifies a bounded PREFIX of queries() (observed: first 50), so

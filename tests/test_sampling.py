@@ -1,0 +1,75 @@
+"""Training-data pipeline operators: splits, vocab, decontamination,
+packing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_services_spark.operators.sampling import (
+    deterministic_split, ngram_contamination, pack_by_token_budget,
+    vocab_top_k,
+)
+
+
+def test_split_is_deterministic_and_proportional(spark):
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split
+         for r in deterministic_split(ids, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in deterministic_split(ids, "doc_id").collect()}
+    assert a == b  # membership is a pure function of the id
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.9) < 0.03
+    assert abs(c["val"] / 2000 - 0.05) < 0.02
+    assert abs(c["test"] / 2000 - 0.05) < 0.02
+    # a different seed must produce a different assignment
+    d = {r.doc_id: r.split
+         for r in deterministic_split(ids, "doc_id", seed=1).collect()}
+    assert d != a
+
+
+def test_split_rejects_bad_fractions(spark):
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        deterministic_split(ids, "doc_id",
+                            splits=(("a", 0.5), ("b", 0.6)))
+
+
+def test_vocab_top_k_bounds_df(spark):
+    d = spark.createDataFrame(
+        [(1, "common rare1 stop"), (2, "common stop"),
+         (3, "stop"), (4, "stop")],
+        "doc_id long, text string")
+    # stop appears in 4/4 docs (> 50% cap), rare1 in 1 (< min_df 2),
+    # common in exactly 2/4 (= the cap, kept)
+    got = {r.token: r.df for r in
+           vocab_top_k(d, min_df=2, max_df_frac=0.5, k=10).collect()}
+    assert got == {"common": 2}
+
+
+def test_ngram_contamination_flags_probe_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # shares 3-grams "a b c","b c d","c d e"
+         (2, "x y z w v"),        # disjoint from probe
+         (3, "a b c q r")],       # shares only "a b c"
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, "a b c d e")], "probe_id long, text string")
+    got = {r.doc_id: (r.n_ngrams, r.n_contaminated,
+                      round(r.contamination, 6))
+           for r in ngram_contamination(docs, probes,
+                                        probe_id="probe_id").collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (3, 1, round(1 / 3, 6))
+
+
+def test_pack_by_token_budget_prefix_chunks(spark):
+    d = spark.createDataFrame(
+        [(1, "t " * 300), (2, "t " * 300), (3, "t " * 300)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.chunk_id)
+           for r in pack_by_token_budget(d, budget=512).collect()}
+    # exclusive prefix sums: 0, 300, 600 -> chunks 0, 0, 1
+    assert got == {1: (300, 0), 2: (300, 0), 3: (300, 1)}
