@@ -1968,6 +1968,236 @@ def q22_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("c_acctbal", "totacctbal")))
 
 
+@register("q8_market_share", f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum_expr("CASE WHEN n2.n_name = 'NATION_3' THEN "
+                      "l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       / {sql_dsum_expr('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the nation dim joins in
+    TWO roles (supplier's and customer's), the share is a ratio of a
+    conditional dsum over the total dsum per year. Every dim broadcasts;
+    lineitem shuffles once for the year rollup."""
+    t = load_tables(spark, sf_dir, "part", "lineitem", "supplier",
+                    "orders", "customer", "nation", "region")
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("supp_nation"))
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_regionkey").alias("n1_rkey"))
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    p = t["part"].filter(F.col("p_type") == "ECONOMY")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share = F.when(F.col("supp_nation") == "NATION_3", vol) \
+        .otherwise(F.lit(0.0))
+    return (t["lineitem"]
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+            .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(t["customer"]),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg((dsum_expr(share) / dsum_expr(vol)).alias("mkt_share")))
+
+
+@register("q9_nation_profit", f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_DSUM_F('l_extendedprice * (1 - l_discount)'
+                ' - p_retailprice * l_quantity', 'sum_profit')}
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""")
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year —
+    substring LIKE filter on the part dim, profit as a computed money
+    expression (retailprice standing in for the absent supplycost
+    column), multi-dim broadcast + one rollup shuffle."""
+    t = load_tables(spark, sf_dir, "part", "lineitem", "supplier",
+                    "orders", "nation")
+    p = t["part"].filter(F.col("p_name").like("%red%"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity"))
+    return (t["lineitem"]
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(dmoney(profit, "sum_profit")))
+
+
+@register("q11_important_parts", f"""
+WITH pervalue AS (
+    SELECT l_partkey, {_DSUM_F('l_extendedprice', 'part_value')}
+    FROM lineitem GROUP BY l_partkey
+), total AS (
+    SELECT {sql_dsum_expr('l_extendedprice')}
+           / COUNT(DISTINCT l_partkey) * 1.4 AS t
+    FROM lineitem
+)
+SELECT l_partkey, part_value FROM pervalue, total WHERE part_value > t
+""")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: global-threshold scalar subquery — parts whose
+    value exceeds 1.4x the MEAN part value (scale-free, unlike Q11's
+    absolute fraction, so the result stays non-trivial at every sf;
+    lineitem stands in for the absent partsupp table). The threshold is
+    a 1-row broadcast; both sides accumulate with the exact dsum so the
+    > comparison is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pervalue = (l.groupBy("l_partkey")
+                .agg(dsum("l_extendedprice", "part_value")))
+    total = l.agg((dsum_expr(F.col("l_extendedprice"))
+                   / F.count_distinct(F.col("l_partkey"))
+                   * F.lit(1.4)).alias("t"))
+    return (pervalue.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value") > F.col("t"))
+            .select("l_partkey", "part_value"))
+
+
+@register("q13_order_histogram", """
+WITH per_cust AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join whose predicate lives IN the join condition (customers with no
+    qualifying orders must survive with count 0), then a second
+    aggregation over the first (histogram of counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+                       & (F.col("o_orderpriority") != "1-URGENT"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy(F.col("c_count").cast("long").alias("c_count"))
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@register("q15_top_supplier", f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           {_DSUM_F('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by windowed-year revenue — a scalar
+    MAX subquery over a derived aggregate, equality-joined back into the
+    same derived table (safe here because dsum totals are bit-identical
+    on both evaluations)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01")))
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(dmoney(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")), "total_revenue")))
+    maxrev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (revenue.crossJoin(F.broadcast(maxrev))
+            .filter(F.col("total_revenue") == F.col("m"))
+            .join(F.broadcast(s),
+                  F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("q16_supplier_variety", """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+  AND p_size IN (1, 5, 11, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier variety per part attribute — NOT IN
+    blacklist + IN list on the dim, COUNT(DISTINCT) over the fact side
+    (lineitem standing in for the absent partsupp bridge). Distinct
+    count plans as two-phase partial/final aggregation."""
+    p = (load_table(spark, sf_dir, "part")
+         .filter(~F.col("p_brand").isin("Brand#1", "Brand#2"))
+         .filter(F.col("p_size").isin(1, 5, 11, 15, 20, 25, 30, 35)))
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct(F.col("l_suppkey"))
+                 .alias("supplier_cnt")))
+
+
+@register("q21_blocked_suppliers", """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""")
+def q21_blocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame pattern — correlated EXISTS (some
+    OTHER supplier shares the order) AND NOT EXISTS (no other supplier
+    also flagged), i.e. a semi join and an anti join against the same
+    fact under different predicates (returnflag standing in for the
+    absent receipt/commit dates). Both correlated joins run on the
+    order key with a supplier inequality in the join condition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = li.filter(F.col("l_returnflag") == "R") \
+        .select(F.col("l_orderkey").alias("o3"),
+                F.col("l_suppkey").alias("s3"))
+    cand = (l1.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                    & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+            .join(l3, (F.col("l_orderkey") == F.col("o3"))
+                  & (F.col("l_suppkey") != F.col("s3")), "left_anti"))
+    return (cand.join(F.broadcast(s),
+                      F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 @register("cohort_retention", """
 WITH firsts AS (
     SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
