@@ -35,8 +35,9 @@ _CURRENT = "_CURRENT"
 _BUCKET = "__bucket"
 
 
-def _bucket_col(num_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(F.col("id")), F.lit(num_buckets)).cast("int")
+def _bucket_col(num_buckets: int, key_cols=("id",)) -> F.Column:
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]),
+                  F.lit(num_buckets)).cast("int")
 
 
 def _read_manifest(state_dir: str) -> dict | None:
@@ -95,13 +96,14 @@ def read_merged_state(spark: SparkSession, state_dir: str,
 
 
 def _to_stateful(batch: DataFrame, scalar_props, list_props,
-                 rank_col: str) -> DataFrame:
-    """Raw node rows -> stateful-merge shape: each scalar carries its own
-    winning rank (`p__rank` = rank where p was non-null). A single
-    carried rank per row would be WRONG: a scalar may have been resolved
-    from a lower-priority source because the top source had it null, and
-    a later batch from the top source must still be able to win it."""
-    cols = [F.col("id")]
+                 rank_col: str, key_cols=("id",)) -> DataFrame:
+    """Raw node/edge rows -> stateful-merge shape: each scalar carries
+    its own winning rank (`p__rank` = rank where p was non-null). A
+    single carried rank per row would be WRONG: a scalar may have been
+    resolved from a lower-priority source because the top source had it
+    null, and a later batch from the top source must still be able to
+    win it."""
+    cols = [F.col(k) for k in key_cols]
     for p in scalar_props:
         cols.append(F.col(p))
         cols.append(F.when(F.col(p).isNotNull(), F.col(rank_col))
@@ -112,7 +114,7 @@ def _to_stateful(batch: DataFrame, scalar_props, list_props,
 
 
 def _merge_stateful(df: DataFrame, scalar_props, list_props,
-                    extra_group_cols=()) -> DataFrame:
+                    extra_group_cols=(), key_cols=("id",)) -> DataFrame:
     aggs = []
     for p in scalar_props:
         aggs.append(F.min_by(F.col(p), F.col(f"{p}__rank")).alias(p))
@@ -121,10 +123,10 @@ def _merge_stateful(df: DataFrame, scalar_props, list_props,
         aggs.append(F.array_sort(F.array_distinct(
             F.flatten(F.collect_list(p)))).alias(p))
     aggs.append(F.sum("n_merged").alias("n_merged"))
-    # extra_group_cols are functions of id (the hash bucket), so grouping
-    # by (id, bucket) == grouping by id while keeping the column around
-    # for a partitioned write.
-    return df.groupBy("id", *extra_group_cols).agg(*aggs)
+    # extra_group_cols are functions of the key (the hash bucket), so
+    # grouping by (key, bucket) == grouping by key while keeping the
+    # column around for a partitioned write.
+    return df.groupBy(*key_cols, *extra_group_cols).agg(*aggs)
 
 
 def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
@@ -132,14 +134,17 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
                        scalar_props=("name",),
                        list_props=("category",),
                        rank_col: str = "source_rank",
-                       num_buckets: int = 16) -> None:
+                       num_buckets: int = 16,
+                       key_cols=("id",)) -> None:
     """foreachBatch body: merge `batch` into the committed state and
-    commit a new generation, rewriting ONLY the id-hash buckets the batch
-    touches. Idempotent per batch_id (re-running a failed batch overwrites
-    its own uncommitted generation). The per-scalar-rank state makes
-    incremental merge EXACTLY equal to a from-scratch batch merge in any
-    arrival order (asserted in tests/test_streaming.py, which also asserts
-    untouched bucket files survive a batch byte-identical)."""
+    commit a new generation, rewriting ONLY the key-hash buckets the
+    batch touches. Idempotent per batch_id (re-running a failed batch
+    overwrites its own uncommitted generation). The per-scalar-rank state
+    makes incremental merge EXACTLY equal to a from-scratch batch merge
+    in any arrival order (asserted in tests/test_streaming.py, which also
+    asserts untouched bucket files survive a batch byte-identical).
+    `key_cols` is the merge key — ("id",) for nodes, EDGE_KEY's four
+    columns for edges."""
     # foreachBatch is at-least-once: a crash between the _CURRENT swap and
     # the streaming checkpoint commit re-runs this batch_id on restart.
     # Without this guard the retry would read gen=<batch_id> and overwrite
@@ -158,8 +163,9 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
             f"stream delivered batch {batch_id}: the streaming checkpoint "
             "and merge state are out of sync (checkpoint reset against "
             "retained state?). Clear one or the other.")
-    incoming = _to_stateful(batch, scalar_props, list_props, rank_col) \
-        .withColumn(_BUCKET, _bucket_col(num_buckets))
+    incoming = _to_stateful(batch, scalar_props, list_props, rank_col,
+                            key_cols) \
+        .withColumn(_BUCKET, _bucket_col(num_buckets, key_cols))
     # Touched-bucket discovery is a metadata-scale job: at most
     # num_buckets ints reach the driver regardless of batch size.
     touched = sorted(r[0] for r in
@@ -170,17 +176,20 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
         # legacy unbucketed state: fold the whole old generation in once;
         # it rewrites fully this batch and is bucketed thereafter.
         state = _read_state(spark, state_dir)
-        incoming = state.withColumn(_BUCKET, _bucket_col(num_buckets)) \
+        incoming = state.withColumn(
+            _BUCKET, _bucket_col(num_buckets, key_cols)) \
             .unionByName(incoming)
         touched = None  # everything rewrites
     elif touched:
         state = _read_state(spark, state_dir, buckets=touched)
         if state is not None:
-            incoming = state.withColumn(_BUCKET, _bucket_col(num_buckets)) \
+            incoming = state.withColumn(
+                _BUCKET, _bucket_col(num_buckets, key_cols)) \
                 .unionByName(incoming)
     if touched is None or touched:
         merged = _merge_stateful(incoming, scalar_props, list_props,
-                                 extra_group_cols=(_BUCKET,))
+                                 extra_group_cols=(_BUCKET,),
+                                 key_cols=key_cols)
         gen_dir = os.path.join(state_dir, f"gen={batch_id}")
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(gen_dir)
         written = [d.split("=", 1)[1] for d in os.listdir(gen_dir)
@@ -200,13 +209,32 @@ def stream_merge_nodes(node_stream: DataFrame, state_dir: str,
                        list_props=("category",)):
     """Attach the incremental merge sink to a streaming node DataFrame;
     returns the StreamingQuery."""
+    return _stream_merge(node_stream, state_dir, checkpoint_dir,
+                         scalar_props, list_props, key_cols=("id",))
+
+
+def stream_merge_edges(edge_stream: DataFrame, state_dir: str,
+                       checkpoint_dir: str,
+                       scalar_props=(),
+                       list_props=("publications",
+                                   "aggregator_knowledge_sources")):
+    """A2's streaming twin: incremental edge merge on the four-column KGX
+    edge key (subject, predicate, object, primary_knowledge_source) —
+    same bucketed generational state, buckets hash the composite key."""
+    from data_services_spark.operators.merge import EDGE_KEY
+    return _stream_merge(edge_stream, state_dir, checkpoint_dir,
+                         scalar_props, list_props, key_cols=EDGE_KEY)
+
+
+def _stream_merge(stream: DataFrame, state_dir: str, checkpoint_dir: str,
+                  scalar_props, list_props, key_cols):
     os.makedirs(state_dir, exist_ok=True)
-    spark = node_stream.sparkSession
+    spark = stream.sparkSession
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         merge_upsert_batch(spark, batch, state_dir, batch_id,
-                           scalar_props, list_props)
+                           scalar_props, list_props, key_cols=key_cols)
 
-    return (node_stream.writeStream.foreachBatch(sink)
+    return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())

@@ -246,3 +246,46 @@ def test_ingest_rewrites_only_touched_buckets(spark, tmp_path):
     got = {r.id: (r.name, r.category, r.n_merged)
            for r in read_merged_state(spark, str(state)).collect()}
     assert got == want
+
+
+def test_stream_merge_edges_equals_batch_merge(spark, tmp_path):
+    """A2 streaming twin: incremental edge merge on the composite KGX
+    edge key == from-scratch batch merge_edges."""
+    from data_services_spark.operators.merge import merge_edges
+    from data_services_spark.streaming.ingest import (
+        read_merged_state, stream_merge_edges,
+    )
+
+    EDGES = ("subject string, predicate string, object string, "
+             "primary_knowledge_source string, publications array<string>, "
+             "aggregator_knowledge_sources array<string>, source_rank int")
+    rows1 = [("a", "rel", "b", "ks1", ["p1"], ["agg1"], 1),
+             ("a", "rel", "c", "ks1", ["p2"], [], 1)]
+    rows2 = [("a", "rel", "b", "ks1", ["p3"], ["agg2"], 2),
+             ("x", "rel", "y", "ks2", [], ["agg3"], 2)]
+    src = tmp_path / "edges_in"
+    src.mkdir()
+    spark.createDataFrame(rows1, EDGES).coalesce(1).write.parquet(
+        str(src / "b1"))
+    spark.createDataFrame(rows2, EDGES).coalesce(1).write.parquet(
+        str(src / "b2"))
+
+    stream = (spark.readStream.schema(EDGES)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*/"))
+    q = stream_merge_edges(stream, str(tmp_path / "estate"),
+                           str(tmp_path / "eckpt"))
+    q.awaitTermination()
+
+    key = lambda r: (r.subject, r.predicate, r.object,
+                     r.primary_knowledge_source)
+    got = {key(r): (r.publications, r.aggregator_knowledge_sources,
+                    r.n_merged)
+           for r in read_merged_state(
+               spark, str(tmp_path / "estate")).collect()}
+    both = spark.createDataFrame(rows1 + rows2, EDGES)
+    want = {key(r): (r.publications, r.aggregator_knowledge_sources,
+                     r.n_merged)
+            for r in merge_edges(both).collect()}
+    assert got == want
+    assert got[("a", "rel", "b", "ks1")] == (["p1", "p3"],
+                                             ["agg1", "agg2"], 2)
