@@ -1,0 +1,162 @@
+"""Property-based invariants (hypothesis) for the numeric, iterative, and
+sampling kernels: Python references + partitioning/order invariance —
+the distributed-determinism claims SCALE.md leans on, checked on random
+inputs rather than fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from data_services_spark.functions.numeric import dsum
+
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=list(HealthCheck))
+
+
+def _dsum_reference(xs: list[float]) -> float:
+    """The documented dsum contract, in plain Python integer math."""
+    ip = sum(math.floor(x) for x in xs)
+    fp = sum(math.floor((x - math.floor(x)) * 1_000_000 + 0.5) for x in xs)
+    return float(ip) + float(fp) / 1_000_000.0
+
+
+money = st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False)
+
+
+@settings(**_SETTINGS)
+@given(xs=st.lists(money, min_size=1, max_size=40),
+       parts=st.integers(min_value=1, max_value=7))
+def test_dsum_partitioning_and_order_invariant(spark, xs, parts):
+    """dsum == the integer-math reference, bit-for-bit, under any
+    partition count and any row order (the property plain SUM(double)
+    lacks, and the reason every oracle hash comparison is sound)."""
+    want = _dsum_reference(xs)
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    got = df.repartition(parts).agg(dsum("v", "s")).first().s
+    rev = (spark.createDataFrame([(x,) for x in reversed(xs)], "v double")
+           .repartition(max(1, parts - 1)).agg(dsum("v", "s")).first().s)
+    assert got == want and rev == want  # exact equality, not approx
+
+
+def _components_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1, max_size=20)
+
+
+@settings(**_SETTINGS)
+@given(edges=edge_lists)
+def test_connected_components_match_union_find(spark, edges):
+    """Both CC variants equal a sequential union-find on random graphs
+    (self-loops and duplicate edges included)."""
+    from data_services_spark.operators.components import (
+        connected_components, connected_components_star)
+
+    want = _components_reference(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == want
+    # star variant drops self-loops; isolated self-loop-only nodes keep
+    # themselves as component in the reference
+    star = {r.node: r.component
+            for r in connected_components_star(df).collect()}
+    for n, c in star.items():
+        assert want[n] == c
+    for n in set(want) - set(star):
+        assert want[n] == n  # only self-loop-isolated nodes may be absent
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=30, unique=True),
+       parts=st.integers(min_value=1, max_value=5))
+def test_split_partition_invariant(spark, ids, parts):
+    """Split membership is a pure function of the id: repartitioning and
+    reordering can never move a row between train/val/test."""
+    from data_services_spark.operators.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = {r.doc_id: r.split
+         for r in deterministic_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in deterministic_split(
+             df.repartition(parts).sort(F.desc("doc_id")),
+             "doc_id").collect()}
+    assert a == b
+
+
+def _asof_reference(left, right):
+    out = {}
+    for uid, lts, pid in left:
+        best = None
+        for ruid, rts, sid in right:
+            if ruid == uid and rts <= lts:
+                if best is None or rts > best[0]:
+                    best = (rts, sid)
+        out[pid] = best[1] if best else None
+    return out
+
+
+ts_int = st.integers(min_value=0, max_value=50)
+
+
+@settings(**_SETTINGS)
+@given(left=st.lists(st.tuples(st.integers(0, 3), ts_int),
+                     min_size=1, max_size=12),
+       right=st.lists(st.tuples(st.integers(0, 3), ts_int),
+                      min_size=0, max_size=12))
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == the quadratic per-row reference on random data.
+    Ties inside the right side are broken identically by payload max
+    (the reference keeps the max sid at equal ts, matching the join's
+    deterministic last-row-per-ts choice only when payloads are unique
+    per (user, ts) — so generate them unique)."""
+    import datetime as dt
+
+    from data_services_spark.operators import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(u, base + dt.timedelta(minutes=t), f"p{i}")
+             for i, (u, t) in enumerate(left)]
+    seen = set()
+    rrows = []
+    for i, (u, t) in enumerate(right):
+        if (u, t) in seen:  # one right row per (user, ts): unique match
+            continue
+        seen.add((u, t))
+        rrows.append((u, base + dt.timedelta(minutes=t), f"s{i}"))
+    ldf = spark.createDataFrame(lrows, "user_id long, ts timestamp, pid string")
+    rdf = spark.createDataFrame(
+        rrows or [(99, base, "sx")],
+        "user_id long, ts timestamp, sid string")
+    got = {r.pid: r.sid_right
+           for r in asof_join(ldf, rdf, on=["user_id"], left_ts="ts",
+                              right_ts="ts",
+                              right_payload=["sid"]).collect()}
+    want = _asof_reference(
+        [(u, ts, p) for u, ts, p in lrows],
+        [(u, ts, s) for u, ts, s in (rrows or [(99, base, "sx")])])
+    assert got == want
