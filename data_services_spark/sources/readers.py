@@ -44,19 +44,32 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
-              num_partitions: int = 8, **properties: str) -> DataFrame:
+              num_partitions: int = 8, quote: str = '"',
+              **properties: str) -> DataFrame:
     """RDBMS scan (S6: PHAROS MySQL / DrugCentral Postgres in the
-    reference). Partitioned reads when a numeric partition column exists."""
+    reference). Partitioned reads when a numeric partition column exists
+    (the bounds probe is one 1-row query; the scan then splits into
+    num_partitions range predicates the database serves concurrently).
+
+    ``quote`` is the identifier quote for the bounds probe — ANSI double
+    quote by default (Derby/Postgres; MySQL wants a backtick). Spark
+    writes lowercase quoted identifiers, so the probe must quote them
+    too or case-folding databases won't resolve the column. End-to-end
+    tested against embedded Derby (tests/test_sources.py)."""
     reader = (spark.read.format("jdbc")
               .option("url", url).option("dbtable", table))
     for k, v in properties.items():
         reader = reader.option(k, v)
     if partition_column:
-        bounds = (spark.read.format("jdbc").option("url", url)
-                  .option("query",
-                          f"SELECT MIN({partition_column}) lo, "
-                          f"MAX({partition_column}) hi FROM {table}")
-                  .load().head())
+        q = quote
+        probe = (spark.read.format("jdbc").option("url", url)
+                 .option("query",
+                         f'SELECT MIN({q}{partition_column}{q}) AS {q}lo{q},'
+                         f' MAX({q}{partition_column}{q}) AS {q}hi{q}'
+                         f' FROM {table}'))
+        for k, v in properties.items():
+            probe = probe.option(k, v)
+        bounds = probe.load().head()
         reader = (reader.option("partitionColumn", partition_column)
                   .option("lowerBound", bounds["lo"])
                   .option("upperBound", bounds["hi"])
