@@ -19,11 +19,26 @@ from pyspark.sql import Column, DataFrame, Window
 def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
               right_payload: Sequence[str],
-              suffix: str = "_right") -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` within the same `on` key (inclusive, like DuckDB
-    ASOF JOIN). Left rows with no prior right row keep nulls.
+              suffix: str = "_right",
+              direction: str = "backward",
+              tolerance_seconds: float | None = None) -> DataFrame:
+    """For each left row, attach the nearest right row within the same
+    `on` key (inclusive at equal timestamps, like DuckDB ASOF JOIN and
+    pandas merge_asof):
+
+    - ``direction="backward"`` (default): latest right with rt <= lt;
+    - ``direction="forward"``: earliest right with rt >= lt;
+    - ``direction="nearest"``: the closer of the two, ties -> backward.
+
+    ``tolerance_seconds`` nulls the match when |lt - rt| exceeds it.
+    Left rows with no qualifying right row keep nulls.
+
+    Physical shape: still the union trick — one shuffle on the key, a
+    forward pass adds one extra Sort under the same Exchange (descending
+    traversal), never a quadratic join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     on = list(on)
     lcols = [c for c in left.columns]
     payload_out = [f"{c}{suffix}" for c in right_payload]
@@ -35,6 +50,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.col(c) for c in lcols if c not in on],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
           for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rt"),
     )
     r_tagged = right.select(
         *on,
@@ -43,20 +59,66 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in on],
         *[F.col(c).alias(f"{c}{suffix}") for c in right_payload],
+        F.col(right_ts).alias("__rt"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # Right rows sort before left rows at equal timestamps => inclusive asof.
-    w = (Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__is_left"))
-         .rowsBetween(Window.unboundedPreceding, 0))
-    filled = unioned.select(
-        *unioned.columns,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(f"__f_{c}")
-          for c in payload_out],
-    )
-    return (filled.filter(F.col("__is_left") == 1)
-            .select(*on, F.col("__t").alias(left_ts),
-                    *[c for c in lcols if c not in on and c != left_ts],
-                    *[F.col(f"__f_{c}").alias(c) for c in payload_out]))
+    carried = [*payload_out, "__rt"]
+    # Right rows sort before left rows at equal timestamps => inclusive.
+    wb = (Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__is_left"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    # Descending traversal: rights already seen all have rt >= lt, the
+    # last non-null carried is the SMALLEST such rt — nearest forward.
+    wf = (Window.partitionBy(*on)
+          .orderBy(F.col("__t").desc(), F.col("__is_left"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [F.last(F.col(c), ignorenulls=True).over(wb)
+                  .alias(f"__b_{c}") for c in carried]
+    if direction in ("forward", "nearest"):
+        fills += [F.last(F.col(c), ignorenulls=True).over(wf)
+                  .alias(f"__f_{c}") for c in carried]
+    filled = unioned.select(*unioned.columns, *fills) \
+        .filter(F.col("__is_left") == 1)
+
+    lt_us = F.unix_micros(F.col("__t"))
+    tol_us = (None if tolerance_seconds is None
+              else F.lit(int(tolerance_seconds * 1_000_000)))
+
+    def ok(side: str) -> F.Column:
+        rt = F.col(f"__{side}_{'__rt'}")
+        valid = rt.isNotNull()
+        if tol_us is not None:
+            gap = (lt_us - F.unix_micros(rt)) if side == "b" \
+                else (F.unix_micros(rt) - lt_us)
+            valid = valid & (gap <= tol_us)
+        return valid
+
+    if direction == "backward":
+        use_b, use_f = ok("b"), F.lit(False)
+    elif direction == "forward":
+        use_b, use_f = F.lit(False), ok("f")
+    else:
+        b_ok, f_ok = ok("b"), ok("f")
+        closer_b = ((lt_us - F.unix_micros(F.col("__b___rt")))
+                    <= (F.unix_micros(F.col("__f___rt")) - lt_us))
+        use_b = b_ok & (~f_ok | closer_b)
+        use_f = f_ok & ~use_b
+
+    def pick(c: str) -> F.Column:
+        out = F.lit(None).cast(right.schema[
+            right_payload[payload_out.index(c)]].dataType)
+        if direction in ("forward", "nearest"):
+            out = F.when(use_f, F.col(f"__f_{c}")).otherwise(out)
+        if direction in ("backward", "nearest"):
+            out = F.when(use_b, F.col(f"__b_{c}")).otherwise(out)
+        return out.alias(c)
+
+    return filled.select(
+        *on, F.col("__t").alias(left_ts),
+        *[c for c in lcols if c not in on and c != left_ts],
+        *[pick(c) for c in payload_out])
 
 
 def range_join(left: DataFrame, right: DataFrame, on: Sequence[str],

@@ -402,6 +402,85 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_ms("ts") - _ms("ts_right")).alias("gap_ms"))
 
 
+@register("join_asof_forward", """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     s0 AS (SELECT * FROM events WHERE event_type = 'signup'),
+     s AS (SELECT user_id, ts, MIN(event_id) AS event_id FROM s0
+           GROUP BY user_id, ts)
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT s.event_id FROM s
+        WHERE s.user_id = p.user_id AND s.ts >= p.ts
+          AND epoch_ms(s.ts) - epoch_ms(p.ts) <= 86400000
+        ORDER BY s.ts LIMIT 1) AS next_signup_id
+FROM p
+""")
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 forward direction with tolerance: each purchase matched to the
+    user's EARLIEST signup at-or-after it, but only within 24 h — the
+    pandas merge_asof(direction='forward', tolerance=...) contract. Same
+    union-trick plan (one shuffle; the descending traversal adds one
+    Sort under the same Exchange). The right side dedups to one row per
+    (user, ts) so tie-breaks are engine-independent; the oracle is a
+    correlated ORDER BY/LIMIT subquery (fine at oracle scale, quadratic
+    at cluster scale — the union trick is the point)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase") \
+         .select("user_id", "ts", "event_id")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id", "ts").agg(F.min("event_id").alias("event_id")))
+    res = asof_join(p, s, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["event_id"], direction="forward",
+                    tolerance_seconds=86400)
+    return res.select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("event_id_right").alias("next_signup_id"))
+
+
+@register("join_asof_nearest", """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     s0 AS (SELECT * FROM events WHERE event_type = 'signup'),
+     s AS (SELECT user_id, ts, MIN(event_id) AS event_id FROM s0
+           GROUP BY user_id, ts),
+     m AS (
+       SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+              (SELECT MAX(s.ts) FROM s
+               WHERE s.user_id = p.user_id AND s.ts <= p.ts) AS prev_ts,
+              (SELECT MIN(s.ts) FROM s
+               WHERE s.user_id = p.user_id AND s.ts >= p.ts) AS next_ts
+       FROM p
+     ),
+     c AS (
+       SELECT purchase_id, user_id, ts,
+              CASE WHEN prev_ts IS NULL THEN next_ts
+                   WHEN next_ts IS NULL THEN prev_ts
+                   WHEN epoch_ms(ts) - epoch_ms(prev_ts)
+                        <= epoch_ms(next_ts) - epoch_ms(ts) THEN prev_ts
+                   ELSE next_ts END AS chosen_ts
+       FROM m
+     )
+SELECT purchase_id, user_id,
+       (SELECT s.event_id FROM s
+        WHERE s.user_id = c.user_id AND s.ts = c.chosen_ts)
+           AS nearest_signup_id,
+       CAST(epoch_ms(ts) - epoch_ms(chosen_ts) AS BIGINT) AS signed_gap_ms
+FROM c
+""")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 nearest direction: the closer of the prior and next signup,
+    ties to backward (pandas merge_asof(direction='nearest')). One
+    Exchange, two Sorts (ascending + descending traversals of the same
+    union). Negative signed_gap_ms = matched forward."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase") \
+         .select("user_id", "ts", "event_id")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id", "ts").agg(F.min("event_id").alias("event_id")))
+    res = asof_join(p, s, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_payload=["event_id", "ts"], direction="nearest")
+    return res.select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("event_id_right").alias("nearest_signup_id"),
+                      (_ms("ts") - _ms("ts_right")).alias("signed_gap_ms"))
+
+
 @register("agg_stats", f"""
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,

@@ -446,3 +446,48 @@ def test_ivf_index_probe_prunes_partitions_and_recalls(spark, tmp_path):
     got_filtered = [v for v in got if v in set(want)]
     want_filtered = [v for v in want if v in set(got)]
     assert got_filtered == want_filtered
+
+
+def test_asof_directions_and_tolerance(spark):
+    """forward takes the earliest at-or-after match, nearest takes the
+    closer side with ties to backward, and tolerance nulls matches
+    outside the band — pandas merge_asof semantics."""
+    from data_services_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(30), "p2"), (2, _ts(5), "p3")],
+        "user_id long, ts timestamp, pid string")
+    right = spark.createDataFrame(
+        [(1, _ts(8), "s_early"), (1, _ts(11), "s_late"),
+         (1, _ts(50), "s_far")],
+        "user_id long, ts timestamp, sid string")
+
+    fwd = {r.pid: r.sid_right for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["sid"], direction="forward").collect()}
+    assert fwd == {"p1": "s_late", "p2": "s_far", "p3": None}
+
+    fwd_tol = {r.pid: r.sid_right for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["sid"], direction="forward",
+        tolerance_seconds=5 * 60).collect()}
+    assert fwd_tol == {"p1": "s_late", "p2": None, "p3": None}
+
+    near = {r.pid: r.sid_right for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["sid"], direction="nearest").collect()}
+    # p1@10: prev 8 (gap 2) vs next 11 (gap 1) -> forward s_late
+    # p2@30: prev 11 (gap 19) vs next 50 (gap 20) -> backward s_late
+    assert near == {"p1": "s_late", "p2": "s_late", "p3": None}
+
+    back_tol = {r.pid: r.sid_right for r in asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["sid"], tolerance_seconds=60).collect()}
+    # p2@30: prior s_late@11 is 19 min away > 1 min tolerance
+    assert back_tol == {"p1": None, "p2": None, "p3": None}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on=["user_id"], left_ts="ts",
+                  right_ts="ts", right_payload=["sid"],
+                  direction="sideways")
