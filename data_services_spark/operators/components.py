@@ -179,3 +179,26 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame,
             .select(F.col(id_col),
                     F.coalesce("component", F.col(id_col))
                     .alias("cluster_id")))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph — 1-row (n_triangles).
+
+    Canonicalizes to a < b and counts each triangle once via the ordered
+    two-path + closing-edge join (a < b < c). Scale shape: two shuffled
+    equi joins on vertex ids; the ordering constraint halves the edge
+    list and kills duplicate counting without a post-hoc division. Skew
+    note: hub vertices blow up the two-path join — at 100 TB degree-cap
+    or sample hubs first (the standard Cohen-style mitigation), or
+    orient edges low-degree -> high-degree instead of by id."""
+    a, b = F.col(src), F.col(dst)
+    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .filter(F.col("a") < F.col("b")).distinct())
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    paths = e1.join(e2, F.col("y") == F.col("y2"))  # x < y < z
+    closing = e.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
+    tri = paths.join(closing, (F.col("x") == F.col("x2"))
+                     & (F.col("z") == F.col("z2")))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -2467,6 +2467,36 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL tokenize_tf(d.text) t""")
 
 
+@register("triangle_count", """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e1.b = e2.a
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+""")
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG analytics: exact triangle count of the part co-occurrence
+    graph (parts sharing an order). Ordered two-path + closing-edge
+    joins count each triangle once — two shuffled equi joins, no
+    post-hoc division; see operators/components.py::triangle_count for
+    the hub-vertex skew mitigation at scale."""
+    from data_services_spark.operators.components import triangle_count
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "ok")
+             .filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .distinct())
+    return triangle_count(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: splits / vocab / decontamination / packing
 # ---------------------------------------------------------------------------

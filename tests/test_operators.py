@@ -491,3 +491,39 @@ def test_asof_directions_and_tolerance(spark):
         asof_join(left, right, on=["user_id"], left_ts="ts",
                   right_ts="ts", right_payload=["sid"],
                   direction="sideways")
+
+
+def test_triangle_count_tiny_graph(spark):
+    from data_services_spark.operators.components import triangle_count
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5), (5, 1), (2, 1)],
+        "src long, dst long")
+    # {1,2,3}, {3,4,5}, {1,3,5}; duplicate/reversed edges collapse
+    assert triangle_count(e).first().n_triangles == 3
+    none = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(none).first().n_triangles == 0
+
+
+def test_null_inputs_do_not_crash_or_conflate(spark):
+    """Null text must not crash the dedup family nor conflate with empty
+    string; null list props and null scalars must not break merge."""
+    from data_services_spark.operators import (
+        exact_text_dedup, merge_nodes, minhash_lsh_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world")], "doc_id long, text string")
+    groups = {r.keep_id: r.content_hash for r in exact_text_dedup(d).collect()}
+    assert set(groups) == {1, 2, 3}
+    assert groups[1] is None            # null text -> its own null group
+    assert groups[2] is not None        # empty string hashes normally
+    assert minhash_lsh_pairs(d, num_hashes=8, bands=4).count() == 0
+
+    n = spark.createDataFrame(
+        [("X:1", "a", None, 1), ("X:1", None, ["c"], 2)],
+        "id string, name string, category array<string>, source_rank int")
+    out = merge_nodes(n).collect()[0]
+    # null list rows are skipped by the union, null scalars lose to the
+    # lower-rank non-null value
+    assert (out.name, out.category, out.n_merged) == ("a", ["c"], 2)
