@@ -132,7 +132,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lineitem=l)
 
 
-@register("q3_shipping_priority", f"""
+_Q3_SQL = f"""
 SELECT l_orderkey,
        {_DSUM_F('l_extendedprice * (1 - l_discount)', 'revenue')},
        o_orderdate, o_orderpriority
@@ -143,23 +143,25 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
-""")
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
-    Catalyst broadcast-joins the filtered customer side (J5+A8+O2)."""
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-06-01"))
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01"))
-    return (c.join(o, c.c_custkey == o.o_custkey)
-            .join(l, o.o_orderkey == l.l_orderkey)
-            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(dmoney(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                        "revenue"))
-            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-            .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+    Catalyst broadcast-joins the filtered customer side (J5+A8+O2).
+
+    Like q1: executes the IDENTICAL pure-ANSI SQL text the oracle
+    checks, one spark.sql() parse with tables as template args — same
+    Catalyst plan as the Column form, ~0.1s less py4j per submission."""
+    sql = (_Q3_SQL
+           .replace("FROM customer", "FROM {customer}")
+           .replace("JOIN orders", "JOIN {orders}")
+           .replace("JOIN lineitem", "JOIN {lineitem}"))
+    return spark.sql(sql,
+                     customer=load_table(spark, sf_dir, "customer"),
+                     orders=load_table(spark, sf_dir, "orders"),
+                     lineitem=load_table(spark, sf_dir, "lineitem"))
 
 
 @register("q5_region_revenue", f"""
