@@ -2279,6 +2279,125 @@ def q21_blocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numwait")))
 
 
+@register("q2_min_cost_supplier", """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), cand AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey
+            JOIN part ON ps.l_partkey = part.p_partkey
+    WHERE p_size <= 15 AND p_type = 'MEDIUM'
+), best AS (
+    SELECT p_partkey AS bk, MIN(supply_cost) AS min_cost
+    FROM cand GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, min_cost
+FROM cand JOIN best ON p_partkey = bk AND supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier — the correlated scalar
+    subquery (min supply cost per part within a region) decorrelated
+    into an aggregate + self-join-back, the standard Catalyst rewrite.
+    lineitem stands in for the absent partsupp table: supply cost per
+    (part, supplier) is its minimum observed unit price, an exact MIN
+    (no float-sum order dependence). All three dims broadcast; the only
+    shuffles are the two part-keyed aggregations, and the part filter is
+    applied BEFORE the per-part min so the decorrelated aggregate runs
+    over ~2% of pairs (legal because the subquery is correlated on the
+    very key the filter prunes). LIMIT rides a total order (s_acctbal
+    desc, then unique (n_name, s_name, p_partkey)) so the top-100 is
+    engine-independent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ps = (l.groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+               .alias("supply_cost")))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = load_table(spark, sf_dir, "part") \
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "MEDIUM")) \
+        .select("p_partkey", "p_type")
+    cand = (ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                    "supply_cost"))
+    best = (cand.groupBy(F.col("p_partkey").alias("bk"))
+            .agg(F.min("supply_cost").alias("min_cost")))
+    return (cand.join(best, (F.col("p_partkey") == F.col("bk"))
+                      & (F.col("supply_cost") == F.col("min_cost")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                    "min_cost")
+            .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+            .limit(100))
+
+
+@register("q20_excess_stock", f"""
+WITH pair AS (
+    SELECT l_partkey, l_suppkey,
+           {sql_dsum('l_quantity', 'avail_qty')},
+           {sql_dsum("CASE WHEN EXTRACT(year FROM l_shipdate) = 2000 "
+                     "THEN l_quantity ELSE 0.0 END", 'recent_qty')}
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM pair
+                    WHERE avail_qty > 4 * recent_qty)
+ORDER BY s_name
+""")
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: excess-stock suppliers — a chain of semi joins
+    feeding a HAVING-style comparison between two aggregates of the same
+    group. partsupp's availqty stands in as each (part, supplier) pair's
+    LIFETIME shipped quantity, compared against 4x its year-2000
+    quantity (pairs whose recent year is under a quarter of lifetime =
+    overstocked). Both sums are exact quantized dsums, so the `>` is
+    bit-deterministic vs the oracle. The part-name filter semi-joins
+    (broadcast) BEFORE the pair aggregation — at 100 TB that prunes the
+    shuffle to the ~1/6 of lineitem rows naming 'small%' parts; the
+    qualifying supplier-key set is tiny and broadcast-semi-joins into
+    the dim-side supplier⋈nation⋈region. s_name is unique, so ORDER BY
+    s_name is total."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part") \
+        .filter(F.col("p_name").startswith("small")).select("p_partkey")
+    recent = F.when(F.year("l_shipdate") == 2000,
+                    F.col("l_quantity")).otherwise(0.0)
+    pair = (l.join(F.broadcast(p),
+                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(dsum("l_quantity", "avail_qty"),
+                 dsum(recent, "recent_qty")))
+    excess = (pair.filter(F.col("avail_qty") > 4 * F.col("recent_qty"))
+              .select("l_suppkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"),
+                   "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
 @register("cohort_retention", """
 WITH firsts AS (
     SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
