@@ -102,6 +102,72 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Default redaction patterns: the classic PII trio. Kept RE2-compatible
+# (no lookarounds, no backrefs) so the identical pattern string runs in
+# Spark's Java regex engine AND DuckDB's RE2 oracle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def redact(docs: DataFrame, patterns: dict[str, str] | None = None,
+           text_col: str = "text", token: str = "[REDACTED]") -> DataFrame:
+    """Regex redaction (PII scrub / denylist masking) for training corpora.
+
+    For each named pattern, counts matches (`n_<name>`) and rewrites every
+    occurrence to `token`; patterns apply in dict order, so an earlier
+    pattern's token is not re-matched by a later one. Pure per-row
+    expressions — embarrassingly parallel, no shuffle, stays inside
+    whole-stage codegen at any scale. Patterns must stay in the
+    RE2-compatible subset (see PII_PATTERNS) for oracle parity.
+
+    Returns (doc_id, n_<name>..., n_redacted, text_redacted).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, pat in pats.items()
+    }
+    clean = c
+    for pat in pats.values():
+        clean = F.regexp_replace(clean, pat, token)
+    total = None
+    for cnt in counts.values():
+        total = cnt if total is None else total + cnt
+    return docs.select(
+        "doc_id",
+        *[cnt.alias(f"n_{name}") for name, cnt in counts.items()],
+        total.alias("n_redacted"),
+        clean.alias("text_redacted"),
+    )
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text",
+                     n: int = 2) -> DataFrame:
+    """Repetition-based quality signal: the fraction of a document's word
+    n-grams that are duplicates of an earlier n-gram in the same document
+    (`1 - distinct/total`). High values flag boilerplate / spam / looping
+    generator output — a standard pre-training quality filter. Pure
+    per-row array expressions (no explode, no shuffle): the gram list,
+    its distinct count, and one double division.
+
+    Returns (doc_id, n_grams, n_distinct, dup_frac).
+    """
+    from data_services_spark.operators.dedup import shingles
+    grams = shingles(text_col, n)
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        (F.lit(1.0) - n_distinct / n_grams).alias("dup_frac"),
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count per-language marker-token hits; argmax
     with ties going to the alphabetically-first language code (a CASE

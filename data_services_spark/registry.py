@@ -1576,6 +1576,71 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", regex_token_count("text").alias("n_tokens"))
 
 
+# Registry redaction config: the two classic PII shapes (absent from the
+# synthetic corpus — they prove the count/replace plumbing end-to-end at
+# zero) plus a denylist that DOES fire on this corpus, so the rewritten
+# text column is value-checked against the oracle on real replacements.
+_REDACT_PATS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "deny": r"\b(customer|value|vector)\b",
+}
+
+
+def _redact_sql() -> str:
+    rep = "text"
+    for p in _REDACT_PATS.values():
+        rep = f"regexp_replace({rep}, '{p}', '[REDACTED]', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+        for name, p in _REDACT_PATS.items())
+    total = " + ".join(f"len(regexp_extract_all(text, '{p}'))"
+                       for p in _REDACT_PATS.values())
+    return (f"SELECT doc_id,\n       {counts},\n"
+            f"       CAST({total} AS BIGINT) AS n_redacted,\n"
+            f"       {rep} AS text_redacted\nFROM documents")
+
+
+@register("text_redact", _redact_sql())
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 cleanup: regex redaction (PII scrub + denylist masking). Every
+    pattern string is RE2-compatible so Spark's Java regex and DuckDB's
+    RE2 see the identical language; the oracle value-checks both the
+    per-pattern match counts and the rewritten text."""
+    from data_services_spark.operators.text import redact
+    d = load_table(spark, sf_dir, "documents")
+    return redact(d, _REDACT_PATS)
+
+
+@register("text_repetition", """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) <= 1 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+           END AS grams
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+           AS dup_frac
+FROM g
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 quality: duplicate word-bigram fraction per document — the
+    boilerplate/loop-output repetition filter. Pure per-row array
+    expressions; the oracle rebuilds the same bigram list with DuckDB
+    list_transform and matches the double division exactly."""
+    from data_services_spark.operators.text import repetition_score
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_score(d)
+
+
 @register("multimodal_meta", """
 SELECT doc_id, 'text/plain' AS mime,
        CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes

@@ -1,0 +1,62 @@
+"""Text-cleanup operators: regex redaction and repetition scoring
+(operators/text.py). The synthetic corpus contains no PII, so the PII
+patterns are exercised here on crafted strings; the registry query
+`text_redact` value-checks the denylist path against DuckDB."""
+
+from __future__ import annotations
+
+from data_services_spark.operators.text import (
+    PII_PATTERNS, redact, repetition_score,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_redact_masks_all_three_pii_shapes(spark):
+    d = _docs(spark, [
+        "mail me at jane.doe+x@example.co.uk or root@10.0.0.1 host",
+        "call 555-867-5309 twice: 555 867 5309 and 555.867.5309",
+        "server 192.168.0.255 and 8.8.8.8 are up",
+        "nothing sensitive here",
+    ])
+    rows = {r.doc_id: r for r in redact(d, PII_PATTERNS).collect()}
+    assert rows[0].n_email == 1
+    # root@10.0.0.1 matches the email pattern's domain grammar? no TLD
+    # letters after the final dot -> not an email; the bare IP inside it
+    # still matches ipv4.
+    assert rows[0].n_ipv4 == 1
+    assert "jane.doe" not in rows[0].text_redacted
+    assert rows[1].n_phone == 3
+    assert "5309" not in rows[1].text_redacted
+    assert rows[2].n_ipv4 == 2
+    assert "192.168" not in rows[2].text_redacted
+    assert rows[3].n_redacted == 0
+    assert rows[3].text_redacted == "nothing sensitive here"
+    # every masked site carries the token
+    assert rows[1].text_redacted.count("[REDACTED]") == 3
+
+
+def test_redact_patterns_apply_in_dict_order(spark):
+    # the email is consumed first, so the ipv4-less count is stable even
+    # though the denylist word appears inside the replacement token
+    d = _docs(spark, ["ops@example.com value"])
+    out = redact(d, {"email": PII_PATTERNS["email"],
+                     "deny": r"\b(value)\b"}).collect()[0]
+    assert out.n_email == 1 and out.n_deny == 1
+    assert out.text_redacted == "[REDACTED] [REDACTED]"
+
+
+def test_repetition_score_flags_looping_text(spark):
+    d = _docs(spark, [
+        "spam spam spam spam spam",   # 4 bigrams, 1 distinct
+        "all words here are unique",  # 4 bigrams, all distinct
+        "one",                        # single token -> whole-text gram
+    ])
+    rows = {r.doc_id: r for r in repetition_score(d).collect()}
+    assert rows[0].n_grams == 4 and rows[0].n_distinct == 1
+    assert abs(rows[0].dup_frac - 0.75) < 1e-12
+    assert rows[1].dup_frac == 0.0
+    assert rows[2].n_grams == 1 and rows[2].dup_frac == 0.0
