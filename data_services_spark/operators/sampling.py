@@ -70,6 +70,24 @@ def deterministic_split(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], id_col: str = "doc_id",
+                      seed: int = 0, default: float = 0.0) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its id-hash
+    uniform falls under its stratum's fraction (corpus rebalancing —
+    downsample the over-represented language/source, keep the tail).
+    Stateless per row like deterministic_split: no count pass, no
+    shuffle, membership stable under re-runs and cluster resizing; a
+    stratum absent from `fractions` is sampled at `default`."""
+    u = split_uniform(id_col, seed)
+    thr = None
+    for key, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == key
+        thr = F.when(cond, frac) if thr is None else thr.when(cond, frac)
+    thr = F.lit(default) if thr is None else thr.otherwise(default)
+    return df.filter(u < thr)
+
+
 def vocab_top_k(docs: DataFrame, text_col: str = "text",
                 min_df: int = 2, max_df_frac: float = 0.5,
                 k: int = 100) -> DataFrame:

@@ -2564,7 +2564,10 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             .na.fill(0, ["F", "O", "P"]))
 
 
-@register("dedup_components", f"""
+# Shared oracle prefix for the LSH-propose -> Jaccard-verify -> connected
+# components pipeline: ends with `labels` = (doc_id, cluster_id=min id of
+# the doc's near-dup component); singletons are absent (COALESCE to self).
+_DEDUP_LABELS_CTE = f"""
 WITH RECURSIVE toksn AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
     FROM documents
@@ -2606,7 +2609,10 @@ WITH RECURSIVE toksn AS (
 ), labels AS (
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
     FROM reach GROUP BY src
-)
+)"""
+
+
+@register("dedup_components", _DEDUP_LABELS_CTE + """
 SELECT d.doc_id,
        CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN labels l USING (doc_id)
@@ -2631,6 +2637,36 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hash_family="md5")
     pairs = verify_jaccard(d, cand, threshold=0.8).select("id_a", "id_b")
     return dedup_clusters(d, pairs)
+
+
+@register("corpus_dedup", _DEDUP_LABELS_CTE + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN labels l USING (doc_id)
+WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+""")
+def corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup CAPSTONE a training pipeline actually ships:
+    LSH-propose -> exact-Jaccard-verify -> connected components -> keep
+    each cluster's canonical document (min id — the component label IS
+    the min member id, so representatives are the rows labeled by
+    themselves) -> semi-join the survivors back onto the corpus. Every
+    stage is the scale-safe form: banded bucket joins for candidates,
+    O(candidates) verification, O(log n)-round components, and an
+    ids-only semi join so document payloads are fetched exactly once at
+    the end. The oracle replays the identical pipeline (same md5 hash
+    family, same recursive-CTE closure) and checks the SURVIVING ROW SET
+    — an exact correctness gate on what the pipeline keeps/drops."""
+    from data_services_spark.operators.components import dedup_clusters
+    from data_services_spark.operators.dedup import verify_jaccard
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
+                             hash_family="md5")
+    pairs = verify_jaccard(d, cand, threshold=0.8).select("id_a", "id_b")
+    keep = (dedup_clusters(d, pairs)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id"))
+    return (d.join(keep, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source", "n_chars"))
 
 
 @register("udtf_tokenize", """
@@ -2709,6 +2745,28 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_services_spark.operators.sampling import deterministic_split
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_split(d, "doc_id")
+
+
+@register("sample_stratified", """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                ::BIGINT % 1000000 AS DOUBLE) / 1000000.0 AS u
+    FROM documents
+)
+WHERE u < CASE lang WHEN 'en' THEN 0.2 ELSE 0.8 END
+""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministic stratified sampling by language
+    — downsample the over-represented head ('en' keeps 20%) while the
+    tail languages keep 80%. Membership is a pure function of the doc id
+    (same md5-derived uniform as dataset_split), so the rebalanced
+    corpus is stable across runs and cluster sizes; zero shuffles."""
+    from data_services_spark.operators.sampling import stratified_sample
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "lang",
+        {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8})
 
 
 @register("vocab_topk", """

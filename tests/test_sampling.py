@@ -73,3 +73,21 @@ def test_pack_by_token_budget_prefix_chunks(spark):
            for r in pack_by_token_budget(d, budget=512).collect()}
     # exclusive prefix sums: 0, 300, 600 -> chunks 0, 0, 1
     assert got == {1: (300, 0), 2: (300, 0), 3: (300, 1)}
+
+
+def test_stratified_sample_is_deterministic_per_stratum(spark):
+    from data_services_spark.operators.sampling import stratified_sample
+    rows = [(i, "head" if i % 4 else "tail") for i in range(4000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(d, "lang", {"head": 0.1, "tail": 0.9})
+    got = out.collect()
+    again = set((r.doc_id, r.lang) for r in stratified_sample(
+        d, "lang", {"head": 0.1, "tail": 0.9}).collect())
+    assert set((r.doc_id, r.lang) for r in got) == again
+    from collections import Counter
+    c = Counter(r.lang for r in got)
+    assert abs(c["head"] / 3000 - 0.1) < 0.03
+    assert abs(c["tail"] / 1000 - 0.9) < 0.04
+    # a stratum missing from the fraction map defaults to dropped
+    e = spark.createDataFrame([(1, "other")], "doc_id long, lang string")
+    assert stratified_sample(e, "lang", {"head": 0.5}).count() == 0
