@@ -202,3 +202,39 @@ def triangle_count(edges: DataFrame, src: str = "src",
     tri = paths.join(closing, (F.col("x") == F.col("x2"))
                      & (F.col("z") == F.col("z2")))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank (power iteration), rank mass scaled so the
+    initial rank is 1.0 per node. Returns (node, rank).
+
+    `edges` is the DIRECTED edge list; pass both directions for
+    undirected semantics. Every node must have out-degree >= 1 (true by
+    construction for symmetrized graphs) — dangling-mass redistribution
+    is deliberately out of contract so each iteration stays a single
+    join + aggregation.
+
+    Determinism: the per-node contribution sum uses the engine's exact
+    quantized dsum (functions/numeric.py), so each iteration's ranks are
+    bit-identical regardless of shuffle order — and an unrolled-CTE SQL
+    oracle reproduces the whole recurrence exactly. Scale shape: each
+    iteration is one join of the edge list against the current rank
+    vector (both partitioned by src) + one groupBy(dst) shuffle; rank
+    state is 2 columns per node, never collected to the driver. For
+    10+ iterations at 100 TB, localCheckpoint the rank vector every few
+    rounds like connected_components to cap lineage depth."""
+    from data_services_spark.functions.numeric import dsum_expr
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = deg.select(F.col(src).alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contrib = (edges.join(deg, src)
+                   .join(ranks, F.col(src) == F.col("node"))
+                   .select(F.col(dst).alias("__dst"),
+                           (F.col("rank") / F.col("__deg")).alias("__c")))
+        ranks = (contrib.groupBy("__dst")
+                 .agg((F.lit(1.0 - damping)
+                       + F.lit(damping) * dsum_expr(F.col("__c")))
+                      .alias("rank"))
+                 .select(F.col("__dst").alias("node"), "rank"))
+    return ranks

@@ -2719,6 +2719,62 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs)
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+
+def _pr_iter_sql(i: int) -> str:
+    # the base constant is emitted as repr(1.0 - damping) so the SQL
+    # literal parses to the exact IEEE double Spark's F.lit computes
+    return (f", r{i} AS (\n"
+            f"    SELECT e.dst AS node,\n"
+            f"           {1.0 - _PR_DAMP!r} + {_PR_DAMP!r} *\n"
+            f"           {sql_dsum_expr('r.pr / deg.deg')} AS pr\n"
+            f"    FROM e JOIN deg ON e.src = deg.src\n"
+            f"           JOIN r{i - 1} r ON r.node = e.src\n"
+            f"    GROUP BY e.dst\n)")
+
+
+@register("pagerank_parts", f"""
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b, a FROM pairs
+), deg AS (
+    SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+), r0 AS (
+    SELECT src AS node, 1.0 AS pr FROM deg
+){''.join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+SELECT node, pr FROM r{_PR_ITERS}
+""")
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG analytics: {_PR_ITERS}-iteration PageRank over the symmetrized
+    part co-occurrence graph (parts sharing an order). The iterative
+    algorithm is exactly checked: contribution sums accumulate via the
+    quantized dsum on both engines, so every iteration's rank vector is
+    bit-identical to the unrolled-CTE oracle. Symmetrization guarantees
+    out-degree >= 1 (no dangling mass — see operators/components.py::
+    pagerank for the contract)."""
+    from data_services_spark.operators.components import pagerank
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "ok")
+             .filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .distinct())
+    edges = pairs.unionAll(pairs.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+    return (pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP)
+            .select("node", F.col("rank").alias("pr")))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: splits / vocab / decontamination / packing
 # ---------------------------------------------------------------------------

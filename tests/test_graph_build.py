@@ -132,3 +132,23 @@ sources:
     assert sorted(got["X:1"].category) == ["biolink:Entity", "biolink:Gene"]
     e = edges.collect()
     assert len(e) == 2  # distinct primary_knowledge_source -> no merge
+
+
+def test_pagerank_star_center_dominates(spark):
+    from data_services_spark.operators.components import pagerank
+    # undirected star: center 0 <-> leaves 1..8
+    pairs = [(0, i) for i in range(1, 9)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long")
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    assert len(ranks) == 9
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+    # leaves are symmetric -> identical ranks
+    leaf = {v for k, v in ranks.items() if k != 0}
+    assert len(leaf) == 1
+    # rank mass is conserved (no dangling nodes): sum == n up to quantization
+    assert abs(sum(ranks.values()) - 9.0) < 1e-3
+    # deterministic across repartitioned input
+    again = {r.node: r["rank"]
+             for r in pagerank(edges.repartition(7), iterations=4).collect()}
+    assert again == ranks
