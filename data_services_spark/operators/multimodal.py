@@ -77,3 +77,31 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
 
     return (df.select(id_col, "payload")
             .mapInPandas(run, f"{id_col} long, features array<double>"))
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, stride: int = 4,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Uniform-stride frame sampling over a raw fixed-size-frame payload —
+    the video-pipeline primitive "keep every k-th frame". Returns
+    (id, frame_idx, n_frames, frame binary), full frames only.
+
+    Pure JVM expressions (sequence -> explode -> binary substring), no
+    Python boundary — the deliberate contrast to decode_media's Arrow
+    path: sampling happens BEFORE any decode, so at 100 TB the skipped
+    frames are never materialized, shuffled, or shipped to Python. A
+    real codec's keyframe-aware sampler would replace the fixed
+    `frame_bytes` arithmetic with an index lookup; the Spark plumbing
+    (explode shape, binary slicing, downstream schema) is identical.
+    """
+    n_frames = F.floor(F.octet_length("payload") / F.lit(frame_bytes)) \
+        .cast("long")
+    return (df.withColumn("n_frames", n_frames)
+            .filter(F.col("n_frames") > 0)
+            .withColumn("frame_idx",
+                        F.explode(F.sequence(
+                            F.lit(0).cast("long"),
+                            F.col("n_frames") - 1,
+                            F.lit(stride).cast("long"))))
+            .select(id_col, "frame_idx", "n_frames",
+                    F.expr(f"substring(payload, frame_idx * {frame_bytes}"
+                           f" + 1, {frame_bytes})").alias("frame")))

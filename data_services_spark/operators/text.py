@@ -168,6 +168,33 @@ def repetition_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean token
+    log-probability under the corpus's own unigram model (self-trained —
+    no external LM). Low scores flag gibberish / rare-token soup; the
+    standard cheap stand-in for model-based quality filtering.
+
+    Returns (doc_id, n_tokens, avg_logprob).
+
+    Two shuffles (token counts, per-doc aggregate); the unigram table
+    broadcasts (Zipf: vocab grows ~sqrt of corpus, and a df floor caps
+    it in production). Per-token log terms are identical doubles on both
+    engines (ln of integer counts); the per-doc sum accumulates via the
+    exact quantized dsum, so the mean is bit-stable vs the oracle."""
+    from data_services_spark.functions.numeric import dsum_expr
+    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col))
+                       .alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = toks.agg(F.count(F.lit(1)).alias("__t"))
+    lp = F.log("__c") - F.log("__t")
+    return (toks.join(F.broadcast(cnt), "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (dsum_expr(lp) / F.count(F.lit(1))).alias("avg_logprob")))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count per-language marker-token hits; argmax
     with ties going to the alphabetically-first language code (a CASE

@@ -42,6 +42,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (PushedFilters + ReadSchema reach the scan; asserted in
+    tests/test_sources.py). Avro, by contrast, is an external Spark
+    module (spark-avro jar) not shipped in this container: route Avro
+    through `spark.read.format("avro")` where the jar is deployed."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               num_partitions: int = 8, quote: str = '"',

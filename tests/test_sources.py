@@ -130,3 +130,28 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert "PushedFilters" in plan and "node_key" in plan
     assert sorted(r.curie for r in filtered.collect()) == sorted(
         f"CUST:{i}" for i in range(10))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """S-family: ORC rides the same columnar scan contract as parquet —
+    value-faithful roundtrip, filter pushdown, column pruning."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.sources.readers import read_orc, write_orc
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("val"))
+    write_orc(df, str(tmp_path / "t.orc"))
+    back = read_orc(spark, str(tmp_path / "t.orc"))
+    assert back.count() == 1000
+    assert sorted(r.val for r in back.filter(F.col("id") < 3).collect()) \
+        == ["v0", "v1", "v2"]
+    plan = (back.filter(F.col("bucket") == 3).select("val")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters" in plan and "bucket" in plan
+    # column pruning: the scan schema must not carry the unused `id`
+    assert "ReadSchema" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "val" in rs and "id" not in rs
