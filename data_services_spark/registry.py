@@ -1074,6 +1074,42 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type", "n", "sum_value")
 
 
+@register("stream_interval_join", """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+""", cache_plan=False)  # drains a stream per call; must re-run end-to-end
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family stream-stream join via a REAL Structured Streaming
+    pipeline: two watermarked file-source streams interval-joined
+    (purchase attributed to the same user's view within the prior hour)
+    and drained with availableNow. The bounded time condition is what
+    lets Spark expire join state (streaming/events.py::
+    stream_interval_join); the oracle is the batch range join."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_services_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink, stream_interval_join)
+    src = os.path.join(sf_dir, "events.parquet")
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_"
+                     + hashlib.md5(src.encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = read_event_stream(spark, d)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    return run_to_memory_sink(stream_interval_join(views, purchases),
+                              name="__bench_stream_ijoin")
+
+
 @register("dedup_stateful", """
 SELECT event_id, user_id, event_type, value FROM (
     SELECT DISTINCT event_id, user_id, event_type, value FROM (

@@ -65,6 +65,36 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def stream_interval_join(views: DataFrame, purchases: DataFrame,
+                         horizon: str = "1 hour",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """T-family: watermarked stream-stream interval join — attribute each
+    purchase to the same user's view within the preceding `horizon`
+    (the classic streaming attribution join).
+
+    Both sides carry watermarks plus a bounded time condition, so Spark
+    can expire buffered rows: view-side state lives `horizon` +
+    `watermark`, purchase-side `watermark` — without both bounds the
+    state store grows forever. The batch twin is a plain range-condition
+    join (operators/asof.py's range join family); tests assert
+    stream == batch after draining."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("v_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select("user_id", F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    cond = ((F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr(
+                f"INTERVAL {horizon}")))
+    return (p.join(v, cond)
+            .select("user_id", "purchase_id", "view_id",
+                    (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                    .cast("long").alias("gap_us")))
+
+
 def run_to_memory_sink(stream: DataFrame, name: str,
                        output_mode: str = "append") -> DataFrame:
     """Drain a stream with the availableNow trigger into an in-memory table

@@ -289,3 +289,33 @@ def test_stream_merge_edges_equals_batch_merge(spark, tmp_path):
     assert got == want
     assert got[("a", "rel", "b", "ks1")] == (["p1", "p3"],
                                              ["agg1", "agg2"], 2)
+
+
+def test_stream_interval_join_equals_batch(spark, events_dir):
+    import pyspark.sql.functions as F
+
+    from data_services_spark.streaming.events import stream_interval_join
+
+    stream = read_event_stream(spark, events_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = run_to_memory_sink(
+        stream_interval_join(views, purchases), "tjoin_sink").collect()
+
+    e = load_table(spark, SF_DIR, "events")
+    bv = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    batch = (bp.join(bv, (F.col("v_user") == F.col("user_id"))
+                     & (F.col("v_ts") <= F.col("p_ts"))
+                     & (F.col("v_ts") >= F.col("p_ts")
+                        - F.expr("INTERVAL 1 hour")))
+             .select("user_id", "purchase_id", "view_id",
+                     (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                     .cast("long").alias("gap_us"))).collect()
+    key = lambda r: (r.user_id, r.purchase_id, r.view_id, r.gap_us)
+    assert len(got) > 0
+    assert sorted(map(key, got)) == sorted(map(key, batch))
