@@ -82,7 +82,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     filled = unioned.select(*unioned.columns, *fills) \
         .filter(F.col("__is_left") == 1)
 
-    lt_us = F.unix_micros(F.col("__t"))
+    # NTZ-robust epoch micros: parquet timestamps read as TIMESTAMP_NTZ
+    # under inferTimestampNTZ, and unix_micros only accepts LTZ. The cast
+    # is a no-op wall-clock-wise under the UTC session timezone.
+    def _us(c: F.Column) -> F.Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    lt_us = _us(F.col("__t"))
     tol_us = (None if tolerance_seconds is None
               else F.lit(int(tolerance_seconds * 1_000_000)))
 
@@ -90,8 +96,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         rt = F.col(f"__{side}_{'__rt'}")
         valid = rt.isNotNull()
         if tol_us is not None:
-            gap = (lt_us - F.unix_micros(rt)) if side == "b" \
-                else (F.unix_micros(rt) - lt_us)
+            gap = (lt_us - _us(rt)) if side == "b" \
+                else (_us(rt) - lt_us)
             valid = valid & (gap <= tol_us)
         return valid
 
@@ -101,8 +107,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         use_b, use_f = F.lit(False), ok("f")
     else:
         b_ok, f_ok = ok("b"), ok("f")
-        closer_b = ((lt_us - F.unix_micros(F.col("__b___rt")))
-                    <= (F.unix_micros(F.col("__f___rt")) - lt_us))
+        closer_b = ((lt_us - _us(F.col("__b___rt")))
+                    <= (_us(F.col("__f___rt")) - lt_us))
         use_b = b_ok & (~f_ok | closer_b)
         use_f = f_ok & ~use_b
 

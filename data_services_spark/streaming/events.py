@@ -17,20 +17,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_services_spark.session import configure_session
 
-EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
                  "event_type string, value double, props string")
 
 
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over events parquet (ns ts -> us timestamp,
-    same normalization as the batch catalog)."""
+    """File-source stream over events parquet. The parquet `ts` is μs
+    TIMESTAMP_NTZ; watermarks only accept LTZ TIMESTAMP, so cast — a
+    wall-clock no-op under the pinned UTC session timezone."""
     configure_session(spark)
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return reader.parquet(path).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_counts(events: DataFrame, duration: str = "1 hour",
@@ -91,7 +92,8 @@ def stream_interval_join(views: DataFrame, purchases: DataFrame,
                 f"INTERVAL {horizon}")))
     return (p.join(v, cond)
             .select("user_id", "purchase_id", "view_id",
-                    (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                    (F.unix_micros(F.col("p_ts").cast("timestamp"))
+                     - F.unix_micros(F.col("v_ts").cast("timestamp")))
                     .cast("long").alias("gap_us")))
 
 

@@ -314,7 +314,8 @@ def test_stream_interval_join_equals_batch(spark, events_dir):
                      & (F.col("v_ts") >= F.col("p_ts")
                         - F.expr("INTERVAL 1 hour")))
              .select("user_id", "purchase_id", "view_id",
-                     (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                     (F.unix_micros(F.col("p_ts").cast("timestamp"))
+                      - F.unix_micros(F.col("v_ts").cast("timestamp")))
                      .cast("long").alias("gap_us"))).collect()
     key = lambda r: (r.user_id, r.purchase_id, r.view_id, r.gap_us)
     assert len(got) > 0
