@@ -204,6 +204,32 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def bfs_levels(edges: DataFrame, sources: DataFrame, iterations: int,
+               src: str = "src", dst: str = "dst",
+               node: str = "node") -> DataFrame:
+    """Multi-source BFS distance, fixed ``iterations`` rounds: (node,
+    dist) for every node within `iterations` hops of any source —
+    exactly the frontier-expansion levels, all-integer so an unrolled
+    SQL CTE reproduces it bit-for-bit (same exact-check pattern as
+    :func:`pagerank`).
+
+    ``sources`` is a one-column DataFrame of seed node ids (dist 0).
+    Each round is one join of the edge list against the current distance
+    vector + one min-groupBy — O(E) per round, no driver loops; fixed
+    rounds (not to-convergence) keeps the plan finite and the oracle
+    expressible. For full closure at 100 TB, wrap with the
+    localCheckpoint-per-round loop of :func:`connected_components`."""
+    dist = sources.select(F.col(sources.columns[0]).alias(node),
+                          F.lit(0).cast("long").alias("dist"))
+    for _ in range(iterations):
+        hop = (edges.join(dist, F.col(src) == F.col(node))
+               .select(F.col(dst).alias(node),
+                       (F.col("dist") + F.lit(1)).alias("dist")))
+        dist = (dist.unionByName(hop)
+                .groupBy(node).agg(F.min("dist").alias("dist")))
+    return dist
+
+
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst") -> DataFrame:
     """Fixed-iteration PageRank (power iteration), rank mass scaled so the

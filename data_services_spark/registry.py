@@ -3013,6 +3013,164 @@ def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_by_token_budget(d, budget=512)
 
 
+@register("graph_bfs", """
+WITH pairs AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION ALL
+    SELECT b, a FROM pairs
+), r0 AS (
+    SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+    FROM part WHERE p_partkey % 97 = 0
+), r1 AS (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM r0
+        UNION ALL
+        SELECT e.dst, r.dist + 1 FROM e JOIN r0 r ON e.src = r.node
+    ) GROUP BY node
+), r2 AS (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM r1
+        UNION ALL
+        SELECT e.dst, r.dist + 1 FROM e JOIN r1 r ON e.src = r.node
+    ) GROUP BY node
+)
+SELECT node, dist FROM r2
+""")
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG analytics: 2-round multi-source BFS over the symmetrized part
+    co-occurrence graph — every part within 2 hops of a seed (p_partkey
+    % 97 = 0), with its frontier level. All-integer frontier expansion,
+    so the unrolled-CTE oracle checks the iterative algorithm exactly
+    (the pagerank_parts pattern). Each round: one edge-list join + one
+    min-groupBy; seeds absent from the graph still label themselves
+    dist 0 on both engines."""
+    from data_services_spark.operators.components import bfs_levels
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("ok"),
+                 F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "ok")
+             .filter(F.col("pa") < F.col("pb"))
+             .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .distinct())
+    edges = pairs.unionAll(pairs.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+    seeds = (load_table(spark, sf_dir, "part")
+             .filter(F.col("p_partkey") % 97 == 0).select("p_partkey"))
+    return bfs_levels(edges, seeds, iterations=2)
+
+
+_SCD_STATE_SQL = """state AS (
+    SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS bal,
+           CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM customer
+), upd AS (
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 6 = 0 THEN c_mktsegment || '_V2'
+                ELSE c_mktsegment END AS segment,
+           CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 100.0
+                ELSE c_acctbal END AS bal,
+           CAST(1000 AS BIGINT) AS eff_ms
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEWSEG', 0.0, CAST(1000 AS BIGINT)
+    FROM customer WHERE c_custkey % 100 = 0
+)"""
+
+
+@register("scd2_apply", f"""
+WITH {_SCD_STATE_SQL},
+j AS (
+    SELECT COALESCE(s.id, u.id) AS id,
+           s.segment AS s_segment, s.bal AS s_bal, s.valid_from,
+           u.segment AS u_segment, u.bal AS u_bal, u.eff_ms,
+           s.id IS NOT NULL AS has_open, u.id IS NOT NULL AS has_upd,
+           (s.id IS NOT NULL AND u.id IS NOT NULL
+            AND (s.segment IS DISTINCT FROM u.segment
+                 OR s.bal IS DISTINCT FROM u.bal)) AS changed
+    FROM state s FULL OUTER JOIN upd u ON s.id = u.id
+)
+SELECT id, s_segment AS segment, s_bal AS bal, valid_from,
+       CAST(NULL AS BIGINT) AS valid_to
+FROM j WHERE has_open AND NOT changed
+UNION ALL
+SELECT id, s_segment, s_bal, valid_from, eff_ms FROM j WHERE changed
+UNION ALL
+SELECT id, u_segment, u_bal, eff_ms, CAST(NULL AS BIGINT)
+FROM j WHERE changed OR (has_upd AND NOT has_open)
+""")
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: one SCD2 update batch
+    against an all-open customer dimension — no-op updates pass through,
+    changed rows close at the batch's effective time and reopen with the
+    new values, unseen keys insert their first version. One full-outer
+    join on the key; closed history (empty here) unions through without
+    joining. The batch twin of the bucketed streaming upsert
+    (streaming/ingest.py); `[R: Common/merging.py — the reference's merge
+    has no history dimension — unverified]` — this is added warehouse
+    surface."""
+    from data_services_spark.operators.scd import scd2_merge
+    c = load_table(spark, sf_dir, "customer")
+    state = c.select(F.col("c_custkey").alias("id"),
+                     F.col("c_mktsegment").alias("segment"),
+                     F.col("c_acctbal").alias("bal"),
+                     F.lit(0).cast("long").alias("valid_from"),
+                     F.lit(None).cast("long").alias("valid_to"))
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 6 == 0,
+               F.concat("c_mktsegment", F.lit("_V2")))
+        .otherwise(F.col("c_mktsegment")).alias("segment"),
+        F.when(F.col("c_custkey") % 9 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal")).alias("bal"),
+        F.lit(1000).cast("long").alias("eff_ms"),
+    ).unionByName(c.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit(0.0).alias("bal"),
+        F.lit(1000).cast("long").alias("eff_ms")))
+    return scd2_merge(state, upd, key_cols=("id",),
+                      tracked_cols=("segment", "bal"))
+
+
+@register("join_salted", f"""
+WITH probe AS (
+    SELECT CAST(l_suppkey % 25 AS BIGINT) AS nk, l_extendedprice
+    FROM lineitem
+), build AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation
+)
+SELECT n_name, COUNT(*) AS n_items,
+       {{dsum}}
+FROM probe JOIN build USING (nk)
+GROUP BY n_name
+""".format(dsum=sql_dsum("l_extendedprice", "revenue")))
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed large-large equi join via manual salting (operators/
+    skew.py::salted_join): the probe side's 25 hot keys (l_suppkey % 25
+    concentrates 600k rows on 25 values) spread across 8 salt buckets
+    each, the build side replicates into every bucket, and the join runs
+    on (key, salt) — identical output to the plain join the oracle runs,
+    which is the whole point: salting changes the partitioning, never
+    the result. The registered demo for the AQE-unavailable fallback
+    documented in skew.py (salted *aggregation* is `skew_salted_degree`)."""
+    from data_services_spark.operators.skew import salted_join
+    l = load_table(spark, sf_dir, "lineitem")
+    probe = l.select((F.col("l_suppkey") % 25).cast("long").alias("nk"),
+                     "l_extendedprice")
+    build = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name")
+    joined = salted_join(probe, build, on="nk", n_buckets=8)
+    return (joined.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 dsum("l_extendedprice", "revenue")))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------

@@ -527,3 +527,41 @@ def test_null_inputs_do_not_crash_or_conflate(spark):
     # null list rows are skipped by the union, null scalars lose to the
     # lower-rank non-null value
     assert (out.name, out.category, out.n_merged) == ("a", ["c"], 2)
+
+
+def test_scd2_merge_paths(spark):
+    from data_services_spark.operators.scd import scd2_merge
+
+    state = spark.createDataFrame(
+        [(1, "A", 0, 50),    # closed history: must pass through untouched
+         (1, "B", 50, None), # open, will change
+         (2, "C", 0, None),  # open, no-op update
+         (3, "D", 0, None)], # open, no update at all
+        "id long, seg string, valid_from long, valid_to long")
+    upd = spark.createDataFrame(
+        [(1, "B2", 100), (2, "C", 100), (9, "NEW", 100)],
+        "id long, seg string, eff_ms long")
+    rows = sorted(
+        ((r["id"], r["seg"], r["valid_from"], r["valid_to"])
+         for r in scd2_merge(state, upd, ["id"], ["seg"]).collect()),
+        key=repr)
+    assert rows == sorted([
+        (1, "A", 0, 50),       # closed history passes through untouched
+        (1, "B", 50, 100),     # changed: old version closed at eff
+        (1, "B2", 100, None),  # changed: new open version
+        (2, "C", 0, None),     # no-op update keeps the open row
+        (3, "D", 0, None),     # untouched key
+        (9, "NEW", 100, None), # brand-new key inserts
+    ], key=repr)
+
+
+def test_bfs_levels_chain(spark):
+    from data_services_spark.operators.components import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "s long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_levels(edges, seeds, iterations=2).collect()}
+    # two rounds reach exactly two hops; 4 and the 10-11 island are absent
+    assert got == {1: 0, 2: 1, 3: 2}
