@@ -3171,6 +3171,116 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("l_extendedprice", "revenue")))
 
 
+@register("hist_prices", f"""
+SELECT CAST(LEAST(19, FLOOR(l_extendedprice / 5000)) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       {sql_dsum('l_extendedprice', 'revenue')}
+FROM lineitem
+GROUP BY bin
+""")
+def hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (binning), the standard profiling op: 20
+    price bins of width 5000, top bin open-ended. One map-side bin
+    expression + one 20-group aggregation — the cheapest possible
+    full-scan summary; FLOOR on double is the same IEEE op in both
+    engines so bin edges agree exactly."""
+    l = load_table(spark, sf_dir, "lineitem")
+    bin_c = F.least(F.lit(19), F.floor(F.col("l_extendedprice") / 5000)) \
+        .cast("long").alias("bin")
+    return (l.groupBy(bin_c)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice", "revenue")))
+
+
+@register("interval_concurrency", """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+), iv AS (
+    SELECT CAST(epoch_ms(MIN(ts)) AS BIGINT) AS s_ms,
+           CAST(epoch_ms(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS e_ms
+    FROM s GROUP BY user_id, sid
+), pts AS (
+    SELECT s_ms AS t_ms, 1 AS delta FROM iv
+    UNION ALL
+    SELECT e_ms, -1 FROM iv
+), net AS (
+    SELECT t_ms, SUM(delta) AS net FROM pts GROUP BY t_ms
+)
+SELECT t_ms,
+       CAST(SUM(net) OVER (ORDER BY t_ms ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS concurrent
+FROM net
+""")
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile via the +1/-1 boundary sweep: how many user
+    sessions are simultaneously open at each boundary instant. Sessions
+    come from the built-in session_window (end = last event + gap, the
+    semantics the green `session_window` query already pins against the
+    lag/sum oracle); the sweep is a groupBy on boundary time + ONE
+    global running sum — the standard interval-overlap reduction that
+    replaces a quadratic self-join. All-integer epoch-ms, exact.
+
+    Scale note: the final cumulative sum is a single-partition window by
+    construction (global time order); at 100 TB the net-delta table it
+    runs over is |distinct boundary instants| rows — tiny relative to
+    events — and the two-pass prefix-sum decomposition (per-partition
+    partials, then offset join) drops in if it ever isn't."""
+    e = load_table(spark, sf_dir, "events")
+    sw = (e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"),
+                    "user_id")
+          .agg(F.count(F.lit(1)).alias("__n")))
+    starts = sw.select(_ms(F.col("w.start")).alias("t_ms"),
+                       F.lit(1).alias("delta"))
+    ends = sw.select(_ms(F.col("w.end")).alias("t_ms"),
+                     F.lit(-1).alias("delta"))
+    net = (starts.unionByName(ends)
+           .groupBy("t_ms").agg(F.sum("delta").alias("net")))
+    w = Window.orderBy("t_ms").rowsBetween(Window.unboundedPreceding, 0)
+    return net.select(
+        "t_ms", F.sum("net").over(w).cast("long").alias("concurrent"))
+
+
+@register("table_checksum", """
+SELECT COUNT(*) AS n_rows,
+       CAST(bit_xor(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))
+           ::BIGINT) AS BIGINT) AS checksum
+FROM orders
+""")
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint for cross-system data
+    validation (the anti-entropy primitive: compare per-table or
+    per-partition checksums between a source and a migrated copy without
+    moving rows). XOR-aggregates a portable md5-derived 60-bit row hash
+    (the same cross-engine family as MinHash — dedup.md5_long_hash), so
+    any engine can reproduce it; commutative XOR makes it shuffle- and
+    order-proof, and a mismatch localizes by re-checksumming partitions.
+    Doubles/timestamps stay out of the hashed tuple — cross-engine
+    decimal formatting is not canonical; hash keys and category columns."""
+    from data_services_spark.operators.dedup import md5_long_hash
+    o = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                      F.col("o_custkey").cast("string"),
+                      F.col("o_orderstatus"))
+    # md5_long_hash prepends "seed:"; seedless here to keep the SQL above
+    # a plain md5 of the row tuple
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (o.select(h.alias("__h"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.bit_xor("__h").cast("long").alias("checksum")))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------
