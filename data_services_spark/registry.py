@@ -3281,6 +3281,99 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bit_xor("__h").cast("long").alias("checksum")))
 
 
+@register("table_diff", """
+WITH v1 AS (
+    SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+), v2 AS (
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 17 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status,
+           o_totalprice AS price
+    FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT COALESCE(a.id, b.id) AS id,
+       CASE WHEN b.id IS NULL THEN 'removed'
+            WHEN a.id IS NULL THEN 'added'
+            ELSE 'changed' END AS change,
+       a.status AS old_status, b.status AS new_status
+FROM v1 a FULL OUTER JOIN v2 b ON a.id = b.id
+WHERE a.id IS NULL OR b.id IS NULL
+   OR a.status IS DISTINCT FROM b.status
+   OR a.price IS DISTINCT FROM b.price
+""")
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: added / removed / changed rows between two
+    table versions — the change feed you derive when the source system
+    has no CDC stream (v2 here is a deterministic mutation of orders:
+    %13 keys deleted, %17 keys restated). One full-outer join on the
+    key with null-safe change predicates; unchanged rows — the vast
+    majority at 100 TB — are filtered before any fetch, so output is
+    O(churn) not O(table). Pair with `table_checksum` to find WHICH
+    partition diverged, then diff only it."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(F.col("o_orderkey").alias("id"),
+                  F.col("o_orderstatus").alias("status"),
+                  F.col("o_totalprice").alias("price"))
+    v2 = (o.filter(F.col("o_orderkey") % 13 != 0)
+          .select(F.col("o_orderkey").alias("id"),
+                  F.when(F.col("o_orderkey") % 17 == 0, F.lit("X"))
+                  .otherwise(F.col("o_orderstatus")).alias("status"),
+                  F.col("o_totalprice").alias("price")))
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.id") == F.col("b.id"), "full_outer")
+    removed = F.col("b.id").isNull()
+    added = F.col("a.id").isNull()
+    changed = (~F.col("a.status").eqNullSafe(F.col("b.status"))
+               | ~F.col("a.price").eqNullSafe(F.col("b.price")))
+    return (j.filter(added | removed | changed)
+            .select(F.coalesce("a.id", "b.id").alias("id"),
+                    F.when(removed, "removed").when(added, "added")
+                    .otherwise("changed").alias("change"),
+                    F.col("a.status").alias("old_status"),
+                    F.col("b.status").alias("new_status")))
+
+
+@register("length_batching", """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), bucketed AS (
+    SELECT doc_id, n_tokens,
+           CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+               AS len_bucket
+    FROM toks
+)
+SELECT doc_id, n_tokens, len_bucket,
+       CAST((row_number() OVER (PARTITION BY len_bucket
+                                ORDER BY n_tokens, doc_id) - 1) // 16
+            AS BIGINT) AS batch_id
+FROM bucketed
+""")
+def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment for inference/training: ntile
+    docs into 8 length buckets, then number off batches of 16 inside
+    each bucket — documents in a batch have near-equal token counts, so
+    padding waste is bounded by the bucket's length spread instead of
+    the corpus max. Two windows over one deterministic total order
+    (n_tokens, doc_id); at scale the bucket boundaries come from
+    approx quantiles instead of a global ntile sort, turning the global
+    window into a per-bucket-partition one."""
+    from data_services_spark.operators.text import tokenize
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id",
+                 F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    order = [F.col("n_tokens"), F.col("doc_id")]
+    b = t.withColumn("len_bucket",
+                     F.ntile(8).over(Window.orderBy(*order)).cast("long"))
+    wb = Window.partitionBy("len_bucket").orderBy(*order)
+    return b.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------
