@@ -565,3 +565,22 @@ def test_bfs_levels_chain(spark):
            for r in bfs_levels(edges, seeds, iterations=2).collect()}
     # two rounds reach exactly two hops; 4 and the 10-11 island are absent
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_checkpointed_matches_lazy_and_frees_blocks(spark):
+    from data_services_spark.operators.components import (
+        _persistent_rdd_ids, bfs_levels)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "s long")
+    lazy = {(r["node"], r["dist"])
+            for r in bfs_levels(edges, seeds, iterations=3).collect()}
+    before = len(_persistent_rdd_ids(spark))
+    ck = bfs_levels(edges, seeds, iterations=3, checkpoint=True)
+    got = {(r["node"], r["dist"]) for r in ck.collect()}
+    after = len(_persistent_rdd_ids(spark))
+    assert got == lazy == {(1, 0), (2, 1), (3, 2), (4, 3),
+                           (10, 0), (11, 1)}
+    # only the final round's checkpoint may stay pinned
+    assert after - before <= 1
