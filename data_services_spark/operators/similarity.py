@@ -19,7 +19,9 @@ from collections.abc import Iterator, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from data_services_spark.functions.vectors import cosine_similarity
+from data_services_spark.functions.vectors import (
+    cosine_similarity, dot_product,
+)
 
 
 def _query_vector(embeddings: DataFrame, query_id: int,
@@ -259,6 +261,48 @@ def nearest_within_group(embeddings: DataFrame, group_col: str = "label",
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "nn_id", "cosine_sim"))
+
+
+def ivf_fixed_topk(embeddings: DataFrame, query_id: int,
+                   centroids: Sequence[Sequence[float]], k: int = 10,
+                   nprobe: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN with FIXED literal centroids — the exactly-checkable twin
+    of :func:`ivf_topk` (whose k-means training is not SQL-expressible).
+
+    Cell assignment is argmax dot(embedding, centroid) with first-index
+    tie-break; the query's `nprobe` best cells are ranked by the SAME
+    Catalyst fold (no driver-side float arithmetic to disagree with the
+    oracle); candidates in probed cells score exactly. Every stage —
+    assignment, probe ranking, final top-k — reproduces in SQL from the
+    same centroid literals, so the driver hash-checks the full IVF
+    pipeline. Fixed centroids trade recall for checkability; production
+    uses the trained quantizer + partition-pruned layout
+    (:func:`ivf_build_index`)."""
+    dots = F.array(*[
+        dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+        for c in centroids])
+    tagged = (embeddings.withColumn("__ds", dots)
+              .withColumn("__cell",
+                          F.array_position(F.col("__ds"),
+                                           F.array_max("__ds"))
+                          .cast("long")))
+    q = (tagged.filter(F.col(id_col) == query_id)
+         .select(F.col(vec_col).alias("__qv"), F.col("__ds").alias("__qds")))
+    qc = (q.select(F.posexplode("__qds").alias("__i", "__d"))
+          .select((F.col("__i") + 1).cast("long").alias("__cell"), "__d")
+          .orderBy(F.desc("__d"), "__cell").limit(nprobe)
+          .select("__cell"))
+    cand = (tagged.filter(F.col(id_col) != query_id)
+            .join(F.broadcast(qc), "__cell")
+            .crossJoin(F.broadcast(q.select("__qv")))
+            .select(F.col(id_col),
+                    cosine_similarity(F.col(vec_col), F.col("__qv"))
+                    .alias("cosine_sim")))
+    top = cand.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return top.select(F.row_number().over(w).cast("long").alias("rank"),
+                      F.col(id_col), F.col("cosine_sim"))
 
 
 def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,

@@ -1482,6 +1482,58 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           exclude_id=0)
 
 
+def _ivf_centroids():
+    from data_services_spark.operators.similarity import hyperplane_planes
+    return hyperplane_planes(64, 8, seed=11)
+
+
+def _ivf_dots_sql(vec_expr: str) -> str:
+    return "[" + ", ".join(
+        "list_dot_product(CAST(%s AS DOUBLE[]), [%s])"
+        % (vec_expr, ", ".join(repr(x) for x in c))
+        for c in _ivf_centroids()) + "]"
+
+
+@register("ivf_fixed_topk", f"""
+WITH tagged AS (
+    SELECT vec_id, embedding,
+           list_position(ds, list_max(ds)) AS cell, ds
+    FROM (SELECT vec_id, embedding, {_ivf_dots_sql('embedding')} AS ds
+          FROM embeddings)
+), q AS (
+    SELECT embedding AS qe, ds AS qds FROM tagged WHERE vec_id = 0
+), qc AS (
+    SELECT cell FROM (
+        SELECT unnest(q.qds) AS d,
+               unnest(range(1, 9)) AS cell
+        FROM q
+    ) ORDER BY d DESC, cell LIMIT 2
+), scored AS (
+    SELECT t.vec_id,
+           list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                  CAST(q.qe AS DOUBLE[])) AS sim
+    FROM tagged t JOIN qc USING (cell), q
+    WHERE t.vec_id <> 0
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+""")
+def ivf_fixed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: the exactly-checked IVF twin — fixed literal centroids (the
+    seeded hyperplane family reused as a coarse quantizer) make every
+    stage of the IVF pipeline SQL-expressible: argmax-dot cell
+    assignment, nprobe cell ranking from the query's own dots, exact
+    scoring inside probed cells. Upgrades IVF from a rows-only driver
+    check to a full value-hash oracle; the trained-quantizer production
+    path stays `ivf_topk`."""
+    from data_services_spark.operators.similarity import ivf_fixed_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return (ivf_fixed_topk(e, query_id=0, centroids=_ivf_centroids(),
+                           k=10, nprobe=2)
+            .select("rank", "vec_id"))
+
+
 @register("knn_per_label", """
 WITH pairs AS (
     SELECT a.vec_id, b.vec_id AS nn_id,
@@ -3409,7 +3461,9 @@ PRIORITY = (
     "text_dedup_exact", "corpus_dedup", "contamination",
     "minhash_lsh_md5", "near_dup_verified", "simhash_md5", "dedup_components",
     # LLM-pipeline: similarity / text / multimodal
-    "knn_cosine", "ann_lsh_topk", "ivf_topk", "embedding_near_dup",
+    # (ivf_fixed_topk is the exactly-checked IVF twin; the trained
+    # production path ivf_topk is tail-swept rows-only + recall-tested)
+    "knn_cosine", "ann_lsh_topk", "ivf_fixed_topk", "embedding_near_dup",
     "text_token_stats", "text_quality", "lang_id",
     "multimodal_meta", "multimodal_decode",
 )
