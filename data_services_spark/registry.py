@@ -3426,6 +3426,85 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
 
 
+@register("fuzzy_dedup", """
+WITH pref AS (
+    SELECT doc_id, lang, n_chars // 20 AS lbucket,
+           substr(lower(trim(text)), 1, 30) AS p
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+FROM pref a JOIN pref b
+  ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 3
+""")
+def fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: documents in the same (lang,
+    length-bucket) block whose normalized 30-char prefixes are within
+    Levenshtein distance 3. The third dedup family next to token-set
+    Jaccard and embedding cosine — catches character-level noise
+    (OCR errors, encoding damage) that token hashing misses. Blocking
+    bounds the quadratic: candidate pairs are per-(lang, bucket) and the
+    O(len^2) DP runs on fixed 30-char prefixes only; at corpus scale
+    the same pattern blocks on MinHash buckets instead of length."""
+    d = load_table(spark, sf_dir, "documents")
+    pref = d.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 20).alias("lbucket"),
+        F.substring(F.lower(F.trim("text")), 1, 30).alias("p"))
+    a, b = pref.alias("a"), pref.alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.lbucket") == F.col("b.lbucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .filter(dist <= 3)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    dist.cast("long").alias("edit_dist")))
+
+
+@register("outlier_zscore", """
+WITH st AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS DECIMAL(38,0)))
+                AS DOUBLE) AS s1,
+           CAST(SUM(CAST(round(value * 1000000) AS DECIMAL(38,0))
+                    * CAST(round(value * 1000000) AS DECIMAL(38,0)))
+                AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+), z AS (
+    SELECT e.event_id, e.event_type,
+           (e.value - s1 / n / 1e6)
+           / sqrt((s2 - s1 * s1 / n) / (n - 1) / 1e12) AS zscore
+    FROM events e JOIN st USING (event_type)
+)
+SELECT event_id, event_type, zscore FROM z WHERE abs(zscore) > 2.5
+""")
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flags: events whose value sits more
+    than 2.5 sample standard deviations from their event type's mean.
+    Mean/variance come from the exact decimal-quantized sums (the
+    stats_exact discipline — order-independent under shuffle), finished
+    in double with the identical expression tree on both engines so the
+    z-scores are bit-equal. Two-pass shape: one tiny per-type aggregate
+    broadcast back over the events scan — no window, no global sort."""
+    e = load_table(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 1000000).cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    st = (e.groupBy("event_type")
+          .agg(n.alias("n"), F.sum(q).cast("double").alias("s1"),
+               F.sum(q * q).cast("double").alias("s2")))
+    z = (e.join(F.broadcast(st), "event_type")
+         .select("event_id", "event_type",
+                 ((F.col("value") - F.col("s1") / F.col("n") / F.lit(1e6))
+                  / F.sqrt((F.col("s2")
+                            - F.col("s1") * F.col("s1") / F.col("n"))
+                           / (F.col("n") - F.lit(1)) / F.lit(1e12)))
+                 .alias("zscore")))
+    return z.filter(F.abs(F.col("zscore")) > 2.5)
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------
