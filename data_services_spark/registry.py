@@ -1051,14 +1051,23 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     the availableNow trigger. Checked against the same batch oracle as
     `tumbling_window` — the design rule that every streaming transform has a
     batch twin with identical results (streaming/events.py)."""
+    from data_services_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink, stream_tumbling_counts)
+    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+    out = run_to_memory_sink(stream_tumbling_counts(stream),
+                             name="__bench_stream_tumbling",
+                             output_mode="complete")
+    return out.select(_ms("window_start").alias("window_start_ms"),
+                      "event_type", "n", "sum_value")
+
+
+def _stream_events_dir(sf_dir: str) -> str:
+    """Stable symlink dir exposing events.parquet to file-source streams
+    (streams read directories; a real deployment streams a landing dir)."""
     import hashlib
     import os
     import tempfile
 
-    from data_services_spark.streaming.events import (
-        read_event_stream, run_to_memory_sink, stream_tumbling_counts)
-    # file-source streams read *directories*; expose the single parquet file
-    # through a stable symlink dir (a real deployment streams a landing dir)
     src = os.path.join(sf_dir, "events.parquet")
     d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_"
                      + hashlib.md5(src.encode()).hexdigest()[:12])
@@ -1066,12 +1075,72 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    stream = read_event_stream(spark, d)
-    out = run_to_memory_sink(stream_tumbling_counts(stream),
-                             name="__bench_stream_tumbling",
+    return d
+
+
+@register("stream_sliding", """
+SELECT (epoch_ms(ts) // 900000 - k) * 900000 AS window_start_ms,
+       event_type, COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+GROUP BY 1, 2
+""", cache_plan=False)  # drains a stream per call; must re-run end-to-end
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 via a REAL readStream: watermarked sliding 1h/15min counts,
+    complete-mode memory sink, availableNow drain — checked against the
+    same explicit shifted-bucket oracle as the batch `sliding_window`
+    twin."""
+    from data_services_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink)
+    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                    "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    out = run_to_memory_sink(agg, name="__bench_stream_sliding",
                              output_mode="complete")
-    return out.select(_ms("window_start").alias("window_start_ms"),
-                      "event_type", "n", "sum_value")
+    return out.select(_ms(F.col("w.start")).alias("window_start_ms"),
+                      "event_type", "n")
+
+
+@register("stream_session", """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL 30 MINUTE
+       <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
+""", cache_plan=False)  # drains a stream per call; must re-run end-to-end
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 via a REAL readStream: watermarked session windows (30-min
+    gap), availableNow drain, APPEND mode (the only mode session
+    aggregations support). Append emits exactly the sessions finalized
+    by the last watermark — end (last event + gap) <= max(ts) -
+    watermark delay — and the oracle's HAVING clause pins that
+    late-data semantics precisely: the driver hash-check covers both
+    the session assignment AND the watermark finalization rule. The
+    withheld tail (9 of 9549 sessions at sf0.01) is the streaming/batch
+    difference made explicit, not papered over."""
+    from data_services_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink, stream_session_counts)
+    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+    out = run_to_memory_sink(stream_session_counts(stream),
+                             name="__bench_stream_session",
+                             output_mode="append")
+    return out.select("user_id",
+                      _ms(F.col("session_start")).alias("session_start_ms"),
+                      "n_events")
 
 
 @register("stream_interval_join", """
@@ -1090,20 +1159,9 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and drained with availableNow. The bounded time condition is what
     lets Spark expire join state (streaming/events.py::
     stream_interval_join); the oracle is the batch range join."""
-    import hashlib
-    import os
-    import tempfile
-
     from data_services_spark.streaming.events import (
         read_event_stream, run_to_memory_sink, stream_interval_join)
-    src = os.path.join(sf_dir, "events.parquet")
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_"
-                     + hashlib.md5(src.encode()).hexdigest()[:12])
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    stream = read_event_stream(spark, d)
+    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
     views = stream.filter(F.col("event_type") == "view")
     purchases = stream.filter(F.col("event_type") == "purchase")
     return run_to_memory_sink(stream_interval_join(views, purchases),
