@@ -160,3 +160,68 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         [(u, ts, p) for u, ts, p in lrows],
         [(u, ts, s) for u, ts, s in (rrows or [(99, base, "sx")])])
     assert got == want
+
+
+def _bfs_reference(edges: list[tuple[int, int]], seeds: list[int],
+                   rounds: int) -> dict[int, int]:
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for a, b in edges:
+            if a in dist:
+                nxt[b] = min(nxt.get(b, 1 << 60), dist[a] + 1)
+        dist = nxt
+    return dist
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=1, max_size=25),
+       seeds=st.lists(st.integers(0, 12), min_size=1, max_size=3,
+                      unique=True),
+       rounds=st.integers(min_value=1, max_value=3))
+def test_bfs_levels_match_reference(spark, edges, seeds, rounds):
+    """bfs_levels == the plain-Python frontier expansion on random
+    directed graphs, and one more round never increases any distance
+    (monotone convergence)."""
+    from data_services_spark.operators.components import bfs_levels
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "s long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_levels(e, s, iterations=rounds).collect()}
+    assert got == _bfs_reference(edges, seeds, rounds)
+    more = {r["node"]: r["dist"]
+            for r in bfs_levels(e, s, iterations=rounds + 1).collect()}
+    assert all(more[n] <= d for n, d in got.items())
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 6),                      # key
+              st.sampled_from(["a", "b", "c"]),       # tracked value
+              st.booleans()),                         # key gets an update?
+    min_size=1, max_size=15))
+def test_scd2_merge_idempotent_and_conserves_opens(spark, rows):
+    """Re-applying the same batch to the merged state is a no-op (every
+    update matches the now-open version), and exactly one open row per
+    key survives any merge."""
+    from data_services_spark.operators.scd import scd2_merge
+
+    state_rows = [(k, v, 0, None) for k, v, _ in
+                  {k: (k, v, u) for k, v, u in rows}.values()]
+    upd_rows = [(k, v + "x", 100) for k, v, u in
+                {k: (k, v, u) for k, v, u in rows}.values() if u]
+    state = spark.createDataFrame(
+        state_rows, "id long, seg string, valid_from long, valid_to long")
+    upd = spark.createDataFrame(
+        upd_rows or [(99, "z", 100)],
+        "id long, seg string, eff_ms long")
+    once = scd2_merge(state, upd, ["id"], ["seg"])
+    twice = scd2_merge(once, upd, ["id"], ["seg"])
+    a = sorted(map(tuple, once.collect()), key=repr)
+    b = sorted(map(tuple, twice.collect()), key=repr)
+    assert a == b
+    opens = (once.filter(F.col("valid_to").isNull())
+             .groupBy("id").count().filter("count > 1").count())
+    assert opens == 0
