@@ -3484,6 +3484,34 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
 
 
+@register("q12_priority_lines", """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""")
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the fixture has no l_shipmode/receiptdate, so
+    linestatus stands in for shipmode and shipdate for the receipt
+    window): fact-fact equi join + two-way conditional counts. Completes
+    the numbered TPC-H shape set q1-q22. Plan: both scans filter-pushed,
+    one join keyed on orderkey, CASE counts fold map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1997-01-01"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
 @register("fuzzy_dedup", """
 WITH pref AS (
     SELECT doc_id, lang, n_chars // 20 AS lbucket,
