@@ -3484,6 +3484,49 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
 
 
+@register("corpus_report", f"""
+WITH d AS (
+    SELECT doc_id, source, lang,
+           sha256(lower(trim(text))) AS h,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), dup AS (
+    SELECT doc_id, source, lang, n_tokens,
+           COUNT(*) OVER (PARTITION BY h) > 1 AS is_dup
+    FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       SUM(n_tokens) AS total_tokens,
+       {sql_davg('n_tokens', 'avg_tokens')}
+FROM dup GROUP BY source
+""")
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation report — the summary a data-curation
+    pass hands back: doc counts, how many docs are exact duplicates of
+    ANYTHING in the whole corpus (cross-source, via a count-over-hash
+    window), language spread, token volume. Composition of the L1 hash
+    dedup and L5 token stats kernels; one shuffle for the hash window,
+    one for the per-source aggregate."""
+    from data_services_spark.operators.text import tokenize
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.sha2(F.lower(F.trim("text")), 256).alias("h"),
+        F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    dup = d.withColumn(
+        "is_dup", F.count(F.lit(1)).over(Window.partitionBy("h")) > 1)
+    return (dup.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .alias("n_dup_docs"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 davg("n_tokens", "avg_tokens")))
+
+
 @register("q12_priority_lines", """
 SELECT l_linestatus,
        SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
