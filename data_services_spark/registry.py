@@ -3484,6 +3484,45 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
 
 
+@register("winsorize_qty", f"""
+WITH b AS (
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.05) AS lo,
+           quantile_cont(l_quantity, 0.95) AS hi
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       SUM(CASE WHEN l_quantity < lo OR l_quantity > hi
+                THEN 1 ELSE 0 END) AS n_clipped,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('LEAST(GREATEST(l_quantity, lo), hi)', 'sum_qty_wins')}
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+""")
+def winsorize_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping), the standard robust-stats
+    cleanup: clip each group's values to its [p05, p95] band before
+    aggregating. Two-pass shape — a tiny per-group exact-percentile
+    aggregate broadcast back over the scan; deterministic because
+    l_quantity is integer-valued so percentile interpolation lands on
+    exact binary fractions in both engines (percentile_qty's contract),
+    and the clipped sums accumulate via exact dsum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    b = (l.groupBy("l_returnflag")
+         .agg(F.percentile("l_quantity", 0.05).alias("lo"),
+              F.percentile("l_quantity", 0.95).alias("hi")))
+    j = l.join(F.broadcast(b), "l_returnflag")
+    clipped = F.least(F.greatest(F.col("l_quantity"), F.col("lo")),
+                      F.col("hi"))
+    out_of_band = (F.col("l_quantity") < F.col("lo")) \
+        | (F.col("l_quantity") > F.col("hi"))
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(F.when(out_of_band, 1).otherwise(0))
+                 .alias("n_clipped"),
+                 dsum("l_quantity", "sum_qty"),
+                 dsum(clipped, "sum_qty_wins")))
+
+
 @register("corpus_report", f"""
 WITH d AS (
     SELECT doc_id, source, lang,
