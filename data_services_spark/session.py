@@ -52,6 +52,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesce target. The 64MB default collapses sub-100MB final
+    # stages to ONE partition, serializing the Arrow result fetch on a
+    # single thread — at sf0.1 that is 17% of kgx_edge_merge's wall time
+    # (measured 3.02s -> 2.52s at 4MB; 2MB and below regress on task
+    # overhead). Size-dependent by nature: at cluster scale against TB
+    # shuffles set 64-256MB — partition COUNT there is bounded by
+    # data/advisory regardless, and fetch parallelism stops being the
+    # bottleneck the moment results stop flowing to one driver.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
