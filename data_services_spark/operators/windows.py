@@ -72,3 +72,44 @@ def sliding(events: DataFrame, ts_col: str, duration: str, slide: str,
             .agg(*aggs)
             .withColumn("window_start_ms", _ms(F.col("__w.start")))
             .drop("__w"))
+
+
+def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
+                         value: Column | str, out: str,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Global running sum WITHOUT a single-partition sort — the two-pass
+    prefix-sum decomposition for the pattern `SUM(x) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)` that otherwise funnels the whole table
+    through one task (token packing, interval sweeps, batch numbering
+    all hit it).
+
+    Pass 1: range-partition on `order_cols` (global order preserved
+    ACROSS partitions), run the within-partition prefix sum. Pass 2:
+    per-partition totals — one tiny row per partition — cumulate on the
+    driver-side-sized frame and broadcast back as offsets. The big table
+    is touched by exactly one range shuffle and one broadcast join; the
+    only single-partition window runs over `num_partitions` rows.
+
+    `order_cols` must be a total order (tie-break explicitly), exactly
+    as the single-window form requires for determinism. Exact for
+    integer/long values; for doubles feed a quantized column
+    (functions/numeric.py) so partial sums are order-independent.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    oc = [F.col(c) for c in order_cols]
+    d = (df.repartitionByRange(num_partitions, *oc) if num_partitions
+         else df.repartitionByRange(*oc))
+    d = d.withColumn("__pid", F.spark_partition_id())
+    w_in = (Window.partitionBy("__pid").orderBy(*oc)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    t = d.withColumn("__run", F.sum(v).over(w_in))
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (t.groupBy("__pid").agg(F.sum(v).alias("__tot"))
+               .withColumn("__off",
+                           F.coalesce(F.sum("__tot").over(w_off),
+                                      F.lit(0).cast("long")))
+               .select("__pid", "__off"))
+    return (t.join(F.broadcast(offsets), "__pid")
+            .withColumn(out, F.col("__run") + F.col("__off"))
+            .drop("__pid", "__run", "__off"))

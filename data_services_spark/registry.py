@@ -3484,6 +3484,37 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
 
 
+@register("running_sum_scalable", """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running_tokens
+FROM toks
+""")
+def running_sum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global running sum computed by the two-pass prefix-sum
+    decomposition (operators/windows.py::scalable_running_sum) instead
+    of a single-partition window: range-partition on the order key,
+    within-partition prefix sums, per-partition totals cumulated over
+    one tiny row-per-partition frame and broadcast back as offsets.
+    Identical output to the oracle's plain `SUM OVER (ORDER BY)` — the
+    driver hash-check proves the decomposition — with no stage that
+    funnels the table through one task. This is the drop-in scale form
+    for every ORDER-BY-running-total in the registry (token_packing,
+    interval_concurrency, length_batching)."""
+    from data_services_spark.operators.text import tokenize
+    from data_services_spark.operators.windows import scalable_running_sum
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    return scalable_running_sum(d, ["doc_id"], "n_tokens",
+                                "running_tokens", num_partitions=8)
+
+
 @register("winsorize_qty", f"""
 WITH b AS (
     SELECT l_returnflag,

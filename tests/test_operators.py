@@ -584,3 +584,23 @@ def test_bfs_checkpointed_matches_lazy_and_frees_blocks(spark):
                            (10, 0), (11, 1)}
     # only the final round's checkpoint may stay pinned
     assert after - before <= 1
+
+
+def test_scalable_running_sum_matches_window_and_distributes(spark):
+    from data_services_spark.operators.windows import scalable_running_sum
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(500)], "k long, v long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {(r["k"], r["s"]) for r in
+            df.withColumn("s", F.sum("v").over(w)).collect()}
+    out = scalable_running_sum(df, ["k"], "v", "s", num_partitions=7)
+    got = {(r["k"], r["s"]) for r in out.collect()}
+    assert got == want
+    # the big table must NOT pass through a single task: row counts per
+    # partition of the decomposed form stay well below the total
+    sizes = [r["n"] for r in
+             out.groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(sizes) < 500
