@@ -3484,6 +3484,68 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
 
 
+@register("length_batching_scalable", """
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), b AS (
+    SELECT quantile_cont(n_tokens, 0.125) AS b1,
+           quantile_cont(n_tokens, 0.25)  AS b2,
+           quantile_cont(n_tokens, 0.375) AS b3,
+           quantile_cont(n_tokens, 0.5)   AS b4,
+           quantile_cont(n_tokens, 0.625) AS b5,
+           quantile_cont(n_tokens, 0.75)  AS b6,
+           quantile_cont(n_tokens, 0.875) AS b7
+    FROM toks
+), bucketed AS (
+    SELECT doc_id, n_tokens,
+           1 + (CASE WHEN n_tokens > b1 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_tokens > b2 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_tokens > b3 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_tokens > b4 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_tokens > b5 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_tokens > b6 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_tokens > b7 THEN 1 ELSE 0 END)
+           AS len_bucket
+    FROM toks, b
+)
+SELECT doc_id, n_tokens, CAST(len_bucket AS BIGINT) AS len_bucket,
+       CAST((row_number() OVER (PARTITION BY len_bucket
+                                ORDER BY n_tokens, doc_id) - 1) // 16
+            AS BIGINT) AS batch_id
+FROM bucketed
+""")
+def length_batching_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of `length_batching`: bucket BOUNDS come from one
+    tiny percentile aggregate broadcast back over the scan, and rows
+    assign themselves by comparison — no global ntile sort, so the only
+    windows left are per-bucket. Deterministic cross-engine because the
+    token counts are integers: quantile interpolation at eighths lands
+    on exact binary fractions in both engines (the percentile_qty
+    contract). Bucket populations are approximately equal instead of
+    exactly equal — the trade that removes the single-partition stage."""
+    from data_services_spark.operators.text import tokenize
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id",
+                 F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    qs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    b = t.agg(*[F.percentile("n_tokens", q).alias(f"b{i+1}")
+                for i, q in enumerate(qs)])
+    j = t.crossJoin(F.broadcast(b))
+    bucket = F.lit(1)
+    for i in range(1, 8):
+        bucket = bucket + F.when(F.col("n_tokens") > F.col(f"b{i}"), 1) \
+            .otherwise(0)
+    bt = j.select("doc_id", "n_tokens",
+                  bucket.cast("long").alias("len_bucket"))
+    wb = Window.partitionBy("len_bucket").orderBy("n_tokens", "doc_id")
+    return bt.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
+
+
 @register("running_sum_scalable", """
 WITH toks AS (
     SELECT doc_id,
