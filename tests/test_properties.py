@@ -225,3 +225,31 @@ def test_scd2_merge_idempotent_and_conserves_opens(spark, rows):
     opens = (once.filter(F.col("valid_to").isNull())
              .groupBy("id").count().filter("count > 1").count())
     assert opens == 0
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.integers(-1_000_000, 1_000_000),
+                     min_size=1, max_size=40),
+       parts=st.integers(min_value=1, max_value=6),
+       shuffle_seed=st.integers(0, 3))
+def test_scalable_running_sum_matches_sequential_prefix(spark, vals,
+                                                        parts, shuffle_seed):
+    """The two-pass prefix-sum decomposition == a plain Python cumulative
+    sum in key order, for any requested partition count and any input row
+    order (the no-single-partition-sort claim SCALE.md makes for
+    running_sum_scalable / token_packing / length batching)."""
+    import random
+
+    from data_services_spark.operators.windows import scalable_running_sum
+
+    rows = list(enumerate(vals))  # unique keys -> total order
+    random.Random(shuffle_seed).shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.run for r in
+           scalable_running_sum(df, ["k"], "v", "run",
+                                num_partitions=parts).collect()}
+    acc, want = 0, {}
+    for k, v in sorted(enumerate(vals)):
+        acc += v
+        want[k] = acc
+    assert got == want
