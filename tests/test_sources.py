@@ -155,3 +155,32 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "ReadSchema" in plan
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "val" in rs and "id" not in rs
+
+
+def test_quality_suite_one_pass_semantics(spark):
+    """Constraint suite: exact fractions, NULLs fail their predicate,
+    empty table is vacuously green except the row floor."""
+    from data_services_spark.plans.quality import (
+        in_range, min_rows, not_null, run_suite, unique)
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, None), (4, 999.0)],
+        "id long, v double")
+    rep = {r["check"]: r for r in run_suite(df, [
+        not_null("v"), unique("id"), in_range("v", 0, 100, threshold=0.5),
+        min_rows(10),
+    ]).collect()}
+    assert rep["not_null:v"]["metric"] == 0.75
+    assert not rep["not_null:v"]["passed"]
+    assert rep["unique:id"]["metric"] == 0.75
+    assert rep["in_range:v"]["metric"] == 0.5  # NULL counts as out-of-range
+    assert rep["in_range:v"]["passed"]
+    assert not rep["min_rows:10"]["passed"]
+
+    empty = df.filter("id < 0")
+    rep0 = {r["check"]: r for r in run_suite(empty, [
+        not_null("v"), unique("id"), min_rows(1),
+    ]).collect()}
+    assert rep0["not_null:v"]["metric"] == 1.0 and rep0["not_null:v"]["passed"]
+    assert rep0["unique:id"]["passed"]
+    assert not rep0["min_rows:1"]["passed"]
