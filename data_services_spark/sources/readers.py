@@ -42,6 +42,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str,
+                         schema: StructType | str | None = None) -> DataFrame:
+    """Parquet scan across schema generations — a long-lived ETL landing
+    zone accumulates files written before and after a column was added
+    (the reference re-parses whole sources on schema change; an engine
+    should just read through it). With ``schema=None`` Spark merges all
+    file footers (`mergeSchema`): correct, but at 100 TB that is one
+    footer read per file at planning time — pass the current superset
+    ``schema`` explicitly instead, which skips the merge pass entirely
+    and null-fills columns missing from old files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("mergeSchema", True)
+    return reader.parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning contract as parquet
     (PushedFilters + ReadSchema reach the scan; asserted in

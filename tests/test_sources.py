@@ -184,3 +184,26 @@ def test_quality_suite_one_pass_semantics(spark):
     assert rep0["not_null:v"]["metric"] == 1.0 and rep0["not_null:v"]["passed"]
     assert rep0["unique:id"]["passed"]
     assert not rep0["min_rows:1"]["passed"]
+
+
+def test_parquet_schema_evolution_reads_both_generations(spark, tmp_path):
+    """Files written before and after a column was added scan as one
+    table: merged footers when no schema is given, no merge pass when
+    the superset schema is passed explicitly (the 100 TB path)."""
+    from data_services_spark.sources.readers import read_parquet_evolved
+
+    p = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string") \
+        .write.mode("overwrite").parquet(p)
+    spark.createDataFrame([(3, "c", 0.5)],
+                          "id long, name string, score double") \
+        .write.mode("append").parquet(p)
+
+    merged = read_parquet_evolved(spark, p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[3] == 0.5
+
+    explicit = read_parquet_evolved(
+        spark, p, "id long, name string, score double")
+    assert {r.id: r.score for r in explicit.collect()} == rows
