@@ -3821,6 +3821,44 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@register("agg_incremental", """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 1000000) AS DECIMAL(38,0)))
+            AS DOUBLE) / 1e6 AS total,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       CAST(SUM(CAST(round(value * 1000000) AS DECIMAL(38,0)))
+            AS DOUBLE) / 1e6 / COUNT(*) AS avg_value
+FROM events GROUP BY user_id
+""")
+def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/incremental.py): the
+    per-user summary is built from 80% of the facts, then a 20% delta
+    batch is folded in by MERGING PARTIAL AGGREGATES — the base facts
+    are never rescanned, cost O(delta + touched state). The oracle is
+    the one-shot GROUP BY over all facts, so the driver hash proves
+    incremental == batch exactly. Sums ride the quantized-decimal
+    discipline (order-independent under shuffle); the average is derived
+    at read time from mergeable sum + count — never stored in state."""
+    from data_services_spark.operators.incremental import (
+        agg_state, merge_agg_state)
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.round(F.col("value") * 1000000)
+         .cast("decimal(38,0)").alias("q"))
+    base = e.filter(F.col("event_id") % 5 != 0)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+    specs = {"n": ("count", "*"), "qsum": ("sum", "q"),
+             "vmin": ("min", "value"), "vmax": ("max", "value")}
+    merged = merge_agg_state(agg_state(base, ["user_id"], specs),
+                             delta, ["user_id"], specs)
+    total = F.col("qsum").cast("double") / F.lit(1e6)
+    return merged.select(
+        "user_id", "n", total.alias("total"), "vmin", "vmax",
+        (total / F.col("n")).alias("avg_value"))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------

@@ -111,3 +111,33 @@ def test_merge_nodes_matches_duckdb(spark, duck):
 
     assert_same_result(QUERIES["kgx_node_merge"](spark, SF_DIR), duck,
                        ORACLES["kgx_node_merge"])
+
+
+def test_incremental_agg_state_merge(spark):
+    """Delta-only keys appear, state-only keys carry through untouched,
+    shared keys merge pairwise; avg derives from sum+count at read time
+    (a stored average would weight the delta wrongly — the classic bug)."""
+    import pytest
+
+    from data_services_spark.operators.incremental import (
+        agg_state, finish_avg, merge_agg_state)
+
+    specs = {"n": ("count", "*"), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")}
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long")
+    delta = spark.createDataFrame(
+        [("a", 30), ("c", 7)], "k string, v long")
+    state = agg_state(base, ["k"], specs)
+    merged = {r.k: r for r in
+              merge_agg_state(state, delta, ["k"], specs).collect()}
+    assert (merged["a"].n, merged["a"].s, merged["a"].lo,
+            merged["a"].hi) == (3, 60, 10, 30)
+    assert (merged["b"].n, merged["b"].s) == (1, 5)      # untouched
+    assert (merged["c"].n, merged["c"].s) == (1, 7)      # new group
+    avg = {r.k: r.m for r in finish_avg(
+        merge_agg_state(state, delta, ["k"], specs),
+        "m", "s", "n").collect()}
+    assert avg["a"] == 20.0  # (10+20+30)/3, NOT mean(mean(10,20), 30)=22.5
+    with pytest.raises(ValueError, match="non-mergeable"):
+        merge_agg_state(state, delta, ["k"], {"m": ("avg", "v")})
