@@ -230,3 +230,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id",
                        guess.alias("lang_guess"),
                        F.greatest(*hits.values()).alias("marker_hits"))
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-vectorized Pandas UDF —
+    corpus text arrives in mixed composed/decomposed forms (OCR, web
+    scrapes, legacy encodings), and every downstream exact-dedup hash,
+    shingle, and tokenizer sees NFC'd bytes or misses duplicates that
+    differ only in combining-mark order. No JVM builtin covers Unicode
+    normalization, so this is a designed Python boundary: pandas
+    `.str.normalize` runs ICU-grade NFC per Arrow batch (one boundary,
+    no per-row py4j). Returns the UDF; apply as a Column expression."""
+    import pandas as pd  # noqa: F401  (documents the vectorized path)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc

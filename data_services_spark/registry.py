@@ -3859,6 +3859,36 @@ def agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total / F.col("n")).alias("avg_value"))
 
 
+@register("text_nfc", """
+WITH dec AS (
+    SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+    FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS norm_text,
+       CAST(len(raw) - len(nfc_normalize(raw)) AS BIGINT) AS composed_pairs
+FROM dec
+""")
+def text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/text.py::nfc_normalize_udf)
+    — the corpus-cleaning step before any exact-dup hash or shingle.
+    The fixture text is ASCII (already NFC), so the query first
+    DEcomposes it (every 'e' -> 'e' + U+0301 combining acute) and then
+    normalizes; NFC must compose each pair back to a single 'é'. The
+    oracle runs DuckDB's nfc_normalize over the same decomposition, so
+    the hash check proves the Arrow-vectorized pandas boundary
+    implements the same Unicode normal form, and `composed_pairs`
+    (codepoints removed by composition) is checked per document."""
+    from data_services_spark.operators.text import nfc_normalize_udf
+    nfc = nfc_normalize_udf()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "e", "e\u0301").alias("raw"))
+    return d.select(
+        "doc_id", nfc(F.col("raw")).alias("norm_text"),
+        (F.length("raw") - F.length(nfc(F.col("raw"))))
+        .cast("long").alias("composed_pairs"))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------

@@ -60,3 +60,23 @@ def test_repetition_score_flags_looping_text(spark):
     assert abs(rows[0].dup_frac - 0.75) < 1e-12
     assert rows[1].dup_frac == 0.0
     assert rows[2].n_grams == 1 and rows[2].dup_frac == 0.0
+
+
+def test_nfc_normalization_composes_and_is_idempotent(spark):
+    """Decomposed e+U+0301 composes to U+00E9; NFC(NFC(x)) == NFC(x)."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.text import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    df = spark.createDataFrame(
+        [("a", "cafe\u0301"), ("b", "plain"), ("c", None)],
+        "id string, t string")
+    out = {r.id: r.n for r in
+           df.select("id", nfc(F.col("t")).alias("n")).collect()}
+    assert out["a"] == "caf\u00e9"
+    assert out["b"] == "plain"
+    assert out["c"] is None
+    twice = {r.id: r.n for r in
+             df.select("id", nfc(nfc(F.col("t"))).alias("n")).collect()}
+    assert twice == out
