@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from data_services_spark.catalog import load_table, load_tables
 from data_services_spark.functions.numeric import (
@@ -3887,6 +3887,44 @@ def text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", nfc(F.col("raw")).alias("norm_text"),
         (F.length("raw") - F.length(nfc(F.col("raw"))))
         .cast("long").alias("composed_pairs"))
+
+
+@register("unpivot_metrics", """
+WITH w AS (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_quantity * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100 AS sum_price,
+           CAST(SUM(CAST(round(l_discount * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100 AS sum_disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+""")
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9's inverse — wide metric columns melted to (key, metric, value)
+    long form via DataFrame.unpivot (Catalyst Expand: one projection per
+    metric over the already-tiny aggregate, no extra scan or shuffle).
+    The wide aggregate rides the quantized-decimal sums so the melted
+    doubles are bit-equal to the oracle's UNION ALL formulation."""
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def q(col: str) -> Column:
+        return (F.sum(F.round(F.col(col) * 100).cast("decimal(38,0)"))
+                .cast("double") / F.lit(100))
+
+    wide = l.groupBy("l_returnflag").agg(
+        q("l_quantity").alias("sum_qty"),
+        q("l_extendedprice").alias("sum_price"),
+        q("l_discount").alias("sum_disc"))
+    return wide.unpivot(["l_returnflag"],
+                        ["sum_disc", "sum_price", "sum_qty"],
+                        "metric", "value")
 
 
 # ---------------------------------------------------------------------------
