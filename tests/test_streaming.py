@@ -320,3 +320,52 @@ def test_stream_interval_join_equals_batch(spark, events_dir):
     key = lambda r: (r.user_id, r.purchase_id, r.view_id, r.gap_us)
     assert len(got) > 0
     assert sorted(map(key, got)) == sorted(map(key, batch))
+
+
+def test_streaming_incremental_rollup_equals_batch(spark, tmp_path):
+    """Streaming materialized view: foreachBatch folds each micro-batch
+    into a persisted aggregate state via merge_agg_state (base facts
+    never rescanned); after the stream drains, the state table equals
+    the one-shot batch GROUP BY over everything that streamed."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.incremental import (
+        agg_state, merge_agg_state)
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "b.parquet")
+    state_root = tmp_path / "state"
+    specs = {"n": ("count", "*"), "qsum": ("sum", "q"),
+             "vmin": ("min", "value"), "vmax": ("max", "value")}
+
+    def prep(df):
+        return df.select(
+            "user_id", "value",
+            F.round(F.col("value") * 1000000).cast("long").alias("q"))
+
+    def fold(batch_df, batch_id):
+        gens = sorted(int(p.name) for p in state_root.iterdir()) \
+            if state_root.exists() else []
+        delta = prep(batch_df)
+        if gens:
+            prev = spark.read.parquet(str(state_root / str(gens[-1])))
+            out = merge_agg_state(prev, delta, ["user_id"], specs)
+        else:
+            out = agg_state(delta, ["user_id"], specs)
+        out.write.parquet(str(state_root / str(batch_id)))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    gens = sorted(int(p.name) for p in state_root.iterdir())
+    assert len(gens) >= 2  # maxFilesPerTrigger=1 -> one fold per file
+    final = spark.read.parquet(str(state_root / str(gens[-1])))
+    want = agg_state(prep(spark.read.parquet(str(src))),
+                     ["user_id"], specs)
+    assert sorted(map(tuple, final.collect()), key=repr) == \
+           sorted(map(tuple, want.collect()), key=repr)
