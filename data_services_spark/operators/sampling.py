@@ -161,3 +161,49 @@ def pack_by_token_budget(docs: DataFrame, budget: int,
                        prefix.cast("long").alias("__p")) \
         .select(doc_id, "n_tokens",
                 F.expr(f"__p div {budget}").alias("chunk_id"))
+
+
+def heavy_hitters(tokens: DataFrame, term_col: str,
+                  min_count: int) -> DataFrame:
+    """Terms with exact global frequency >= min_count, WITHOUT shuffling
+    the whole vocabulary — the two-pass heavy-hitters decomposition.
+
+    Pass 1 (propose): count terms per input partition behind one Arrow
+    boundary (mapInPandas — no exchange touches the full token stream)
+    and keep local heavies: if a term's global count is >= s, then with
+    P partitions some partition holds >= ceil(s/P) of it (pigeonhole),
+    so the candidate set provably contains every true heavy hitter.
+    Pass 2 (verify): exact-count ONLY the candidates — a broadcast
+    semi-join prunes the token stream, partial aggregation combines
+    map-side, and the one shuffle carries at most |candidates| x P
+    rows instead of the vocabulary.
+
+    The candidate set varies with partition layout; the OUTPUT does not
+    (pass 2 re-filters on the exact global count), so the result equals
+    `GROUP BY term HAVING COUNT(*) >= s` exactly — the oracle the
+    registry query hash-checks. At 100 TB this is the only viable form:
+    a Zipf vocabulary's long tail dominates the full groupBy shuffle,
+    while candidates are a handful of stopword-like heads."""
+    import math
+
+    sc = tokens.sparkSession.sparkContext
+    num_parts = max(1, tokens.rdd.getNumPartitions())
+    local_floor = max(1, math.ceil(min_count / num_parts))
+
+    def _local_counts(batches):
+        import pandas as pd
+
+        counts = {}
+        for b in batches:
+            for t, c in b[term_col].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+        heavy = [t for t, c in counts.items() if c >= local_floor]
+        yield pd.DataFrame({term_col: heavy})
+
+    candidates = (tokens.select(term_col)
+                  .mapInPandas(_local_counts, f"{term_col} string")
+                  .distinct())
+    pruned = tokens.join(F.broadcast(candidates), term_col, "left_semi")
+    return (pruned.groupBy(term_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count))

@@ -3927,6 +3927,30 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "metric", "value")
 
 
+@register("heavy_hitters", """
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+)
+SELECT term, COUNT(*) AS n
+FROM toks GROUP BY term HAVING COUNT(*) >= 500
+""")
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters by the two-pass propose/verify decomposition
+    (operators/sampling.py::heavy_hitters): per-partition local counts
+    behind one Arrow boundary propose candidates (pigeonhole: a term
+    with global count >= s exceeds s/P in some partition, so no true
+    heavy is missed), then only candidates are exactly recounted — the
+    vocabulary's Zipf tail never crosses a shuffle. Output is provably
+    partition-layout-independent and hash-matches the plain
+    GROUP BY ... HAVING oracle."""
+    from data_services_spark.operators.sampling import heavy_hitters
+    from data_services_spark.operators.text import tokenize
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("term"))
+    return heavy_hitters(toks, "term", 500)
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------

@@ -91,3 +91,22 @@ def test_stratified_sample_is_deterministic_per_stratum(spark):
     # a stratum missing from the fraction map defaults to dropped
     e = spark.createDataFrame([(1, "other")], "doc_id long, lang string")
     assert stratified_sample(e, "lang", {"head": 0.5}).count() == 0
+
+
+def test_heavy_hitters_partition_invariant_and_exact(spark):
+    """The candidate set depends on partition layout; the OUTPUT must
+    not — any repartitioning yields exactly GROUP BY ... HAVING."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.sampling import heavy_hitters
+
+    rows = ([("the",)] * 40 + [("of",)] * 25 + [("rare%d" % i,)
+            for i in range(30)] * 2)
+    df = spark.createDataFrame(rows, "term string")
+    want = {("the", 40), ("of", 25)}
+    for parts in (1, 3, 16):
+        got = {(r.term, r.n) for r in
+               heavy_hitters(df.repartition(parts), "term", 25).collect()}
+        assert got == want, parts
+    # threshold above every count -> empty, not an error
+    assert heavy_hitters(df, "term", 1000).count() == 0
