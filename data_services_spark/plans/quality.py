@@ -113,3 +113,25 @@ def run_suite(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
             (F.col(f"m{i}") >= F.lit(float(c.threshold))).alias("passed"),
         ) for i, c in enumerate(checks)])).alias("r")).select("r.*")
     return report.orderBy("check")
+
+
+def fk_check(fact: DataFrame, fk: str, dim: DataFrame, pk: str,
+             threshold: float = 1.0) -> DataFrame:
+    """Referential integrity as a report row: the fraction of non-null
+    fact foreign keys that resolve in the dimension. ONE lazy plan —
+    a left join on the projected key column (Catalyst broadcasts a
+    small dim; a big dim shuffles ids only, the fact row payload never
+    moves) folded into one aggregate. Returns the `run_suite` report
+    schema, so FK rows union with per-table suites into one report."""
+    dimk = (dim.select(F.col(pk).alias(fk)).distinct()
+            .withColumn("__hit", F.lit(1).cast("long")))
+    j = fact.select(F.col(fk)).join(dimk, fk, "left")
+    n = F.count(F.col(fk))                       # non-null foreign keys
+    k = F.coalesce(F.sum("__hit"), F.lit(0))     # ...that resolved
+    metric = F.when(n == 0, F.lit(1.0)).otherwise(k.cast("double") / n)
+    return j.agg(metric.alias("metric")).select(
+        F.lit(f"fk:{fk}").alias("check"),
+        F.lit(fk).alias("column"),
+        F.col("metric"),
+        F.lit(float(threshold)).alias("threshold"),
+        (F.col("metric") >= F.lit(float(threshold))).alias("passed"))

@@ -207,3 +207,16 @@ def test_parquet_schema_evolution_reads_both_generations(spark, tmp_path):
     explicit = read_parquet_evolved(
         spark, p, "id long, name string, score double")
     assert {r.id: r.score for r in explicit.collect()} == rows
+
+
+def test_fk_check_reports_dangling_keys(spark):
+    from data_services_spark.plans.quality import fk_check
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "k long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    r = fk_check(fact, "k", dim, "id").head()
+    # 3 non-null fks, 2 resolve; the null fk is excluded from the ratio
+    assert r.metric == 2 / 3 and not r.passed
+    ok = fk_check(fact.filter("k < 3"), "k", dim, "id").head()
+    assert ok.metric == 1.0 and ok.passed
