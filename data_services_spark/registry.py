@@ -4061,6 +4061,33 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_price_per_qty")).orderBy("l_returnflag")
 
 
+@register("stream_enrich", """
+SELECT e.event_id, e.user_id, n.n_name AS region_name, e.value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+""", cache_plan=False)  # drains a stream per call; must re-run end-to-end
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family stream-static enrichment: a REAL readStream over events
+    joined to the static nation dimension (streaming/events.py::
+    stream_static_enrich) — stateless, no watermark, broadcast dim,
+    append-mode memory sink drained with availableNow. The batch twin
+    is the oracle's plain inner join; every enriched row hash-matches.
+    This is the standard streaming-ETL shape for dimension lookups at
+    100 TB/day: the stream never buffers state and the dim re-reads per
+    micro-batch, so slowly-changing dims refresh without restarts."""
+    from data_services_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink, stream_static_enrich)
+    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+    dim = (load_table(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").alias("__nk"),
+                   F.col("n_name").alias("region_name")))
+    enriched = stream_static_enrich(
+        stream.withColumn("__nk", F.col("user_id") % 25), dim, "__nk")
+    out = run_to_memory_sink(
+        enriched.select("event_id", "user_id", "region_name", "value"),
+        name="__bench_stream_enrich")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------

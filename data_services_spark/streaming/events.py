@@ -106,3 +106,13 @@ def run_to_memory_sink(stream: DataFrame, name: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return stream.sparkSession.table(name)
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on) -> DataFrame:
+    """T-family stream-static join: enrich a stream against a batch
+    dimension. Stateless — no watermark, no state store; Spark re-plans
+    the static side per micro-batch (so a slowly-refreshed dim table is
+    picked up on re-read) and broadcasts it under AQE exactly as in the
+    batch twin. Append output mode; every input row emits at most once."""
+    return stream.join(F.broadcast(dim), on)
