@@ -253,3 +253,54 @@ def test_scalable_running_sum_matches_sequential_prefix(spark, vals,
         acc += v
         want[k] = acc
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(toks=st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                     min_size=1, max_size=60),
+       s=st.integers(min_value=1, max_value=20),
+       parts=st.integers(min_value=1, max_value=8))
+def test_heavy_hitters_matches_counter_reference(spark, toks, s, parts):
+    """Two-pass propose/verify == plain Counter filter, for any token
+    stream, threshold, and partition count (the pigeonhole guarantee)."""
+    from collections import Counter
+
+    from data_services_spark.operators.sampling import heavy_hitters
+
+    df = spark.createDataFrame([(t,) for t in toks], "term string")
+    got = {(r.term, r.n) for r in
+           heavy_hitters(df.repartition(parts), "term", s).collect()}
+    want = {(t, c) for t, c in Counter(toks).items() if c >= s}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 5),
+                               st.integers(-1000, 1000)),
+                     min_size=1, max_size=40),
+       cut=st.floats(min_value=0.0, max_value=1.0))
+def test_incremental_merge_matches_one_shot(spark, rows, cut):
+    """agg_state(base) folded with any delta == agg_state(all), for any
+    base/delta split point (incremental == batch on random data)."""
+    from data_services_spark.operators.incremental import (
+        agg_state, merge_agg_state)
+
+    k = int(len(rows) * cut)
+    base, delta = rows[:k], rows[k:]
+    specs = {"n": ("count", "*"), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")}
+    schema = "k long, v long"
+    all_df = spark.createDataFrame(rows, schema)
+    want = sorted(map(tuple, agg_state(all_df, ["k"], specs).collect()),
+                  key=repr)
+    if not base:
+        base_state = agg_state(all_df.filter("1=0"), ["k"], specs)
+    else:
+        base_state = agg_state(spark.createDataFrame(base, schema),
+                               ["k"], specs)
+    if not delta:
+        got_df = base_state
+    else:
+        got_df = merge_agg_state(
+            base_state, spark.createDataFrame(delta, schema), ["k"], specs)
+    assert sorted(map(tuple, got_df.collect()), key=repr) == want
