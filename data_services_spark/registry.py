@@ -4088,6 +4088,60 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("fuzzy_dedup_scalable", f"""
+WITH toksn AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' ||
+                                         t[i+2]) END AS shl
+    FROM toksn
+), ex AS (
+    SELECT doc_id, unnest(shl) AS s FROM sh
+), sig AS (
+    SELECT doc_id, {_MH_SIG_COLS} FROM ex GROUP BY doc_id
+), banded AS (
+    {_MH_BAND_SELECTS}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), pref AS (
+    SELECT doc_id, substr(lower(trim(text)), 1, 30) AS p FROM documents
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN pref pa ON pa.doc_id = c.id_a
+JOIN pref pb ON pb.doc_id = c.id_b
+WHERE levenshtein(pa.p, pb.p) <= 3
+""")
+def fuzzy_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of `fuzzy_dedup`: candidates come from banded
+    MinHash LSH (per-bucket joins — never the per-(lang, length-bucket)
+    quadratic, whose block sizes are data-dependent and unbounded at
+    corpus scale), and the O(len^2) Levenshtein DP runs ONLY on proposed
+    pairs' fixed 30-char prefixes. Same propose→verify composition the
+    Jaccard capstone uses, with edit distance as the verifier — the md5
+    hash family makes the whole pipeline exactly oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
+                             hash_family="md5").select("id_a", "id_b")
+    pref = d.select(
+        "doc_id", F.substring(F.lower(F.trim("text")), 1, 30).alias("p"))
+    pa = pref.select(F.col("doc_id").alias("id_a"),
+                     F.col("p").alias("pa"))
+    pb = pref.select(F.col("doc_id").alias("id_b"),
+                     F.col("p").alias("pb"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+            .filter(dist <= 3)
+            .select("id_a", "id_b", dist.cast("long").alias("edit_dist")))
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------
