@@ -40,6 +40,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Single-node result-fetch tuning: the 64MB AQE default collapses
+    # sub-100MB final stages to one partition, serializing the Arrow fetch
+    # (measured, see session.py). Benchmark-scale only — NOT a global.
+    os.environ.setdefault("SPARK_GRAFT_AQE_ADVISORY_BYTES",
+                          str(4 * 1024 * 1024))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -31,6 +31,38 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def idiv(num: Column, den: int) -> Column:
+    """Integral division matching DuckDB's ``//`` on BIGINTs exactly.
+
+    Both Spark's ``div`` (IntegralDivide) and DuckDB's integer ``//``
+    truncate toward zero (probed 2026-08-14: ``-3 div 2 = -1`` in Spark,
+    ``-3 // 2 = -1`` in DuckDB), so the two agree on every input including
+    pre-1970 epochs. Pure LONG arithmetic — unlike ``(x / n).cast("long")``
+    there is no double rounding step, so it stays exact for |num| >= 2^53
+    (epochs past year ~2255) where correctly-rounded double division can
+    land within 1e-3 of an integer boundary.
+    """
+    return F.call_function("div", num, F.lit(den))
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """Event time as epoch-millisecond LONG, bit-identical to DuckDB's
+    ``epoch_ms(ts)`` (which also truncates micros toward zero).
+
+    The ``cast("timestamp")`` converts NTZ parquet timestamps to LTZ under
+    the UTC session tz (a no-op re-tagging); ``unix_micros`` rejects NTZ
+    input directly.
+    """
+    c = _c(col)
+    return idiv(F.unix_micros(c.cast("timestamp")), 1000)
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Event time as epoch-second LONG (truncating, DuckDB-identical)."""
+    c = _c(col)
+    return idiv(F.unix_micros(c.cast("timestamp")), MICROS)
+
+
 def _ip(c: Column) -> Column:
     return F.floor(c)
 

@@ -26,6 +26,13 @@ from data_services_spark.functions.vectors import (
 
 def _query_vector(embeddings: DataFrame, query_id: int,
                   id_col: str, vec_col: str) -> list[float]:
+    """Driver-side fetch of one query vector — used ONLY where the value
+    must live in a Python closure (the numpy kernel of
+    :func:`knn_topk_arrow`): shipping it per-row through Arrow would add
+    dim*8 bytes to every corpus row, far worse than one bounded 1-row
+    job. Every pure-Catalyst path instead joins the query in as a 1-row
+    broadcast (:func:`knn_topk`, :func:`ann_hyperplane_topk`,
+    :func:`ivf_fixed_topk`, :func:`ivf_topk`) — zero extra jobs."""
     row = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
     if row is None:
         raise KeyError(f"query id {query_id} not found")
@@ -124,7 +131,8 @@ def bucket_sql(vec_expr: str, planes: Sequence[Sequence[float]]) -> str:
 
 def ann_hyperplane_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                         n_planes: int = 4, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
     """L3 scale path: approximate top-k via sign-LSH bucket pruning.
 
     Candidates are restricted to the query's hyperplane-sign bucket
@@ -133,8 +141,16 @@ def ann_hyperplane_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     the query's bucket is computed with the *same* Catalyst fold as the
     candidates' (no driver-side float arithmetic to disagree with).
     Returns (rank, vec_id, cosine_sim) within the probed bucket.
+
+    Pass `dim` (the embedding dimensionality) to keep the plan fully
+    lazy — it only sizes the hyperplane family. When omitted, one bounded
+    1-value probe reads it from the first row's array length.
     """
-    dim = len(_query_vector(embeddings, query_id, id_col, vec_col))
+    if dim is None:
+        row = embeddings.select(F.size(F.col(vec_col))).head()
+        if row is None:
+            raise ValueError("empty embeddings table and no dim given")
+        dim = int(row[0])
     planes = hyperplane_planes(dim, n_planes)
     b = _bucket_expr(vec_col, planes)
     q = (embeddings.filter(F.col(id_col) == query_id)
@@ -335,21 +351,28 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     model = km.fit(vecs)
     assigned = model.transform(vecs)
 
-    # rank cells by distance to the query vector, probe the closest
-    centers = [(i, [float(x) for x in c])
-               for i, c in enumerate(model.clusterCenters())]
-    qv = _query_vector(embeddings, query_id, id_col, vec_col)
-    import math
-    probe = sorted(
-        centers,
-        key=lambda ic: math.dist(ic[1], [float(x) for x in qv]))[:nprobe]
-    probe_ids = [i for i, _ in probe]
-
-    cand = assigned.filter(F.col("__cell").isin(probe_ids))
+    # Rank cells by distance to the query WITHOUT a driver fetch of the
+    # query vector: centroids are already driver-side literals (n_cells x
+    # dim — metadata scale), and argmin ||c - q|| == argmin (|c|^2 - 2c.q)
+    # since |q|^2 is constant — so the ranking key is a Catalyst fold over
+    # the query ROW, selected with the same posexplode + broadcast-join
+    # shape as ivf_fixed_topk. One job for the whole probe, no .head().
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    neg_keys = F.array(*[
+        F.lit(float(sum(x * x for x in c)))
+        - F.lit(2.0) * dot_product(F.col(vec_col),
+                                   F.array(*[F.lit(x) for x in c]))
+        for c in centers])
     q = (embeddings.filter(F.col(id_col) == query_id)
-         .select(F.col(vec_col).alias("__qv")))
+         .select(F.col(vec_col).alias("__qv"), neg_keys.alias("__dk")))
+    qc = (q.select(F.posexplode("__dk").alias("__i", "__d"))
+          .select(F.col("__i").cast("integer").alias("__cell"), "__d")
+          .orderBy("__d", "__cell").limit(nprobe)
+          .select("__cell"))
+
+    cand = assigned.join(F.broadcast(qc), "__cell")
     scored = (cand.filter(F.col(id_col) != query_id)
-              .crossJoin(F.broadcast(q))
+              .crossJoin(F.broadcast(q.select("__qv")))
               .select(F.col(id_col),
                       cosine_similarity(F.col(vec_col), F.col("__qv"))
                       .alias("cosine_sim")))

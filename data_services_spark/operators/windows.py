@@ -13,11 +13,13 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from data_services_spark.functions.numeric import epoch_ms
+
 
 def _ms(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    # cast: NTZ parquet timestamps -> LTZ epoch under the UTC session tz
-    return (F.unix_micros(c.cast("timestamp")) / F.lit(1000)).cast("long")
+    # Integral div (exact, DuckDB-truncation-identical); the cast re-tags
+    # NTZ parquet timestamps as LTZ under the UTC session tz.
+    return epoch_ms(col)
 
 
 def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
@@ -99,6 +101,15 @@ def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
     oc = [F.col(c) for c in order_cols]
     d = (df.repartitionByRange(num_partitions, *oc) if num_partitions
          else df.repartitionByRange(*oc))
+    # CORRECTNESS INVARIANT: the range exchange below has TWO consumers
+    # (the offsets aggregate and the final join), and __pid comes from
+    # spark_partition_id() — nondeterministic range-boundary sampling
+    # means the two branches only agree on __pid if Catalyst instantiates
+    # the exchange ONCE (ReusedExchange). Spark canonicalizes both
+    # branches to the same exchange today; if a future plan change defeats
+    # reuse, offsets would silently mismatch pids. Guarded by a plan
+    # assertion (exactly one "Exchange rangepartitioning" + a
+    # ReusedExchange) in tests/test_operators.py.
     d = d.withColumn("__pid", F.spark_partition_id())
     w_in = (Window.partitionBy("__pid").orderBy(*oc)
             .rowsBetween(Window.unboundedPreceding, 0))

@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from data_services_spark.catalog import load_table, load_tables
+from data_services_spark.functions import numeric as nfn
 from data_services_spark.functions.numeric import (
     davg, dmoney, dsum, dsum_expr, sql_davg, sql_dsum, sql_dsum_expr,
 )
@@ -80,13 +81,10 @@ def register(name: str, sql: str | None = None, cache_plan: bool = True):
 
 
 def _ms(col) -> F.Column:
-    c = F.col(col) if isinstance(col, str) else col
-    # cast: NTZ parquet timestamps -> LTZ epoch under the UTC session tz.
-    # /1000 + cast truncates toward zero — empirically identical to both
-    # DuckDB epoch_ms() and BIGINT // on pre-1970 sub-ms timestamps
-    # (all give 0 for 1969-12-31T23:59:59.9995; checked 2026-08-13).
-    # Double division is exact for |micros| < 2^53 (~year 2255).
-    return (F.unix_micros(c.cast("timestamp")) / F.lit(1000)).cast("long")
+    # Integral div, no double rounding step: exact for all epochs and
+    # truncation-identical to DuckDB epoch_ms()/`//` on pre-1970 values
+    # (both truncate toward zero — probed, see functions.numeric.idiv).
+    return nfn.epoch_ms(col)
 
 
 def _DSUM_F(e: str, a: str) -> str:
@@ -960,9 +958,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange + one Sort for all three columns (plan-asserted in
     tests/test_operators.py)."""
     e = load_table(spark, sf_dir, "events")
-    epoch_s = (F.unix_micros(F.col("ts").cast("timestamp"))
-               / F.lit(1_000_000)).cast("long")
-    e = e.withColumn("__epoch_s", epoch_s)
+    e = e.withColumn("__epoch_s", nfn.epoch_s("ts"))
     w = (Window.partitionBy("user_id")
          .orderBy("__epoch_s", "ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
@@ -1010,7 +1006,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("session_window", """
 WITH g AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS brk
@@ -1018,7 +1014,7 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT user_id, ts,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
     FROM g
 )
@@ -1104,7 +1100,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_session", """
 WITH g AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS brk
@@ -1112,7 +1108,7 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT user_id, ts,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
     FROM g
 )
@@ -1458,7 +1454,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded hyperplanes shared with the oracle."""
     from data_services_spark.operators.similarity import ann_hyperplane_topk
     e = load_table(spark, sf_dir, "embeddings")
-    return ann_hyperplane_topk(e, query_id=0, k=10, n_planes=4) \
+    return ann_hyperplane_topk(e, query_id=0, k=10, n_planes=4, dim=64) \
         .select("rank", "vec_id")
 
 
@@ -1563,7 +1559,7 @@ WITH tagged AS (
 ), qc AS (
     SELECT cell FROM (
         SELECT unnest(q.qds) AS d,
-               unnest(range(1, 9)) AS cell
+               unnest(range(1, {len(_ivf_centroids()) + 1})) AS cell
         FROM q
     ) ORDER BY d DESC, cell LIMIT 2
 ), scored AS (
@@ -2720,8 +2716,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster). Accumulates exact quantized longs — in-frame double sums
     would be segment-tree-order-dependent vs the oracle."""
     e = load_table(spark, sf_dir, "events")
-    epoch_s = (F.unix_micros(F.col("ts").cast("timestamp"))
-               / F.lit(1_000_000)).cast("long")
+    epoch_s = nfn.epoch_s("ts")
     w = (Window.partitionBy("user_id").orderBy("epoch_s")
          .rangeBetween(-3600, Window.currentRow))
     return (e.select("event_id", "user_id", "value",
@@ -3304,7 +3299,7 @@ def hist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("interval_concurrency", """
 WITH g AS (
-    SELECT user_id, ts,
+    SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS brk
@@ -3312,7 +3307,7 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT user_id, ts,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
     FROM g
 ), iv AS (

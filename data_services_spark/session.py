@@ -52,17 +52,19 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE coalesce target. The 64MB default collapses sub-100MB final
-    # stages to ONE partition, serializing the Arrow result fetch on a
-    # single thread — at sf0.1 that is 17% of kgx_edge_merge's wall time
-    # (measured 3.02s -> 2.52s at 4MB; 2MB and below regress on task
-    # overhead). Size-dependent by nature: at cluster scale against TB
-    # shuffles set 64-256MB — partition COUNT there is bounded by
-    # data/advisory regardless, and fetch parallelism stops being the
-    # bottleneck the moment results stop flowing to one driver.
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
+
+# AQE coalesce target — the one genuinely SIZE-DEPENDENT knob, so it is an
+# env override rather than a hard global. At single-node bench scale the
+# 64MB default collapses sub-100MB final stages to ONE partition,
+# serializing the Arrow result fetch on a single thread — at sf0.1 that is
+# 17% of kgx_edge_merge's wall time (measured 3.02s -> 2.52s at 4MB; 2MB
+# and below regress on task overhead) — so bench.py exports
+# SPARK_GRAFT_AQE_ADVISORY_BYTES=4194304. At cluster scale against TB
+# shuffles leave it unset (Spark's 64MB default) or set 64-256MB; a small
+# value there inflates task counts pathologically.
+_AQE_ADVISORY_ENV = "SPARK_GRAFT_AQE_ADVISORY_BYTES"
 
 # Static confs for sessions we create ourselves (JVM-start-time only).
 _BUILD_CONFS = {
@@ -72,9 +74,20 @@ _BUILD_CONFS = {
 }
 
 
-def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (idempotent, cheap)."""
-    for k, v in _RUNTIME_CONFS.items():
+def configure_session(spark: SparkSession,
+                      aqe_advisory_bytes: int | None = None) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent, cheap).
+
+    `aqe_advisory_bytes` (or $SPARK_GRAFT_AQE_ADVISORY_BYTES) overrides the
+    AQE coalesce target; unset leaves Spark's default (64MB) — see the
+    _AQE_ADVISORY_ENV comment for why this is not a hard global.
+    """
+    confs = dict(_RUNTIME_CONFS)
+    advisory = aqe_advisory_bytes or os.environ.get(_AQE_ADVISORY_ENV)
+    if advisory:
+        confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
+            str(int(advisory))
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:

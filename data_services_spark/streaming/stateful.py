@@ -54,12 +54,10 @@ def stream_user_totals(events: DataFrame) -> DataFrame:
     Event time crosses the Arrow boundary as epoch-ms LONG (computed
     JVM-side) — never a raw timestamp, per the registry's determinism
     conventions."""
-    import pyspark.sql.functions as F
+    from data_services_spark.functions.numeric import epoch_ms
 
     prepped = events.select(
-        "user_id", "value",
-        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000))
-        .cast("long").alias("ts_ms"))
+        "user_id", "value", epoch_ms("ts").alias("ts_ms"))
     return (prepped.groupBy("user_id")
             .applyInPandasWithState(_accumulate, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))

@@ -604,3 +604,15 @@ def test_scalable_running_sum_matches_window_and_distributes(spark):
              out.groupBy(F.spark_partition_id().alias("p"))
              .agg(F.count(F.lit(1)).alias("n")).collect()]
     assert max(sizes) < 500
+    # Invariant the operator's correctness rests on (see windows.py):
+    # the nondeterministically-sampled range exchange is instantiated
+    # ONCE and shared by both __pid consumers. One planned range
+    # exchange + a ReusedExchange node = branches see identical pids.
+    from data_services_spark.plans.bucketing import physical_plan
+
+    final = physical_plan(out).split("== Initial Plan ==")[0]
+    materialized = [ln for ln in final.splitlines()
+                    if "Exchange rangepartitioning" in ln
+                    and "ReusedExchange" not in ln]
+    assert len(materialized) == 1, final
+    assert "ReusedExchange" in final, final
