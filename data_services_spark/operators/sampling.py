@@ -163,16 +163,82 @@ def pack_by_token_budget(docs: DataFrame, budget: int,
                 F.expr(f"__p div {budget}").alias("chunk_id"))
 
 
-def heavy_hitters(tokens: DataFrame, term_col: str,
-                  min_count: int) -> DataFrame:
+def heavy_hitter_candidates(tokens: DataFrame, term_col: str,
+                            min_count: int,
+                            target_floor: int = 16) -> DataFrame:
+    """Pass 1 of :func:`heavy_hitters`: a provable SUPERSET of every term
+    with global count >= min_count, computed per-partition with no
+    shuffle of the token stream.
+
+    Pigeonhole: with P partitions, a term with global count >= s holds
+    >= ceil(s/P) occurrences in some partition — so emitting terms whose
+    LOCAL count reaches floor = ceil(s/P) can never miss a true heavy.
+    Two things make that bound trustworthy at any scale:
+
+    - **The layout is pinned.** The floor is only valid if execution
+      uses <= P partitions, so the stream is ``coalesce(P)``-ed BEFORE
+      counting: coalesce outputs exactly min(upstream, P) partitions at
+      execution time, even if upstream partition counts drift between
+      planning and execution (live directories, AQE re-splits upstream
+      of the coalesce). A floor computed from a pre-execution
+      ``getNumPartitions()`` snapshot alone could silently exceed the
+      pigeonhole bound and DROP true heavies.
+    - **The floor is kept meaningful.** P is capped at
+      min_count // target_floor, so floor >= target_floor (default 16)
+      no matter how many scan tasks feed in. Without the cap, at high P
+      (~800k scan tasks at 100 TB) floor collapses to 1 and the
+      "candidates" become the entire vocabulary — the propose/verify
+      split silently inverts into the full shuffle it exists to avoid.
+
+    Memory: the counting state is one pandas groupby over a partition's
+    local vocabulary (~tens of bytes/term — no per-entry Python boxing;
+    batch value_counts are vectorized and compacted when they exceed
+    ~2M entries), and the EMITTED candidates are <= n_local/floor per
+    partition by construction. The knob is the trade: larger
+    target_floor => fewer, larger partitions (bigger local vocab, fewer
+    candidates); size min_count/target_floor so one partition's
+    vocabulary fits an executor — at 100 TB heavy-hitter thresholds are
+    stopword-scale (1e6+), so P stays in the tens of thousands.
+    """
+    import math
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    upstream = max(1, tokens.rdd.getNumPartitions())
+    p = max(1, min(upstream, min_count // max(1, target_floor)))
+    floor = max(1, math.ceil(min_count / p))
+    pinned = tokens.select(term_col).coalesce(p)
+
+    def _local_counts(batches):
+        import pandas as pd
+
+        acc: list[pd.Series] = []
+        acc_rows = 0
+        for b in batches:
+            vc = b[term_col].value_counts()
+            acc.append(vc)
+            acc_rows += len(vc)
+            if len(acc) > 1 and acc_rows > 2_000_000:
+                s = pd.concat(acc).groupby(level=0).sum()
+                acc, acc_rows = [s], len(s)
+        if not acc:
+            return
+        total = pd.concat(acc).groupby(level=0).sum()
+        heavy = total.index[total >= floor]
+        yield pd.DataFrame({term_col: pd.Series(heavy, dtype=object)})
+
+    return (pinned.mapInPandas(_local_counts, f"{term_col} string")
+            .distinct())
+
+
+def heavy_hitters(tokens: DataFrame, term_col: str, min_count: int,
+                  target_floor: int = 16) -> DataFrame:
     """Terms with exact global frequency >= min_count, WITHOUT shuffling
     the whole vocabulary — the two-pass heavy-hitters decomposition.
 
-    Pass 1 (propose): count terms per input partition behind one Arrow
-    boundary (mapInPandas — no exchange touches the full token stream)
-    and keep local heavies: if a term's global count is >= s, then with
-    P partitions some partition holds >= ceil(s/P) of it (pigeonhole),
-    so the candidate set provably contains every true heavy hitter.
+    Pass 1 (propose): :func:`heavy_hitter_candidates` — per-partition
+    local counts behind one Arrow boundary on a pinned, floor-preserving
+    layout; provably a superset of the true heavies.
     Pass 2 (verify): exact-count ONLY the candidates — a broadcast
     semi-join prunes the token stream, partial aggregation combines
     map-side, and the one shuffle carries at most |candidates| x P
@@ -184,25 +250,8 @@ def heavy_hitters(tokens: DataFrame, term_col: str,
     registry query hash-checks. At 100 TB this is the only viable form:
     a Zipf vocabulary's long tail dominates the full groupBy shuffle,
     while candidates are a handful of stopword-like heads."""
-    import math
-
-    sc = tokens.sparkSession.sparkContext
-    num_parts = max(1, tokens.rdd.getNumPartitions())
-    local_floor = max(1, math.ceil(min_count / num_parts))
-
-    def _local_counts(batches):
-        import pandas as pd
-
-        counts = {}
-        for b in batches:
-            for t, c in b[term_col].value_counts().items():
-                counts[t] = counts.get(t, 0) + int(c)
-        heavy = [t for t, c in counts.items() if c >= local_floor]
-        yield pd.DataFrame({term_col: heavy})
-
-    candidates = (tokens.select(term_col)
-                  .mapInPandas(_local_counts, f"{term_col} string")
-                  .distinct())
+    candidates = heavy_hitter_candidates(tokens, term_col, min_count,
+                                         target_floor)
     pruned = tokens.join(F.broadcast(candidates), term_col, "left_semi")
     return (pruned.groupBy(term_col)
             .agg(F.count(F.lit(1)).alias("n"))

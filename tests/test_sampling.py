@@ -110,3 +110,36 @@ def test_heavy_hitters_partition_invariant_and_exact(spark):
         assert got == want, parts
     # threshold above every count -> empty, not an error
     assert heavy_hitters(df, "term", 1000).count() == 0
+
+
+def test_heavy_hitters_floor_survives_high_partition_counts(spark):
+    """Partitions >> min_count is the 100 TB failure mode: a naive
+    floor = ceil(min_count/P) collapses to 1 and every term becomes a
+    candidate (the propose/verify split inverts into the full shuffle).
+    The coalesce cap must keep the floor >= target_floor, the candidate
+    set << vocabulary, and the output exactly GROUP BY ... HAVING."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.sampling import (
+        heavy_hitter_candidates, heavy_hitters)
+
+    # 2000 distinct rare terms (1x each) + 2 heavies, spread over 64
+    # partitions — min_count=8 << 64 partitions
+    rows = ([("the",)] * 40 + [("of",)] * 12
+            + [("rare%d" % i,) for i in range(2000)])
+    df = spark.createDataFrame(rows, "term string").repartition(64)
+
+    got = {(r.term, r.n) for r in heavy_hitters(df, "term", 8).collect()}
+    assert got == {("the", 40), ("of", 12)}
+
+    # candidate set must stay tiny vs the 2002-term vocabulary: with the
+    # cap, P collapses to 1 and floor stays 8, so ONLY true heavies are
+    # proposed; without it floor would be ceil(8/64)=1 -> 2002 candidates
+    n_cand = heavy_hitter_candidates(df, "term", 8).count()
+    assert n_cand == 2, n_cand
+
+    # same guarantee when min_count supports a few partitions: P=4,
+    # floor=16 -> candidates are terms with >= 16 in one partition
+    n_cand64 = heavy_hitter_candidates(df, "term", 64).count()
+    vocab = df.distinct().count()
+    assert n_cand64 < vocab / 100, (n_cand64, vocab)
