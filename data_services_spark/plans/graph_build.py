@@ -114,7 +114,12 @@ def build_graph(spec: GraphSpec,
     default = [s for s in spec.sources if s.merge_strategy == "default"]
     subset = [s for s in spec.sources
               if s.merge_strategy == "connected_edge_subset"]
-    unknown = [s.name for s in spec.sources if s not in default + subset]
+    # compare by strategy string, never by GraphSource equality — the
+    # dataclass __eq__ would compare DataFrame fields, and
+    # DataFrame.__eq__ yields a Column (non-boolean)
+    unknown = [s.name for s in spec.sources
+               if s.merge_strategy not in ("default",
+                                           "connected_edge_subset")]
     if unknown:
         raise ValueError(f"unknown merge_strategy for sources: {unknown}")
     if not default:

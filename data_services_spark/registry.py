@@ -810,6 +810,180 @@ def kgx_connected_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_edge_subset(edges, node_ids)
 
 
+# EP2 graph-spec build: the src_nodes / edge CTEs shared by the
+# graph_build / graph_build_nodes oracles. Three spec sources:
+#   main  (default, rank 1): every customer node + the fixture edges
+#         whose primary_knowledge_source is src0/src1;
+#   parts (default, rank 2): customers %3==0 variant (UPPER name, null
+#         mktsegment) + ONLY parts with p_size <= 25, plus the src2
+#         fixture edges;
+#   lit   (connected_edge_subset, rank 3): CUST->PART purchase edges —
+#         admitted only where BOTH endpoints exist in the merged node
+#         set, so admission depends on the p_size <= 25 node subset.
+_GRAPH_SRC_NODES_SQL = """
+src_nodes AS (
+    SELECT 'CUST:' || CAST(c_custkey AS VARCHAR) AS id,
+           c_name AS name,
+           ['biolink:Person', 'biolink:NamedThing'] AS category,
+           c_mktsegment AS mktsegment,
+           c_acctbal AS acctbal,
+           1 AS source_rank
+    FROM customer
+    UNION ALL
+    SELECT 'CUST:' || CAST(c_custkey AS VARCHAR),
+           UPPER(c_name), ['biolink:Agent'], NULL, c_acctbal + 100, 2
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 'PART:' || CAST(p_partkey AS VARCHAR),
+           p_name, ['biolink:ChemicalEntity'], p_brand, p_retailprice, 2
+    FROM part WHERE p_size <= 25
+)"""
+
+
+def _graph_build_spec(spark: SparkSession, sf_dir: str):
+    """The 2-strategy GraphSpec the graph_build queries execute; the
+    oracle twin of _GRAPH_SRC_NODES_SQL + the edge CTEs below."""
+    from data_services_spark.plans.graph_build import GraphSource, GraphSpec
+
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    cust_nodes = c.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_name").alias("name"),
+        F.array(F.lit("biolink:Person"), F.lit("biolink:NamedThing"))
+        .alias("category"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"))
+    var_nodes = (c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.upper("c_name").alias("name"),
+        F.array(F.lit("biolink:Agent")).alias("category"),
+        F.lit(None).cast("string").alias("mktsegment"),
+        (F.col("c_acctbal") + 100).alias("acctbal")))
+    part_nodes = (p.filter(F.col("p_size") <= 25).select(
+        F.concat(F.lit("PART:"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("name"),
+        F.array(F.lit("biolink:ChemicalEntity")).alias("category"),
+        F.col("p_brand").alias("mktsegment"),
+        F.col("p_retailprice").alias("acctbal")))
+
+    fixture_edges = kgx.kgx_edges(spark, sf_dir).drop("source_rank")
+    e_main = fixture_edges.filter(
+        F.col("primary_knowledge_source") != "infores:src2")
+    e_src2 = fixture_edges.filter(
+        F.col("primary_knowledge_source") == "infores:src2")
+    lit_edges = (l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("CUST:"), F.col("o_custkey").cast("string"))
+        .alias("subject"),
+        F.lit("biolink:purchased").alias("predicate"),
+        F.concat(F.lit("PART:"), F.col("l_partkey").cast("string"))
+        .alias("object"),
+        F.lit("infores:lit").alias("primary_knowledge_source"),
+        F.array(F.concat(F.lit("PMID:"),
+                         (F.col("l_linenumber") * 7).cast("string")))
+        .alias("publications"),
+        F.array(F.concat(F.lit("infores:agg"),
+                         (F.col("l_suppkey") % 2).cast("string")))
+        .alias("aggregator_knowledge_sources")))
+
+    return GraphSpec(
+        graph_id="tpch_kgx",
+        sources=[
+            GraphSource("main", cust_nodes, e_main, 1),
+            GraphSource("parts", var_nodes.unionByName(part_nodes),
+                        e_src2, 2),
+            GraphSource("lit", cust_nodes.limit(0), lit_edges, 3,
+                        "connected_edge_subset"),
+        ],
+        node_scalar_props=("name", "mktsegment", "acctbal"),
+        node_list_props=("category",))
+
+
+_GRAPH_EDGES_SQL = """
+base_edges AS (
+    SELECT 'ORD:' || CAST(l_orderkey AS VARCHAR) AS subject,
+           CASE WHEN l_returnflag = 'R' THEN 'biolink:returned'
+                ELSE 'biolink:contains' END AS predicate,
+           'PART:' || CAST(l_partkey AS VARCHAR) AS object,
+           'infores:src' || CAST(l_suppkey % 3 AS VARCHAR)
+               AS primary_knowledge_source,
+           ['PMID:' || CAST(l_linenumber * 7 AS VARCHAR)] AS publications,
+           ['infores:agg' || CAST(l_suppkey % 2 AS VARCHAR)]
+               AS aggregator_knowledge_sources
+    FROM lineitem
+),
+lit_edges AS (
+    SELECT 'CUST:' || CAST(o_custkey AS VARCHAR) AS subject,
+           'biolink:purchased' AS predicate,
+           'PART:' || CAST(l_partkey AS VARCHAR) AS object,
+           'infores:lit' AS primary_knowledge_source,
+           ['PMID:' || CAST(l_linenumber * 7 AS VARCHAR)] AS publications,
+           ['infores:agg' || CAST(l_suppkey % 2 AS VARCHAR)]
+               AS aggregator_knowledge_sources
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+node_ids AS (SELECT DISTINCT id FROM src_nodes),
+all_edges AS (
+    SELECT * FROM base_edges
+    UNION ALL
+    SELECT * FROM lit_edges e
+    WHERE EXISTS (SELECT 1 FROM node_ids n WHERE n.id = e.subject)
+      AND EXISTS (SELECT 1 FROM node_ids n WHERE n.id = e.object)
+)"""
+
+
+@register("graph_build", f"""
+WITH {_GRAPH_SRC_NODES_SQL.strip()},
+{_GRAPH_EDGES_SQL.strip()}
+SELECT subject, predicate, object, primary_knowledge_source,
+       array_to_string(list_sort(list_distinct(flatten(list(publications)))),
+                       '|') AS publications,
+       array_to_string(
+           list_sort(list_distinct(flatten(list(aggregator_knowledge_sources)))),
+           '|') AS aggregator_knowledge_sources,
+       COUNT(*) AS n_merged
+FROM all_edges
+GROUP BY subject, predicate, object, primary_knowledge_source
+""")
+def graph_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 graph-spec build end-to-end (plans/graph_build.py::build_graph
+    `[R: Common/build_manager.py — GraphBuilder — unverified]`): a
+    3-source spec mixing both merge strategies, returning the merged
+    EDGE relation. The connected_edge_subset admission runs against the
+    spec's MERGED node set, so this hash-check covers node merge ->
+    subset admission -> edge merge as one pipeline; list props
+    '|'-joined for the scalar-only driver compare."""
+    from data_services_spark.plans.graph_build import build_graph
+    _, edges = build_graph(_graph_build_spec(spark, sf_dir))
+    return (edges
+            .withColumn("publications", F.array_join("publications", "|"))
+            .withColumn("aggregator_knowledge_sources",
+                        F.array_join("aggregator_knowledge_sources", "|")))
+
+
+@register("graph_build_nodes", f"""
+WITH {_GRAPH_SRC_NODES_SQL.strip()}
+SELECT id,
+       {_ARGMIN.format(v='name')},
+       array_to_string(list_sort(list_distinct(flatten(list(category)))), '|')
+           AS category,
+       {_ARGMIN.format(v='mktsegment')},
+       {_ARGMIN.format(v='acctbal')},
+       COUNT(*) AS n_merged
+FROM src_nodes GROUP BY id
+""")
+def graph_build_nodes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 build, node side: spec-stamped source ranks (NOT the fixture's
+    row-level ranks) drive first-wins, exercising the per-source
+    priority semantics of build_graph's stamp()."""
+    from data_services_spark.plans.graph_build import build_graph
+    nodes, _ = build_graph(_graph_build_spec(spark, sf_dir))
+    return nodes.withColumn("category", F.array_join("category", "|"))
+
+
 @register("kgx_meta_kg", f"""
 WITH {kgx.KGX_EDGES_SQL.strip()},
 node_cat AS (
