@@ -27,12 +27,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 _CURRENT = "_CURRENT"
 _BUCKET = "__bucket"
+_MANIFESTS = "_manifests"
 
 
 def _bucket_col(num_buckets: int, key_cols=("id",)) -> F.Column:
@@ -197,10 +199,75 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
         new_buckets = {**old_buckets, **{b: batch_id for b in written}}
     else:  # empty batch: nothing rewrites, just advance the generation
         new_buckets = old_buckets
+    manifest_doc = {"gen": batch_id, "buckets": new_buckets}
+    # Archive the manifest BEFORE swapping _CURRENT: vacuum_state derives
+    # its retained-generation set from this history, so every manifest
+    # that was ever current is accounted for. A crash between archive and
+    # swap leaves a never-current archive entry — harmless (it only
+    # widens the retained set by one manifest until it ages out).
+    hist = os.path.join(state_dir, _MANIFESTS)
+    os.makedirs(hist, exist_ok=True)
+    with open(os.path.join(hist, f"{batch_id}.json"), "w") as fh:
+        json.dump(manifest_doc, fh)
     tmp = os.path.join(state_dir, f"{_CURRENT}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"gen": batch_id, "buckets": new_buckets}, fh)
+        json.dump(manifest_doc, fh)
     os.replace(tmp, os.path.join(state_dir, _CURRENT))
+
+
+def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
+    """Delete generation directories no recent manifest references,
+    bounding state-dir growth; returns the deleted paths.
+
+    **Reader isolation contract**: a reader resolves the manifest ONCE
+    (:func:`read_merged_state`) and then lists/reads parquet lazily, so
+    a retention sweep must not delete the generations that reader's
+    snapshot references. ``keep_last=K`` retains every generation
+    referenced by the K most recently committed manifests (the current
+    one included) — any snapshot resolved while one of those manifests
+    was current stays fully readable. Size K to cover the longest
+    reader you allow to overlap ingest (the Delta/Iceberg
+    VACUUM-retention trade, expressed in manifests instead of hours).
+
+    Also never touches generation directories AT or ABOVE the committed
+    generation: an uncommitted higher generation is either a concurrent
+    in-flight writer (deleting under it would corrupt the commit) or a
+    crash orphan that the writer's own retry overwrites in place.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    current = _read_manifest(state_dir)
+    if current is None:
+        return []
+    hist_dir = os.path.join(state_dir, _MANIFESTS)
+    manifests = [current]
+    hist_files: list[tuple[int, str]] = []
+    if os.path.isdir(hist_dir):
+        for f in os.listdir(hist_dir):
+            if f.endswith(".json"):
+                hist_files.append((int(f[:-5]), os.path.join(hist_dir, f)))
+        for _, path in sorted(hist_files, reverse=True)[:keep_last]:
+            with open(path) as fh:
+                manifests.append(json.load(fh))
+    keep_gens: set[int] = set()
+    for m in manifests:
+        keep_gens.add(m["gen"])
+        if m["buckets"]:
+            keep_gens.update(int(g) for g in m["buckets"].values())
+    deleted = []
+    for d in os.listdir(state_dir):
+        if not d.startswith("gen="):
+            continue
+        gen = int(d.split("=", 1)[1])
+        if gen >= current["gen"] or gen in keep_gens:
+            continue
+        path = os.path.join(state_dir, d)
+        shutil.rmtree(path)
+        deleted.append(path)
+    # age out manifest history beyond the retention window
+    for _, path in sorted(hist_files, reverse=True)[keep_last:]:
+        os.remove(path)
+    return deleted
 
 
 def stream_merge_nodes(node_stream: DataFrame, state_dir: str,

@@ -248,6 +248,57 @@ def test_ingest_rewrites_only_touched_buckets(spark, tmp_path):
     assert got == want
 
 
+def test_vacuum_preserves_concurrent_reader_snapshot(spark, tmp_path):
+    """Reader isolation across commit + retention sweep: a reader that
+    resolved the manifest BEFORE a later commit must still be able to
+    collect its snapshot after that commit AND a vacuum_state(keep_last=2)
+    — the sweep may only delete generations outside the retention
+    window."""
+    import os
+
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, read_merged_state, vacuum_state,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    state.mkdir()
+    ids = [f"X:{i}" for i in range(6)]
+    for bid in range(3):
+        b = spark.createDataFrame(
+            [(i, f"n{bid}", [f"c{bid}"], bid + 1) for i in ids], NODES)
+        merge_upsert_batch(spark, b, str(state), batch_id=bid, num_buckets=2)
+
+    # reader resolves the gen=2 manifest NOW; collection happens later
+    snapshot = read_merged_state(spark, str(state))
+    want = {(r.id, r.name, r.n_merged) for r in snapshot.collect()}
+    assert want == {(i, "n0", 3) for i in ids}  # rank 1 wins, 3 merges
+
+    # a newer commit supersedes every bucket, then the sweep runs
+    b3 = spark.createDataFrame([(i, "late", ["d"], 9) for i in ids], NODES)
+    merge_upsert_batch(spark, b3, str(state), batch_id=3, num_buckets=2)
+    deleted = vacuum_state(str(state), keep_last=2)
+
+    # keep_last=2 retains the gen referenced by the reader's manifest
+    # (gen=2) and the current one; gens 0/1 are superseded and swept
+    assert all("gen=2" not in p and "gen=3" not in p for p in deleted)
+    got = {(r.id, r.name, r.n_merged) for r in snapshot.collect()}
+    assert got == want, "reader snapshot broken by vacuum"
+
+    # current state reflects the late batch; old gens are gone from disk
+    now = {(r.id, r.n_merged)
+           for r in read_merged_state(spark, str(state)).collect()}
+    assert now == {(i, 4) for i in ids}
+    gens = sorted(d for d in os.listdir(state) if d.startswith("gen="))
+    assert "gen=0" not in gens and "gen=1" not in gens
+
+    # a second sweep with keep_last=1 may now drop gen=2 as well
+    deleted2 = vacuum_state(str(state), keep_last=1)
+    assert any("gen=2" in p for p in deleted2)
+    assert sorted(d for d in os.listdir(state)
+                  if d.startswith("gen=")) == ["gen=3"]
+
+
 def test_stream_merge_edges_equals_batch_merge(spark, tmp_path):
     """A2 streaming twin: incremental edge merge on the composite KGX
     edge key == from-scratch batch merge_edges."""
