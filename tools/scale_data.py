@@ -1,0 +1,103 @@
+"""Scale the driver's sf0.1 parquet tables N-fold (default 10x => an
+sf1-equivalent) for amortized-scale benchmarking.
+
+Round-3 verdict, next-round ask #1: at sf0.1 six of the seven bench
+queries finish in < 0.55s absolute, so the 2x-of-baseline ratio measures
+Spark's fixed per-job scheduling floor (~0.105-0.15s on this box), not the
+operator designs. The fix is evidence at a scale factor where per-query
+runtime >= 10x that floor. This tool manufactures that scale locally:
+
+- fact tables (customer, supplier, part, orders, lineitem, events,
+  documents, embeddings) are replicated COPIES times with every key column
+  offset by copy_index * stride, strides chosen per key domain and applied
+  consistently to foreign keys, so joins/groups grow 10x in cardinality
+  instead of producing 10x-duplicate groups;
+- dimension tables (region, nation) are copied unchanged, mirroring TPC-H
+  scaling (their FKs in scaled tables stay in range).
+
+The KGX merge fixture (plans/kgx_fixture.py) derives from customer/part/
+lineitem/orders, so the graph-merge bench queries scale automatically.
+
+Usage:
+    python tools/scale_data.py [OUT_DIR] [--copies N] [--src SF_DIR]
+
+Default OUT_DIR is /root/repo/.bench_data/sf1 (gitignored). Writing is a
+single DuckDB pass per table: SELECT ... FROM tbl CROSS JOIN range(N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import duckdb
+
+# stride per key domain — a clean power of 10 above the sf0.1 max key, so
+# offset keys from different copies can never collide and debugging reads
+# well (copy 3's order 42 is 30_000_042).
+STRIDES = {
+    "custkey": 1_000_000,
+    "suppkey": 1_000_000,
+    "partkey": 1_000_000,
+    "orderkey": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+# table -> [(column, stride_domain)] — every key column, primary AND
+# foreign, offset with its domain's stride so referential joins stay exact.
+KEYED = {
+    "customer": [("c_custkey", "custkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "part": [("p_partkey", "partkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [("l_orderkey", "orderkey"), ("l_partkey", "partkey"),
+                 ("l_suppkey", "suppkey")],
+    "events": [("event_id", "event_id"), ("user_id", "user_id")],
+    "documents": [("doc_id", "doc_id")],
+    "embeddings": [("vec_id", "vec_id")],
+}
+
+DIMS = ("region", "nation")
+
+
+def scale(src: str, out: str, copies: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(f"{t}: copied unchanged")
+    for t, keys in KEYED.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+        offset = dict(keys)
+        sel = ", ".join(
+            f"{c} + _copy.i * {STRIDES[offset[c]]} AS {c}" if c in offset
+            else c
+            for c in cols)
+        t0 = time.perf_counter()
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{src}/{t}.parquet' "
+            f"CROSS JOIN (SELECT range AS i FROM range({copies})) _copy) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows in {time.perf_counter() - t0:.1f}s")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", nargs="?", default="/root/repo/.bench_data/sf1")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    a = ap.parse_args()
+    scale(a.src, a.out, a.copies)
+
+
+if __name__ == "__main__":
+    main()
