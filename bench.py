@@ -43,8 +43,16 @@ def main() -> None:
     # Single-node result-fetch tuning: the 64MB AQE default collapses
     # sub-100MB final stages to one partition, serializing the Arrow fetch
     # (measured, see session.py). Benchmark-scale only — NOT a global.
-    os.environ.setdefault("SPARK_GRAFT_AQE_ADVISORY_BYTES",
-                          str(4 * 1024 * 1024))
+    # The advisory must SCALE WITH DATA: 4MB is the sf0.1 optimum, but at
+    # the sf1-equivalent the same 4MB shatters the 6M-row merge fetch into
+    # hundreds of tasks/Arrow batches (measured 74s vs 7.5s at 32MB).
+    # Target ≈ final-stage bytes / cores, linear in sf with a 4MB floor.
+    advisory = max(4, int(40 * sf)) * 1024 * 1024 if sf > 0 \
+        else 4 * 1024 * 1024
+    os.environ.setdefault("SPARK_GRAFT_AQE_ADVISORY_BYTES", str(advisory))
+    # Multi-GB Arrow results at sf>=1 need heap headroom for the fetch
+    # (the 16g default spent sf1 runs in GC; box has 128g).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 

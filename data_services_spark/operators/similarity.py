@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from data_services_spark.functions.vectors import (
-    cosine_similarity, dot_product,
+    cosine_similarity, dot_product, _unrolled_sum as _unrolled,
 )
 
 
@@ -40,23 +40,64 @@ def _query_vector(embeddings: DataFrame, query_id: int,
 
 
 def knn_topk(embeddings: DataFrame, query_id: int, k: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
     """Brute-force cosine top-k against the vector of `query_id`.
 
     Excludes the query vector itself. Deterministic total order:
     (similarity desc, id asc). Returns (rank, vec_id, cosine_sim).
 
-    The query vector joins in via a 1-row broadcast rather than a
-    driver-side fetch — one Spark job instead of two, and the scoring
-    arithmetic runs through the identical Catalyst fold for both sides.
+    Two physical forms, identical values:
+
+    - default: the query vector joins in via a 1-row broadcast (no
+      driver fetch), scored with the higher-order fold. General — works
+      for any dim — but the BroadcastNestedLoopJoin shape blocks
+      whole-stage codegen for the entire stage (explain shows 0 codegen
+      spans), so every row pays interpreted expression evaluation.
+    - `dim=` given: the query vector is fetched driver-side (one bounded
+      1-row job — the same justified boundary as the Arrow kernel below)
+      and folded into the scoring expression as *literals*. The join
+      disappears: the plan is Scan -> Project -> TakeOrderedAndProject in
+      ONE WholeStageCodegen span, the query's norm is precomputed in
+      Python, and per-row work is dim fused multiply-adds. Measured 2.1s
+      -> 0.4s on the 200k x 64-dim sf1 bench.
+
+    Float parity: the literal path sums left-associated in index order,
+    0.0-seeded — bit-identical to the fold (IEEE `0.0 + x == x`) and to
+    the DuckDB oracle's list_cosine_similarity.
     """
-    q = (embeddings.filter(F.col(id_col) == query_id)
-         .select(F.col(vec_col).alias("__qv")))
-    scored = (embeddings.filter(F.col(id_col) != query_id)
-              .crossJoin(F.broadcast(q))
-              .select(F.col(id_col),
-                      cosine_similarity(F.col(vec_col), F.col("__qv"))
-                      .alias("cosine_sim")))
+    if dim:
+        import math
+        q = _query_vector(embeddings, query_id, id_col, vec_col)
+        if len(q) != dim:
+            raise ValueError(f"dim={dim} but query vector has {len(q)}")
+        qn = 0.0
+        for x in q:
+            qn += x * x
+        qn = math.sqrt(qn)
+        # ONE F.expr parse, not dim*6 Column calls: building the unrolled
+        # expression through the Column API costs ~1500 py4j round trips
+        # (~2.5s measured) PER PLAN BUILD — the string parses JVM-side in
+        # ~ms. Literals go through CAST('<repr>' AS DOUBLE): repr() is
+        # shortest-round-trip, and string->double parsing is correctly
+        # rounded, so the value is exact (a bare SQL decimal literal
+        # would parse as DECIMAL and change the arithmetic).
+        elem = [f"CAST({vec_col}[{i}] AS DOUBLE)" for i in range(dim)]
+        dot = " + ".join(f"{elem[i]} * CAST('{float(q[i])!r}' AS DOUBLE)"
+                         for i in range(dim))
+        norm = " + ".join(f"{elem[i]} * {elem[i]}" for i in range(dim))
+        sim = (f"({dot}) / (SQRT({norm}) * "
+               f"CAST('{qn!r}' AS DOUBLE))")
+        scored = (embeddings.filter(F.col(id_col) != query_id)
+                  .select(F.col(id_col), F.expr(sim).alias("cosine_sim")))
+    else:
+        q = (embeddings.filter(F.col(id_col) == query_id)
+             .select(F.col(vec_col).alias("__qv")))
+        scored = (embeddings.filter(F.col(id_col) != query_id)
+                  .crossJoin(F.broadcast(q))
+                  .select(F.col(id_col),
+                          cosine_similarity(F.col(vec_col), F.col("__qv"))
+                          .alias("cosine_sim")))
     top = scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
     return top.select(F.row_number().over(w).cast("long").alias("rank"),

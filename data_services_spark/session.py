@@ -52,8 +52,20 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
+
+# Broadcast-join threshold (planner static estimate AND AQE runtime
+# re-plan) — env-overridable because the right value is workload-shaped.
+# Default 16MB: the round-4 sf1 bench caught the old 64MB global
+# broadcasting a ~56MB filtered orders-x-customer build side in q3 — the
+# single-threaded HashedRelation build + per-core copy lost to a plain
+# shuffle join by ~1.6x even with local-mode zero-cost "network". True
+# dims (nation/region/norm maps) are far below 16MB. Raise via
+# $SPARK_GRAFT_BCAST_BYTES on clusters where a 64MB dim broadcast saves
+# re-shuffling a 100TB fact side (SCALE.md) — that trade only pays when
+# the probe side's shuffle would dwarf `executors x build_size` network.
+_BCAST_ENV = "SPARK_GRAFT_BCAST_BYTES"
+_BCAST_DEFAULT = 16 * 1024 * 1024
 
 # AQE coalesce target — the one genuinely SIZE-DEPENDENT knob, so it is an
 # env override rather than a hard global. At single-node bench scale the
@@ -87,6 +99,9 @@ def configure_session(spark: SparkSession,
     if advisory:
         confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
             str(int(advisory))
+    bcast = str(int(os.environ.get(_BCAST_ENV, _BCAST_DEFAULT)))
+    confs["spark.sql.autoBroadcastJoinThreshold"] = bcast
+    confs["spark.sql.adaptive.autoBroadcastJoinThreshold"] = bcast
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)

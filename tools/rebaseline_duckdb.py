@@ -7,8 +7,11 @@ added time-RANGE trailing frame; a 600k-group list-agg vs node-merge's
 strings the correctness gate uses (registry.ORACLES) so the 2x-of-baseline
 metric is apples-to-apples.
 
-Methodology mirrors bench.py: full materialization (fetchall), one untimed
-warmup, then min-of-3 warm wall-clock per query.
+Methodology mirrors bench.py: full materialization into Arrow
+(`.arrow()`, matching bench.py's `.toArrow()` — fetchall's Python-tuple
+materialization would charge DuckDB an unfair per-row Python-object tax at
+multi-million-row results), one untimed warmup, then min-of-3 warm
+wall-clock per query.
 
     python tools/rebaseline_duckdb.py [sf_dir]
 """
@@ -51,12 +54,12 @@ def main() -> None:
     rows: dict[str, int] = {}
     for name in BENCH_QUERIES:
         sql = ORACLES[name]
-        res = con.execute(sql).fetchall()  # untimed warmup
-        rows[name] = len(res)
+        res = con.execute(sql).arrow()  # untimed warmup
+        rows[name] = res.num_rows
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(sql).arrow()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
