@@ -2,15 +2,21 @@
 heavy-tailed — hub nodes like `NCBITaxon:9606` concentrate a huge share of
 edges on one key).
 
-Two tools, complementing AQE:
+Two tools, complementing AQE — with the roles sharpened by measurement
+(tools/skew_bench.py, round 4; numbers in SCALE.md):
 
 - AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
-  session.py) handles skewed *sort-merge joins* at runtime — prefer it.
-- **Salted aggregation** here handles skewed *aggregations*, which AQE does
-  not split: a single hot group lands on one reducer regardless of AQE.
-  Two-phase: partial-aggregate on (keys, salt), then combine on keys. Works
-  for any algebraic aggregate (sum/count/min/max — anything with a
-  combine step).
+  session.py) handles skewed *sort-merge joins* at runtime — prefer it
+  (measured −29% on a 25%-hot 24M-row join vs −24% for salting).
+- **Salted aggregation** is for *holistic* aggregates (collect_list/
+  collect_set), where it is a MEMORY bound, not a speed-up: list partials
+  don't shrink, so the two-phase form re-ships every element (~10%
+  slower measured) — but it caps any task's group at
+  `rows(hot_key)/n_buckets`, which is what keeps a 10^7-edge hub key
+  from OOMing a reducer at the 100 TB design point. Do NOT salt
+  algebraic aggregates (sum/count/min/max/min_by): Spark's map-side
+  partial aggregation already collapses hot keys to ≤1 row per map task
+  before the shuffle, and the second pass is pure overhead.
 - **Salted join** is the manual fallback for skewed large-large joins when
   AQE is unavailable: the probe side salts each row, the build side
   replicates each row across all salt buckets.

@@ -616,3 +616,28 @@ def test_scalable_running_sum_matches_window_and_distributes(spark):
                     and "ReusedExchange" not in ln]
     assert len(materialized) == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_knn_literal_dim_path_matches_fold(spark):
+    """The dim= literal-unrolled scoring (one codegen span, no join) must
+    be bit-identical to the higher-order-fold broadcast path — same
+    left-associated element order and IEEE 0.0+x==x (vectors.py doc)."""
+    from data_services_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fold = knn_topk(e, query_id=0, k=20).collect()
+    lit = knn_topk(e, query_id=0, k=20, dim=64).collect()
+    assert [(r.vec_id, r.rank) for r in fold] == \
+           [(r.vec_id, r.rank) for r in lit]
+    # exact float equality, not approx: the two forms share the same
+    # operation sequence per element
+    assert [r.cosine_sim for r in fold] == [r.cosine_sim for r in lit]
+
+
+def test_knn_literal_dim_mismatch_raises(spark):
+    d = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+        "vec_id long, embedding array<float>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim=3"):
+        knn_topk(d, query_id=0, k=1, dim=3)

@@ -33,11 +33,13 @@ sys.path.insert(0, "/root/repo")
 import pyspark.sql.functions as F  # noqa: E402
 
 
-def _mk_session(tag: str, skew_join: bool):
+def _mk_session(tag: str, skew_join: bool, cores: int = 32,
+                shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
-    b = (SparkSession.builder.master("local[32]")
+    b = (SparkSession.builder.master(f"local[{cores}]")
          .appName(f"skew-bench-{tag}")
-         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.sql.shuffle.partitions",
+                 str(shuffle_partitions or cores))
          .config("spark.driver.memory", "48g")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled",
@@ -120,11 +122,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=6_000_000)
     ap.add_argument("--hot-share", type=float, default=0.10)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
     a = ap.parse_args()
 
-    res: dict[str, float] = {"rows": a.rows, "hot_share": a.hot_share}
+    res: dict[str, float] = {"rows": a.rows, "hot_share": a.hot_share,
+                         "cores": a.cores,
+                         "shuffle_partitions": a.shuffle_partitions
+                         or a.cores}
 
-    spark = _mk_session("noskewjoin", skew_join=False)
+    spark = _mk_session("noskewjoin", skew_join=False, cores=a.cores,
+                        shuffle_partitions=a.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     res.update(bench_agg(spark, a.rows, a.hot_share))
     res["join_plain_aqe_off"] = bench_join(spark, a.rows, a.hot_share,
@@ -133,7 +141,8 @@ def main() -> None:
                                             salted=True)
     spark.stop()
 
-    spark = _mk_session("skewjoin", skew_join=True)
+    spark = _mk_session("skewjoin", skew_join=True, cores=a.cores,
+                        shuffle_partitions=a.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
     res["join_plain_aqe_skew_on"] = bench_join(spark, a.rows, a.hot_share,
                                                salted=False)
