@@ -566,6 +566,31 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.approx_count_distinct("l_orderkey").alias("approx_orders")))
 
 
+@register("hll_distinct_merge")  # Datasketches HLL binary — rows-only
+def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at 100 TB: MERGEABLE distinct-count sketches. Each group (at
+    scale: each partition/day/source) builds an HLL sketch
+    (`hll_sketch_agg`); the global count is a union of the tiny sketches
+    (`hll_union_agg`), never a re-scan — the canonical two-level
+    cardinality pattern. Union is lossless (register-wise max), asserted
+    exactly in tests/test_operators.py::test_hll_union_is_lossless;
+    estimates are within ~2% of exact (also asserted). Rows-only here:
+    the sketch binary is engine-specific, so no DuckDB value oracle —
+    `approx_distinct`'s exact twins cover the value check."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = (o.groupBy("o_orderpriority")
+                 .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+                      F.count_distinct("o_custkey").alias("exact")))
+    est = F.hll_sketch_estimate
+    detail = per_group.select(
+        "o_orderpriority", est("sk").alias("approx"), "exact")
+    total = per_group.agg(
+        F.lit("TOTAL").alias("o_orderpriority"),
+        est(F.hll_union_agg("sk")).alias("approx"),
+        F.lit(None).cast("long").alias("exact"))
+    return detail.unionByName(total)
+
+
 @register("date_functions", """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
@@ -4389,3 +4414,33 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return _ordered(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Prepared plans
+# ---------------------------------------------------------------------------
+_PREPARED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def prepared(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized DataFrame handle for repeated execution of a registry
+    query — the engine's prepared-statement facility.
+
+    Building a plan is not free: py4j Column construction, Catalyst
+    analysis, and optimization cost 0.3–1.5s for the larger plans here
+    (measured, BASELINE.md round 4 — e.g. ~0.7s for kgx_node_merge's
+    three-branch fixture parse, ~1.5s for knn's 770-node unrolled
+    scoring tree). Spark caches the analyzed/optimized QueryExecution on
+    the DataFrame object, so re-executing the SAME handle skips all of
+    it (0.31s vs 1.18s measured on kgx_node_merge at sf1). A service
+    issuing the same parameterized query repeatedly should hold the
+    handle; this helper does that keyed by (name, sf_dir, Spark app id)
+    so handles never leak across sessions. bench.py deliberately does
+    NOT use it — its contract is full fresh-plan cost per run.
+    """
+    key = (name, sf_dir, spark.sparkContext.applicationId)
+    df = _PREPARED.get(key)
+    if df is None:
+        df = RAW_QUERIES[name](spark, sf_dir)
+        _PREPARED[key] = df
+    return df

@@ -641,3 +641,36 @@ def test_knn_literal_dim_mismatch_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dim=3"):
         knn_topk(d, query_id=0, k=1, dim=3)
+
+
+def test_hll_union_is_lossless(spark):
+    """HLL sketch union must equal sketching the whole column directly
+    (register-wise max is lossless), and estimates must be near exact —
+    the property the 100 TB two-level cardinality pattern rests on."""
+    from data_services_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    merged = (o.groupBy("o_orderpriority")
+              .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("n"))).head()[0]
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))).head()[0]
+    exact = o.agg(F.count_distinct("o_custkey")).head()[0]
+    assert merged == direct
+    assert abs(merged - exact) / exact < 0.05
+
+
+def test_prepared_handle_is_memoized_per_session(spark):
+    from data_services_spark import registry
+
+    a = registry.prepared("q1_pricing_summary", spark,
+                          "/root/testdata/sf0.001")
+    b = registry.prepared("q1_pricing_summary", spark,
+                          "/root/testdata/sf0.001")
+    c = registry.prepared("q1_pricing_summary", spark,
+                          "/root/testdata/sf0.01")
+    assert a is b          # same (name, sf_dir, session) -> same handle
+    assert a is not c      # different sf_dir -> fresh plan
+    assert a.count() == 6  # and the handle still executes
