@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from data_services_spark.functions.vectors import (
-    cosine_similarity, dot_product, _unrolled_sum as _unrolled,
+    cosine_similarity, dot_product,
 )
 
 
