@@ -1405,6 +1405,74 @@ def text_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_text_dedup(d.unionByName(dups))
 
 
+@register("chunk_dedup", """
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+words AS (  -- parallel unnest zips word with its 0-based position
+    SELECT doc_id, unnest(ws) AS w,
+           CAST(unnest(range(len(ws))) AS INT) AS pos
+    FROM docs
+),
+chunks AS (
+    SELECT doc_id, CAST(FLOOR(pos / 8) AS INT) AS cidx,
+           string_agg(w, ' ' ORDER BY pos) AS chunk
+    FROM words GROUP BY 1, 2
+),
+ranked AS (
+    SELECT doc_id, cidx, chunk,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY doc_id, cidx) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                           ' ' ORDER BY cidx), '') AS text_deduped
+FROM ranked GROUP BY doc_id
+""")
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: drop text CHUNKS (8-word shingles at
+    stride 8 — the paragraph-granularity analogue for this fixture's
+    single-space corpus) that already occurred earlier in the corpus,
+    keeping the first occurrence by (doc_id, chunk_idx), then reassemble
+    each document from its surviving chunks. This is the practical
+    middle granularity between exact-document dedup (L1) and near-dup
+    (L2): it removes repeated boilerplate blocks without discarding the
+    host documents — the Lee-et-al-style dedup a training-data pipeline
+    runs corpus-wide.
+
+    Scale shape: one shuffle to group words into chunks, one
+    Exchange+Sort for the first-occurrence window keyed on the chunk
+    text (at 100 TB key by xxhash64(chunk) — same plan, fixed-width
+    key), one shuffle to reassemble per doc. Global dedup cannot shuffle
+    less; every step is codegen built-ins.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"))
+    chunks = (words
+              .withColumn("cidx", F.floor(F.col("pos") / 8).cast("int"))
+              .groupBy("doc_id", "cidx")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                      lambda s: s["w"]), " ").alias("chunk")))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") == 1
+    return (ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(kept, F.struct("cidx", "chunk")))),
+                lambda s: s["chunk"]), " ").alias("text_deduped")))
+
+
 @register("doc_fingerprint", """
 SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
 """)
