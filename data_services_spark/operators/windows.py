@@ -76,6 +76,56 @@ def sliding(events: DataFrame, ts_col: str, duration: str, slide: str,
             .drop("__w"))
 
 
+def bucket_by_leading_key(df: DataFrame, key_col: str,
+                          num_buckets: int,
+                          bucket_alias: str = "__bucket") -> DataFrame:
+    """Assign each row an order-consistent bucket id that is a PURE
+    FUNCTION OF THE ROW'S DATA — `least(n-1, floor((k - min) / span * n))`
+    over the leading order column, with min/max supplied by a one-row
+    broadcast aggregate.
+
+    Why not `spark_partition_id()` over a range exchange: a physical
+    partition id is a property of the *plan instance*, not the data. When
+    the same exchange feeds two consumers, correctness would hinge on
+    Catalyst reusing one exchange AND both consumers seeing identical
+    post-shuffle coalescing — and under AQE the two readers can receive
+    different coalesced-shuffle specs (advisory-size/stats dependent), at
+    which point ids diverge between branches and values silently corrupt
+    (rows and schema intact — exactly the round-4 driver hash-mismatch
+    signature). A data-derived bucket is identical in every branch of
+    every plan under any session configuration, by construction.
+
+    Guarantees: monotone non-decreasing in the key (casting a numeric to
+    double is order-preserving, floor is monotone), so bucket i's rows
+    all precede bucket i+1's in the total order; equal keys always share
+    a bucket; NULL keys land in bucket 0 (Spark default NULLS FIRST).
+    Balance is linear-uniform — skewed key distributions give uneven
+    buckets (correctness unaffected); feed a quantile-spaced surrogate
+    key if that matters.
+    """
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    dt = df.schema[key_col].dataType
+    if not isinstance(dt, (NumericType, TimestampType, DateType)):
+        raise ValueError(
+            f"bucket_by_leading_key needs a numeric/timestamp leading "
+            f"order column; {key_col} is {dt.simpleString()}. Derive a "
+            f"numeric surrogate (epoch_ms, dense id) first.")
+    # DateType casts to double as NULL; go through days-since-epoch.
+    key = (F.unix_date(F.col(key_col)) if isinstance(dt, DateType)
+           else F.col(key_col)).cast("double")
+    stats = df.agg(F.min(key).alias("__kmin"), F.max(key).alias("__kmax"))
+    span = F.col("__kmax") - F.col("__kmin")
+    frac = F.when(span > 0, (key - F.col("__kmin")) / span) \
+        .otherwise(F.lit(0.0))
+    bucket = F.coalesce(
+        F.least(F.lit(num_buckets - 1), F.floor(frac * num_buckets)),
+        F.lit(0)).cast("int")
+    return (df.crossJoin(F.broadcast(stats))
+            .withColumn(bucket_alias, bucket)
+            .drop("__kmin", "__kmax"))
+
+
 def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
                          value: Column | str, out: str,
                          num_partitions: int | None = None) -> DataFrame:
@@ -85,42 +135,37 @@ def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
     through one task (token packing, interval sweeps, batch numbering
     all hit it).
 
-    Pass 1: range-partition on `order_cols` (global order preserved
-    ACROSS partitions), run the within-partition prefix sum. Pass 2:
-    per-partition totals — one tiny row per partition — cumulate on the
-    driver-side-sized frame and broadcast back as offsets. The big table
-    is touched by exactly one range shuffle and one broadcast join; the
-    only single-partition window runs over `num_partitions` rows.
+    Pass 1: assign every row an order-consistent bucket derived FROM THE
+    DATA (:func:`bucket_by_leading_key` — never from physical partition
+    ids, see its docstring for why), run the within-bucket prefix sum.
+    Pass 2: per-bucket totals — one tiny row per bucket — cumulate on
+    the bucket-count-sized frame and broadcast back as offsets. The big
+    table is touched by exactly one hash shuffle (the bucket window) and
+    one broadcast join; the only single-partition stage runs over
+    `num_partitions` rows.
 
     `order_cols` must be a total order (tie-break explicitly), exactly
-    as the single-window form requires for determinism. Exact for
+    as the single-window form requires for determinism, and the LEADING
+    order column must be numeric/timestamp (bucket key). Exact for
     integer/long values; for doubles feed a quantized column
     (functions/numeric.py) so partial sums are order-independent.
     """
     v = F.col(value) if isinstance(value, str) else value
     oc = [F.col(c) for c in order_cols]
-    d = (df.repartitionByRange(num_partitions, *oc) if num_partitions
-         else df.repartitionByRange(*oc))
-    # CORRECTNESS INVARIANT: the range exchange below has TWO consumers
-    # (the offsets aggregate and the final join), and __pid comes from
-    # spark_partition_id() — nondeterministic range-boundary sampling
-    # means the two branches only agree on __pid if Catalyst instantiates
-    # the exchange ONCE (ReusedExchange). Spark canonicalizes both
-    # branches to the same exchange today; if a future plan change defeats
-    # reuse, offsets would silently mismatch pids. Guarded by a plan
-    # assertion (exactly one "Exchange rangepartitioning" + a
-    # ReusedExchange) in tests/test_operators.py.
-    d = d.withColumn("__pid", F.spark_partition_id())
-    w_in = (Window.partitionBy("__pid").orderBy(*oc)
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    d = bucket_by_leading_key(df, order_cols[0], n)
+    w_in = (Window.partitionBy("__bucket").orderBy(*oc)
             .rowsBetween(Window.unboundedPreceding, 0))
     t = d.withColumn("__run", F.sum(v).over(w_in))
-    w_off = (Window.orderBy("__pid")
+    w_off = (Window.orderBy("__bucket")
              .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = (t.groupBy("__pid").agg(F.sum(v).alias("__tot"))
+    offsets = (d.groupBy("__bucket").agg(F.sum(v).alias("__tot"))
                .withColumn("__off",
                            F.coalesce(F.sum("__tot").over(w_off),
-                                      F.lit(0).cast("long")))
-               .select("__pid", "__off"))
-    return (t.join(F.broadcast(offsets), "__pid")
+                                      F.lit(0)))
+               .select("__bucket", "__off"))
+    return (t.join(F.broadcast(offsets), "__bucket")
             .withColumn(out, F.col("__run") + F.col("__off"))
-            .drop("__pid", "__run", "__off"))
+            .drop("__bucket", "__run", "__off"))

@@ -3827,14 +3827,17 @@ FROM toks
 def running_sum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The global running sum computed by the two-pass prefix-sum
     decomposition (operators/windows.py::scalable_running_sum) instead
-    of a single-partition window: range-partition on the order key,
-    within-partition prefix sums, per-partition totals cumulated over
-    one tiny row-per-partition frame and broadcast back as offsets.
-    Identical output to the oracle's plain `SUM OVER (ORDER BY)` — the
-    driver hash-check proves the decomposition — with no stage that
-    funnels the table through one task. This is the drop-in scale form
-    for every ORDER-BY-running-total in the registry (token_packing,
-    interval_concurrency, length_batching)."""
+    of a single-partition window: every row derives an order-consistent
+    bucket FROM ITS OWN DATA (min/max linear bucketing on the order key
+    via a one-row broadcast aggregate — never from physical partition
+    ids, which AQE can renumber differently per exchange consumer),
+    within-bucket prefix sums, per-bucket totals cumulated over one tiny
+    row-per-bucket frame and broadcast back as offsets. Identical output
+    to the oracle's plain `SUM OVER (ORDER BY)` — the driver hash-check
+    proves the decomposition — with no stage that funnels the table
+    through one task, under ANY session configuration. This is the
+    drop-in scale form for every ORDER-BY-running-total in the registry
+    (token_packing, interval_concurrency, length_batching)."""
     from data_services_spark.operators.text import tokenize
     from data_services_spark.operators.windows import scalable_running_sum
     d = load_table(spark, sf_dir, "documents").select(

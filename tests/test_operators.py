@@ -604,18 +604,65 @@ def test_scalable_running_sum_matches_window_and_distributes(spark):
              out.groupBy(F.spark_partition_id().alias("p"))
              .agg(F.count(F.lit(1)).alias("n")).collect()]
     assert max(sizes) < 500
-    # Invariant the operator's correctness rests on (see windows.py):
-    # the nondeterministically-sampled range exchange is instantiated
-    # ONCE and shared by both __pid consumers. One planned range
-    # exchange + a ReusedExchange node = branches see identical pids.
+    # The bucket must be a pure function of the data — any dependence on
+    # physical partition ids can silently corrupt values when AQE gives
+    # the two exchange consumers different coalesced readers (the round-4
+    # driver hash mismatch). Nothing in the plan may read partition ids.
     from data_services_spark.plans.bucketing import physical_plan
 
-    final = physical_plan(out).split("== Initial Plan ==")[0]
-    materialized = [ln for ln in final.splitlines()
-                    if "Exchange rangepartitioning" in ln
-                    and "ReusedExchange" not in ln]
-    assert len(materialized) == 1, final
-    assert "ReusedExchange" in final, final
+    assert "spark_partition_id" not in physical_plan(out).lower()
+
+
+def test_scalable_running_sum_stable_under_any_session_config(spark):
+    """Value-identical output under adversarial AQE/coalesce/partition
+    settings — the decomposition must not care how either branch of the
+    plan is physically partitioned (the round-4 driver red: rows+schema
+    matched, values didn't, under the driver's bare session)."""
+    from data_services_spark.operators.windows import scalable_running_sum
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i % 100, (i * 37) % 11 + 1, i) for i in range(997)],
+        "k long, v long, tie long")  # duplicated keys: ties share buckets
+    w = Window.orderBy("k", "tie").rowsBetween(
+        Window.unboundedPreceding, 0)
+    want = sorted((r["k"], r["tie"], r["s"]) for r in
+                  df.withColumn("s", F.sum("v").over(w)).collect())
+    knobs = [
+        {"spark.sql.adaptive.enabled": "false"},
+        {"spark.sql.adaptive.enabled": "true",
+         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1024"},
+        {"spark.sql.adaptive.enabled": "true",
+         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1"},
+        {"spark.sql.shuffle.partitions": "3"},
+        {"spark.sql.shuffle.partitions": "97",
+         "spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    ]
+    saved = {}
+    for conf in knobs:
+        for key, val in conf.items():
+            if key not in saved:
+                try:
+                    saved[key] = spark.conf.get(key)
+                except Exception:
+                    saved[key] = None
+            spark.conf.set(key, val)
+        try:
+            for npart in (None, 1, 5, 64):
+                out = scalable_running_sum(
+                    df, ["k", "tie"], "v", "s", num_partitions=npart)
+                got = sorted((r["k"], r["tie"], r["s"])
+                             for r in out.collect())
+                assert got == want, (conf, npart)
+        finally:
+            for key, val in saved.items():
+                if val is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, val)
+            saved = {}
 
 
 def test_knn_literal_dim_path_matches_fold(spark):
