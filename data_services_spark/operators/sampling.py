@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from data_services_spark.operators.dedup import md5_long_hash, shingles
 from data_services_spark.operators.text import tokenize
@@ -147,20 +147,20 @@ def pack_by_token_budget(docs: DataFrame, budget: int,
     when sequences are concatenated then re-split at budget boundaries);
     exact greedy bin packing is sequential-stateful by nature.
 
-    Returns (doc_id, n_tokens, chunk_id). The global ordering window is
-    the scale constraint — at 100 TB you run this per shard-partition
-    (e.g. per source/date bucket), which is also what keeps shard
-    contents stable under corpus growth."""
-    w = Window.orderBy(doc_id).rowsBetween(
-        Window.unboundedPreceding, -1)
+    Returns (doc_id, n_tokens, chunk_id). The global prefix sum runs on
+    the two-pass decomposition (windows.scalable_running_sum: data-
+    derived order-consistent buckets, in-bucket prefix sums, tiny offset
+    table broadcast back) — no stage funnels the table through one task.
+    The exclusive prefix is the inclusive one minus the row's own count."""
+    from data_services_spark.operators.windows import scalable_running_sum
+
     toks = docs.select(F.col(doc_id),
                        F.size(tokenize(text_col)).cast("long")
                        .alias("n_tokens"))
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return toks.select(doc_id, "n_tokens",
-                       prefix.cast("long").alias("__p")) \
-        .select(doc_id, "n_tokens",
-                F.expr(f"__p div {budget}").alias("chunk_id"))
+    run = scalable_running_sum(toks, [doc_id], "n_tokens", "__incl")
+    return run.select(doc_id, "n_tokens",
+                      F.expr(f"(__incl - n_tokens) div {budget}")
+                      .alias("chunk_id"))
 
 
 def heavy_hitter_candidates(tokens: DataFrame, term_col: str,

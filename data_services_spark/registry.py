@@ -3606,11 +3606,11 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     global running sum — the standard interval-overlap reduction that
     replaces a quadratic self-join. All-integer epoch-ms, exact.
 
-    Scale note: the final cumulative sum is a single-partition window by
-    construction (global time order); at 100 TB the net-delta table it
-    runs over is |distinct boundary instants| rows — tiny relative to
-    events — and the two-pass prefix-sum decomposition (per-partition
-    partials, then offset join) drops in if it ever isn't."""
+    Scale note: the final cumulative sum runs on the two-pass prefix-sum
+    decomposition (scalable_running_sum — data-derived buckets, offsets
+    broadcast back), so even a boundary table that grows with the corpus
+    never funnels through one task."""
+    from data_services_spark.operators.windows import scalable_running_sum
     e = load_table(spark, sf_dir, "events")
     sw = (e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"),
                     "user_id")
@@ -3621,9 +3621,8 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(-1).alias("delta"))
     net = (starts.unionByName(ends)
            .groupBy("t_ms").agg(F.sum("delta").alias("net")))
-    w = Window.orderBy("t_ms").rowsBetween(Window.unboundedPreceding, 0)
-    return net.select(
-        "t_ms", F.sum("net").over(w).cast("long").alias("concurrent"))
+    return (scalable_running_sum(net, ["t_ms"], "net", "__c")
+            .select("t_ms", F.col("__c").cast("long").alias("concurrent")))
 
 
 @register("table_checksum", """
@@ -3733,18 +3732,37 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs into 8 length buckets, then number off batches of 16 inside
     each bucket — documents in a batch have near-equal token counts, so
     padding waste is bounded by the bucket's length spread instead of
-    the corpus max. Two windows over one deterministic total order
-    (n_tokens, doc_id); at scale the bucket boundaries come from
-    approx quantiles instead of a global ntile sort, turning the global
-    window into a per-bucket-partition one."""
+    the corpus max.
+
+    EXACT ntile semantics without the global single-partition sort it
+    usually implies: the global row number comes from the two-pass
+    prefix-sum decomposition (scalable_running_sum over lit(1) — data-
+    derived buckets, so it is stable under any session config), the
+    total count N broadcasts from a one-row aggregate, and ntile's
+    bucket boundaries are arithmetic on (row_number, N): the first
+    N mod 8 buckets get ceil(N/8) rows, the rest floor(N/8) — the same
+    rule Spark's and DuckDB's ntile implement. The only windows left are
+    per-bucket (`length_batching_scalable` is the approximate-quantile
+    sibling that also drops the exactness requirement)."""
     from data_services_spark.operators.text import tokenize
+    from data_services_spark.operators.windows import scalable_running_sum
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id",
                  F.size(tokenize("text")).cast("long").alias("n_tokens"))
-    order = [F.col("n_tokens"), F.col("doc_id")]
-    b = t.withColumn("len_bucket",
-                     F.ntile(8).over(Window.orderBy(*order)).cast("long"))
-    wb = Window.partitionBy("len_bucket").orderBy(*order)
+    rn = scalable_running_sum(t, ["n_tokens", "doc_id"], F.lit(1),
+                              "__rn")
+    n_total = t.agg(F.count(F.lit(1)).alias("__N"))
+    j = rn.crossJoin(F.broadcast(n_total))
+    r = F.expr("__N % 8")
+    size_big = F.expr("__N div 8 + 1")
+    size_small = F.expr("__N div 8")
+    bucket = (F.when(F.col("__rn") <= r * size_big,
+                     (F.col("__rn") - 1).cast("long") / size_big)
+              .otherwise(r + (F.col("__rn") - r * size_big - 1)
+                         / size_small))
+    b = j.select("doc_id", "n_tokens",
+                 (F.floor(bucket) + 1).cast("long").alias("len_bucket"))
+    wb = Window.partitionBy("len_bucket").orderBy("n_tokens", "doc_id")
     return b.withColumn(
         "batch_id",
         F.floor((F.row_number().over(wb) - 1) / 16).cast("long"))
