@@ -36,6 +36,14 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _check_dim(dim: int | None) -> None:
+    # dim=0 would silently take the fold path on truthiness and a negative
+    # dim would build an empty unroll and IndexError — both are caller
+    # bugs; fail loudly instead.
+    if dim is not None and dim <= 0:
+        raise ValueError(f"dim must be a positive int or None, got {dim}")
+
+
 def _unrolled_sum(terms: list[Column]) -> Column:
     out = terms[0]
     for t in terms[1:]:
@@ -45,6 +53,7 @@ def _unrolled_sum(terms: list[Column]) -> Column:
 
 def dot_product(a: Column | str, b: Column | str,
                 dim: int | None = None) -> Column:
+    _check_dim(dim)
     a, b = _col(a), _col(b)
     if dim:
         return _unrolled_sum([
@@ -58,6 +67,7 @@ def dot_product(a: Column | str, b: Column | str,
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
+    _check_dim(dim)
     a = _col(a)
     if dim:
         sq = [a.getItem(i).cast("double") * a.getItem(i).cast("double")

@@ -81,8 +81,11 @@ def knn_topk(embeddings: DataFrame, query_id: int, k: int = 10,
         # ~ms. Literals go through CAST('<repr>' AS DOUBLE): repr() is
         # shortest-round-trip, and string->double parsing is correctly
         # rounded, so the value is exact (a bare SQL decimal literal
-        # would parse as DECIMAL and change the arithmetic).
-        elem = [f"CAST({vec_col}[{i}] AS DOUBLE)" for i in range(dim)]
+        # would parse as DECIMAL and change the arithmetic). The column
+        # name is backtick-quoted (embedded backticks doubled, the SQL
+        # identifier escape) so any name the Column API accepts parses.
+        vq = "`" + vec_col.replace("`", "``") + "`"
+        elem = [f"CAST({vq}[{i}] AS DOUBLE)" for i in range(dim)]
         dot = " + ".join(f"{elem[i]} * CAST('{float(q[i])!r}' AS DOUBLE)"
                          for i in range(dim))
         norm = " + ".join(f"{elem[i]} * {elem[i]}" for i in range(dim))

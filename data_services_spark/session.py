@@ -37,14 +37,10 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
     # Arrow-optimized Python UDTF evaluation (D5 surface).
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
-    # Parquet vectorized-reader batch rows: 4x the 4096 default. Measured
-    # at the sf1 bench: q1 scan-agg 0.46->0.32s, tumbling 0.51->0.35s —
-    # larger column batches amortize per-batch reader overhead; 65536 is
-    # marginally faster still on narrow scans but costs batch x row-width
-    # heap per open reader (risky on wide text schemas), so 16384 is the
-    # global and $SPARK_GRAFT_PARQUET_BATCH_ROWS overrides per workload.
-    "spark.sql.parquet.columnarReaderBatchSize":
-        os.environ.get("SPARK_GRAFT_PARQUET_BATCH_ROWS", "16384"),
+    # spark.sql.parquet.columnarReaderBatchSize is added at
+    # configure_session() time from $SPARK_GRAFT_PARQUET_BATCH_ROWS — like
+    # every other env knob it must be read at CALL time, not import time,
+    # or setting it programmatically after import silently no-ops.
     # Scale posture on ANY session, driver-owned included: these are all
     # runtime-settable SQL confs, so apply them defensively rather than
     # only at build time.
@@ -86,12 +82,27 @@ _BCAST_DEFAULT = 16 * 1024 * 1024
 # value there inflates task counts pathologically.
 _AQE_ADVISORY_ENV = "SPARK_GRAFT_AQE_ADVISORY_BYTES"
 
-# Static confs for sessions we create ourselves (JVM-start-time only).
-_BUILD_CONFS = {
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-    "spark.ui.enabled": "false",
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-}
+# Parquet vectorized-reader batch rows: 4x the 4096 default. Measured at
+# the sf1 bench: q1 scan-agg 0.46->0.32s, tumbling 0.51->0.35s — larger
+# column batches amortize per-batch reader overhead; 65536 is marginally
+# faster still on narrow scans but costs batch x row-width heap per open
+# reader (risky on wide text schemas), so 16384 is the global and
+# $SPARK_GRAFT_PARQUET_BATCH_ROWS overrides per workload.
+_PARQUET_BATCH_ENV = "SPARK_GRAFT_PARQUET_BATCH_ROWS"
+_PARQUET_BATCH_DEFAULT = "16384"
+
+
+def _build_confs() -> dict[str, str]:
+    """Static confs for sessions we create ourselves (JVM-start-time
+    only). A FUNCTION, not a module constant: callers (bench.py) set
+    $SPARK_GRAFT_DRIVER_MEM between import and get_spark(), so the env
+    must be read when the session is built, never at import time."""
+    return {
+        "spark.driver.memory":
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
 
 
 def configure_session(spark: SparkSession,
@@ -103,6 +114,8 @@ def configure_session(spark: SparkSession,
     _AQE_ADVISORY_ENV comment for why this is not a hard global.
     """
     confs = dict(_RUNTIME_CONFS)
+    confs["spark.sql.parquet.columnarReaderBatchSize"] = \
+        os.environ.get(_PARQUET_BATCH_ENV, _PARQUET_BATCH_DEFAULT)
     advisory = aqe_advisory_bytes or os.environ.get(_AQE_ADVISORY_ENV)
     if advisory:
         confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = \
@@ -138,6 +151,6 @@ def get_spark(app_name: str = "data_services_spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     )
-    for k, v in {**_BUILD_CONFS, **_RUNTIME_CONFS}.items():
+    for k, v in {**_build_confs(), **_RUNTIME_CONFS}.items():
         builder = builder.config(k, v)
     return configure_session(builder.getOrCreate())

@@ -71,8 +71,31 @@ KEYED = {
 DIMS = ("region", "nation")
 
 
+# Tables that share a key domain must scale by the SAME factor or the
+# copies' foreign keys dangle (copy i of lineitem references copy i of
+# orders, etc.). Only the standalone tables may scale independently.
+_LINKED_GROUPS = (("customer", "orders", "lineitem"),
+                  ("part", "supplier", "lineitem"))
+
+
+def _check_linked_copies(copies: int,
+                         table_copies: dict[str, int]) -> None:
+    unknown = set(table_copies) - set(KEYED)
+    if unknown:
+        raise SystemExit(f"--table-copies names unknown keyed tables: "
+                         f"{sorted(unknown)} (keyed: {sorted(KEYED)})")
+    for group in _LINKED_GROUPS:
+        factors = {t: table_copies.get(t, copies) for t in group}
+        if len(set(factors.values())) > 1:
+            raise SystemExit(
+                f"tables {group} share a key domain and must scale by "
+                f"one factor, got {factors}: unequal copy counts leave "
+                f"dangling foreign keys in every extra copy")
+
+
 def scale(src: str, out: str, copies: int,
           table_copies: dict[str, int] | None = None) -> None:
+    _check_linked_copies(copies, table_copies or {})
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in DIMS:
