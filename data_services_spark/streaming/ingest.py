@@ -28,6 +28,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,103 @@ from pyspark.sql import DataFrame, SparkSession
 _CURRENT = "_CURRENT"
 _BUCKET = "__bucket"
 _MANIFESTS = "_manifests"
+_LEASE = "_WRITER_LEASE"
+
+
+def acquire_writer_lease(state_dir: str, ttl_seconds: float = 3600,
+                         owner: str | None = None) -> str:
+    """Claim exclusive write access to a state dir; returns the lease
+    token (pass to :func:`release_writer_lease`).
+
+    The generational commit protocol is single-writer by design: two
+    writers interleaving would race the manifest swap and cross-write
+    ``gen=N`` directories. The lease makes the second writer FAIL FAST
+    (RuntimeError) instead of corrupting a generation:
+
+    - every lease-file read/check/write runs under an ``flock`` on the
+      sibling ``_WRITER_LEASE.lock`` mutex — kernel-enforced mutual
+      exclusion across processes on one host, auto-released if the
+      holder dies mid-acquire, held only for the microseconds of the
+      check-and-write (never across a merge). A lock-free O_EXCL+rename
+      protocol was tried first and REJECTED: its stale-takeover rename
+      could steal a live lease created between the staleness read and
+      the rename (split-brain reproduced by the 8-thread race test);
+    - a lease older than its ``ttl_seconds`` is STALE (writer died
+      without releasing) and is replaced under the same mutex — no
+      window exists where two writers both believe they hold it.
+
+    This state layout is a local-fs structure (module docstring); the
+    cluster-scale equivalent is an object-store conditional PUT or a
+    real table format's commit protocol. TTL is wall-clock: size it well
+    above the longest micro-batch merge (default 1h) — a renewal
+    heartbeat is deliberately omitted, matching the availableNow-trigger
+    batch cadence this module targets.
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, _LEASE)
+    token = f"{os.getpid()}-{uuid.uuid4().hex}"
+    with _lease_mutex(state_dir):
+        cur = None
+        try:
+            with open(path) as fh:
+                cur = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        if cur is not None and cur.get("expires_unix", 0) > time.time():
+            raise RuntimeError(
+                f"another writer holds the lease on {state_dir} "
+                f"(owner {cur.get('owner')}, pid {cur.get('pid')}, "
+                f"expires in "
+                f"{cur.get('expires_unix', 0) - time.time():.0f}s); "
+                "concurrent writers would corrupt the generational "
+                "state — refusing")
+        tmp = f"{path}.tmp.{token}"
+        with open(tmp, "w") as fh:
+            json.dump({
+                "token": token, "owner": owner or token,
+                "pid": os.getpid(), "acquired_unix": time.time(),
+                "expires_unix": time.time() + ttl_seconds,
+            }, fh)
+        os.replace(tmp, path)
+    return token
+
+
+def release_writer_lease(state_dir: str, token: str) -> None:
+    """Release a held lease; a no-op if the lease was already taken over
+    (stale TTL expiry) or released — never removes another writer's."""
+    path = os.path.join(state_dir, _LEASE)
+    with _lease_mutex(state_dir):
+        try:
+            with open(path) as fh:
+                cur = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        if cur.get("token") == token:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+
+class _lease_mutex:
+    """flock-scoped critical section for lease-file manipulation."""
+
+    def __init__(self, state_dir: str):
+        self._path = os.path.join(state_dir, f"{_LEASE}.lock")
+
+    def __enter__(self):
+        import fcntl
+
+        self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR)
+        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        return False
 
 
 def _bucket_col(num_buckets: int, key_cols=("id",)) -> F.Column:
@@ -137,7 +236,8 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
                        list_props=("category",),
                        rank_col: str = "source_rank",
                        num_buckets: int = 16,
-                       key_cols=("id",)) -> None:
+                       key_cols=("id",),
+                       lease_ttl_seconds: float = 3600) -> None:
     """foreachBatch body: merge `batch` into the committed state and
     commit a new generation, rewriting ONLY the key-hash buckets the
     batch touches. Idempotent per batch_id (re-running a failed batch
@@ -146,7 +246,24 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     in any arrival order (asserted in tests/test_streaming.py, which also
     asserts untouched bucket files survive a batch byte-identical).
     `key_cols` is the merge key — ("id",) for nodes, EDGE_KEY's four
-    columns for edges."""
+    columns for edges.
+
+    The whole merge+commit runs under the state dir's writer lease
+    (:func:`acquire_writer_lease`): a second concurrent writer raises
+    immediately instead of racing the manifest swap."""
+    token = acquire_writer_lease(state_dir, ttl_seconds=lease_ttl_seconds)
+    try:
+        _merge_upsert_locked(spark, batch, state_dir, batch_id,
+                             scalar_props, list_props, rank_col,
+                             num_buckets, key_cols)
+    finally:
+        release_writer_lease(state_dir, token)
+
+
+def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
+                         state_dir: str, batch_id: int, scalar_props,
+                         list_props, rank_col, num_buckets,
+                         key_cols) -> None:
     # foreachBatch is at-least-once: a crash between the _CURRENT swap and
     # the streaming checkpoint commit re-runs this batch_id on restart.
     # Without this guard the retry would read gen=<batch_id> and overwrite

@@ -420,3 +420,110 @@ def test_streaming_incremental_rollup_equals_batch(spark, tmp_path):
                      ["user_id"], specs)
     assert sorted(map(tuple, final.collect()), key=repr) == \
            sorted(map(tuple, want.collect()), key=repr)
+
+
+def test_writer_lease_second_writer_fails_fast(spark, tmp_path):
+    """While one writer holds the lease, a concurrent merge must raise
+    immediately and leave the committed state byte-identical — the
+    single-writer guard for the generational commit protocol."""
+    import hashlib
+    import os
+
+    from data_services_spark.streaming.ingest import (
+        acquire_writer_lease, merge_upsert_batch, read_merged_state,
+        release_writer_lease,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    b0 = spark.createDataFrame([("X:1", "one", ["c"], 1)], NODES)
+    merge_upsert_batch(spark, b0, str(state), batch_id=0)
+
+    def state_bytes():
+        out = {}
+        for root, _, files in os.walk(state):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, state)] = \
+                        hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    token = acquire_writer_lease(str(state))  # writer A mid-merge
+    before = state_bytes()
+    b1 = spark.createDataFrame([("X:2", "two", ["d"], 1)], NODES)
+    with pytest.raises(RuntimeError, match="another writer"):
+        merge_upsert_batch(spark, b1, str(state), batch_id=1)
+    after = state_bytes()
+    # nothing written, nothing deleted — lease file aside, byte-identical
+    assert {k: v for k, v in after.items() if "_WRITER_LEASE" not in k} \
+        == {k: v for k, v in before.items() if "_WRITER_LEASE" not in k}
+    rows = {(r.id, r.name) for r in
+            read_merged_state(spark, str(state)).collect()}
+    assert rows == {("X:1", "one")}
+
+    release_writer_lease(str(state), token)  # writer A done
+    merge_upsert_batch(spark, b1, str(state), batch_id=1)  # B now succeeds
+    rows = {(r.id, r.name) for r in
+            read_merged_state(spark, str(state)).collect()}
+    assert rows == {("X:1", "one"), ("X:2", "two")}
+
+
+def test_writer_lease_stale_takeover_and_release_safety(spark, tmp_path):
+    """A lease whose TTL expired (writer died) is taken over exactly
+    once; the dead writer's late release must NOT remove the new
+    holder's lease."""
+    from data_services_spark.streaming.ingest import (
+        acquire_writer_lease, merge_upsert_batch, read_merged_state,
+        release_writer_lease,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    dead = acquire_writer_lease(str(state), ttl_seconds=-1)  # born stale
+    # takeover path: the merge acquires through the expired lease
+    b0 = spark.createDataFrame([("X:1", "one", ["c"], 1)], NODES)
+    merge_upsert_batch(spark, b0, str(state), batch_id=0)
+    assert {(r.id, r.name) for r in
+            read_merged_state(spark, str(state)).collect()} \
+        == {("X:1", "one")}
+
+    live = acquire_writer_lease(str(state))
+    release_writer_lease(str(state), dead)  # late release: must be a no-op
+    with pytest.raises(RuntimeError, match="another writer"):
+        acquire_writer_lease(str(state))
+    release_writer_lease(str(state), live)
+    # and a double release is harmless
+    release_writer_lease(str(state), live)
+
+
+def test_writer_lease_concurrent_acquirers_one_wins(tmp_path):
+    """N threads race acquisition (fresh and stale-takeover): exactly one
+    wins each round — the rename-based takeover cannot split-brain."""
+    import threading
+
+    from data_services_spark.streaming.ingest import (
+        acquire_writer_lease, release_writer_lease,
+    )
+
+    state = str(tmp_path / "state")
+    for round_no, prelease in enumerate((None, -1)):
+        if prelease is not None:  # seed an expired lease to contend over
+            acquire_writer_lease(state, ttl_seconds=prelease)
+        wins, errs = [], []
+        barrier = threading.Barrier(8)
+
+        def race():
+            barrier.wait()
+            try:
+                wins.append(acquire_writer_lease(state))
+            except RuntimeError:
+                errs.append(1)
+
+        threads = [threading.Thread(target=race) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1 and len(errs) == 7, (round_no, wins, errs)
+        release_writer_lease(state, wins[0])
