@@ -5,10 +5,18 @@ struct (mime, size, dims). All relational operators carry them untouched;
 decode / feature-extraction happens in Arrow-batched ``mapInPandas``
 operators.
 
-The container has no image/audio codecs, so :func:`decode_media` STUBS the
-actual decode behind a deterministic fake (documented below) while keeping
-the Spark-side plumbing real: schema contract, batch iteration, partition
-behavior — that is what is tested.
+The container has no image/audio codec LIBRARIES (PIL/librosa/ffmpeg), but
+two real decoders ship here anyway on stdlib alone — :func:`decode_png`
+(zlib inflate + full scanline unfiltering per the PNG spec) and
+:func:`decode_wav` (RIFF/PCM via the ``wave`` module) — and
+:func:`decode_media` dispatches on the payload's mime type: image/png and
+audio/wav payloads take the REAL decode path with exact-integer features
+(pixel-channel sums, PCM sample sums — bit-stable, pytest-asserted against
+independently computed values); anything else falls back to the
+deterministic byte-histogram stub (documented below). Swap the fallback
+for a PIL/librosa call to productionize other formats; the Spark-side
+plumbing (schema contract, Arrow batch iteration, partition behavior) is
+identical for every branch.
 """
 
 from __future__ import annotations
@@ -46,16 +54,130 @@ def extract_payload_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8, non-interlaced supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode on stdlib zlib + numpy: chunk walk, IHDR parse,
+    IDAT inflate, and full per-spec scanline unfiltering (filter types
+    0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth). Supports bit depth 8,
+    color types gray / gray+alpha / RGB / RGBA, non-interlaced — the
+    overwhelmingly common PNG shape. Returns
+    ``{width, height, channels, pixels (H x W x C uint8 ndarray)}``.
+    Raises ValueError on malformed or unsupported input (callers route
+    those rows to the fallback decoder)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(__import__("zlib").decompress(idat), np.uint8)
+    stride = width * ch
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG decompressed size mismatch")
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, stride), np.uint8)
+    for y in range(height):
+        f, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride,
+                                                             np.int32)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up — vectorized
+            out[y] = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth carry along x
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:
+                    rec = line[x] + a
+                elif f == 3:
+                    rec = line[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    rec = line[x] + pred
+                cur[x] = rec & 0xFF
+            out[y] = cur
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return {"width": width, "height": height, "channels": ch,
+            "pixels": out.reshape(height, width, ch)}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAV PCM decode via the stdlib ``wave`` module: returns
+    ``{n_channels, sample_rate, n_samples, samples (frames x channels
+    int ndarray)}`` for 8/16/32-bit integer PCM. Raises ValueError on
+    malformed/compressed input (callers route to the fallback)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None:
+        raise ValueError("null payload")
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch, sw, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                      w.getframerate(), w.getnframes())
+            frames = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not PCM WAV: {e}") from e
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported sample width {sw}")
+    samples = np.frombuffer(frames, dtype).astype(np.int64)
+    n = samples.size // nch
+    return {"n_channels": nch, "sample_rate": rate, "n_samples": n,
+            "samples": samples[:n * nch].reshape(n, nch)}
+
+
 def decode_media(df: DataFrame, id_col: str = "doc_id",
                  feature_dim: int = 8) -> DataFrame:
-    """Decode payloads to fixed-dim feature vectors via mapInPandas.
+    """Decode payloads to fixed-dim feature vectors via mapInPandas,
+    dispatching per row on ``media_meta.mime`` when present:
 
-    STUB DECODER: real image/audio decoding needs codec libraries absent
-    from this container. The stand-in is deterministic — feature[i] is a
-    byte-histogram moment of the payload — so tests can assert exact values
-    while the Arrow plumbing (binary in, array<double> out, batched) is the
-    real production shape. Swap ``_fake_decode`` for a PIL/librosa call to
-    productionize.
+    - ``image/png`` -> :func:`decode_png` (REAL decode); features
+      ``[2, width, height, channels, sum(c0..c3)]`` — exact integers.
+    - ``audio/wav`` / ``audio/x-wav`` -> :func:`decode_wav` (REAL);
+      features ``[1, n_channels, sample_rate, n_samples, sum, sum(|x|),
+      min, max]`` over all samples — exact integers.
+    - anything else (or a failed real decode) -> the deterministic
+      byte-histogram stub, feature[i] = a moment of the raw payload
+      bytes, so tests assert exact values and the registry oracle
+      recomputes it SQL-side (`multimodal_decode`).
+
+    Every branch shares one Arrow plumbing shape: binary in,
+    ``array<double>`` out, batch-iterated — the production contract.
     """
     import numpy as np
     import pandas as pd
@@ -68,14 +190,45 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
             return [0.0] * feature_dim
         return [float(arr[i::feature_dim].sum() % 997) for i in range(feature_dim)]
 
+    def _pad(vals: list[float]) -> list[float]:
+        return (vals + [0.0] * feature_dim)[:feature_dim]
+
+    def _decode(payload: bytes, mime: str) -> list[float]:
+        try:
+            if mime == "image/png":
+                d = decode_png(payload)
+                sums = d["pixels"].reshape(-1, d["channels"]) \
+                    .sum(axis=0, dtype=np.int64)
+                return _pad([2.0, float(d["width"]), float(d["height"]),
+                             float(d["channels"])]
+                            + [float(s) for s in sums[:4]])
+            if mime in ("audio/wav", "audio/x-wav"):
+                d = decode_wav(payload)
+                s = d["samples"].ravel()
+                return _pad([1.0, float(d["n_channels"]),
+                             float(d["sample_rate"]),
+                             float(d["n_samples"]),
+                             float(s.sum()), float(np.abs(s).sum()),
+                             float(s.min()) if s.size else 0.0,
+                             float(s.max()) if s.size else 0.0])
+        except ValueError:
+            pass  # malformed/unsupported media: fall through to the stub
+        return _fake_decode(payload)
+
+    has_mime = "media_meta" in df.columns
+    cols = [id_col, "payload"] + \
+        ([F.col("media_meta.mime").alias("__mime")] if has_mime else [])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            mimes = pdf["__mime"] if has_mime else [""] * len(pdf)
             yield pd.DataFrame({
                 id_col: pdf[id_col].values,
-                "features": [_fake_decode(p) for p in pdf["payload"]],
+                "features": [_decode(p, m) for p, m in
+                             zip(pdf["payload"], mimes)],
             })
 
-    return (df.select(id_col, "payload")
+    return (df.select(*cols)
             .mapInPandas(run, f"{id_col} long, features array<double>"))
 
 

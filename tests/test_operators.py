@@ -721,3 +721,139 @@ def test_prepared_handle_is_memoized_per_session(spark):
     assert a is b          # same (name, sf_dir, session) -> same handle
     assert a is not c      # different sf_dir -> fresh plan
     assert a.count() == 6  # and the handle still executes
+
+
+def _encode_png(pixels, color_type, filters):
+    """Minimal in-test PNG encoder (stdlib): forward-filters each row
+    with the given per-row filter type so the decoder's unfilter paths
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) all get exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, np.uint8)
+    h, w, ch = px.shape
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    out = bytearray()
+    for y, f in zip(range(h), filters):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        enc = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        out.append(f)
+        out += enc.astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def _encode_wav(samples, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(arr.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_png_real_all_filter_types():
+    """The PNG decoder must invert every forward filter exactly —
+    round-trip a known RGB image whose five rows use filters 0..4."""
+    import numpy as np
+
+    from data_services_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    payload = _encode_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    d = decode_png(payload)
+    assert (d["width"], d["height"], d["channels"]) == (6, 5, 3)
+    assert np.array_equal(d["pixels"], px)
+    # grayscale too (1 channel, Paeth everywhere)
+    g = rng.integers(0, 256, size=(4, 4, 1), dtype=np.uint8)
+    d2 = decode_png(_encode_png(g, color_type=0, filters=[4, 4, 4, 4]))
+    assert np.array_equal(d2["pixels"], g)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_decode_wav_real_pcm():
+    import numpy as np
+
+    from data_services_spark.operators.multimodal import decode_wav
+
+    samples = np.array([[0, 1], [-5, 7], [100, -100], [32767, -32768]],
+                       np.int16)
+    d = decode_wav(_encode_wav(samples, rate=16000))
+    assert (d["n_channels"], d["sample_rate"], d["n_samples"]) == (2, 16000, 4)
+    assert np.array_equal(d["samples"], samples.astype(np.int64))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFgarbage")
+
+
+def test_decode_media_dispatches_real_codecs(spark):
+    """End-to-end mapInPandas dispatch: PNG and WAV rows take the REAL
+    decode path (exact integer features asserted against independently
+    computed sums), unknown mimes and malformed media fall back to the
+    byte-histogram stub."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    from data_services_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    png = _encode_png(px, color_type=2, filters=[0, 2, 4])
+    wav_samples = np.array([[3], [-4], [10]], np.int16)
+    wav = _encode_wav(wav_samples, rate=8000)
+    rows = [
+        (1, bytearray(png), "image/png"),
+        (2, bytearray(wav), "audio/wav"),
+        (3, bytearray(b"abc"), "text/plain"),
+        (4, bytearray(b"\x89PNG\r\n\x1a\nbroken"), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, m string") \
+        .withColumn("media_meta", F.struct(F.col("m").alias("mime")))
+    got = {r["doc_id"]: r["features"] for r in
+           decode_media(df, feature_dim=8).collect()}
+    sums = px.reshape(-1, 3).sum(axis=0)
+    assert got[1] == [2.0, 4.0, 3.0, 3.0,
+                      float(sums[0]), float(sums[1]), float(sums[2]), 0.0]
+    assert got[2] == [1.0, 1.0, 8000.0, 3.0, 9.0, 17.0, -4.0, 10.0]
+    # stub path: byte-histogram moments of the raw payload
+    arr = np.frombuffer(b"abc", np.uint8)
+    assert got[3] == [float(arr[i::8].sum() % 997) for i in range(8)]
+    assert len(got[4]) == 8  # malformed PNG routed to stub, not an error
