@@ -599,10 +599,21 @@ def test_scalable_running_sum_matches_window_and_distributes(spark):
     got = {(r["k"], r["s"]) for r in out.collect()}
     assert got == want
     # the big table must NOT pass through a single task: row counts per
-    # partition of the decomposed form stay well below the total
-    sizes = [r["n"] for r in
-             out.groupBy(F.spark_partition_id().alias("p"))
-             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    # partition of the decomposed form stay well below the total. The
+    # count must reference the window-derived column — counting lit(1)
+    # lets the optimizer prune the window+exchange and measure the bare
+    # scan instead — and AQE's tiny-partition coalescing is disabled for
+    # the observation, since at toy row counts it legitimately merges
+    # everything into one partition (see tests/test_plan_guard.py)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        sizes = [r["n"] for r in
+                 out.groupBy(F.spark_partition_id().alias("p"))
+                 .agg(F.count("s").alias("n")).collect()]
+    finally:
+        spark.conf.set(key, saved)
     assert max(sizes) < 500
     # The bucket must be a pure function of the data — any dependence on
     # physical partition ids can silently corrupt values when AQE gives

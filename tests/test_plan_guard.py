@@ -1,0 +1,139 @@
+"""Plan-regression guard for the headline queries (round-5 verdict ask
+#8): correctness sweeps catch wrong VALUES; this file catches wrong
+PLANS — a pushed filter silently dropping off a scan, a broadcast dim
+join decaying to a shuffle join, an unplanned Cartesian, a Python
+boundary appearing in a pure-JVM query, or a full table funneling
+through a single-partition sort. Each would keep every oracle green
+while quietly breaking the 100 TB posture, so CI pins the plan facts
+the per-round PLANS.md audit reads off.
+
+Facts are extracted exactly the way tools/plan_audit.py does (same
+regexes over the formatted plan + post-AQE executed plan) at sf0.01 —
+large enough that join-strategy choices match the bench, small enough
+to execute in seconds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# name -> invariants. Semantics:
+#   scans: exact parquet-scan count (a new scan = a new data pass)
+#   pushed_min: at least this many scans carry pushed filters
+#   joins: exact set of join algorithms allowed in the plan
+#   exchanges_max: post-AQE shuffle-exchange ceiling
+#   single_max: post-AQE Exchange SinglePartition ceiling (the scalable
+#     decompositions legitimately single-partition their per-bucket
+#     OFFSETS — tiny aggregated rows — never the main table; the
+#     distribution test below proves the main table never funnels)
+#   py: exact count of Python/Arrow boundary operators
+EXPECTED = {
+    "q1_pricing_summary": dict(scans=1, pushed_min=1, joins=set(),
+                               exchanges_max=1, single_max=0, py=0),
+    "q3_shipping_priority": dict(scans=3, pushed_min=3,
+                                 joins={"BroadcastHashJoin"},
+                                 exchanges_max=1, single_max=0, py=0),
+    "kgx_edge_merge": dict(scans=1, pushed_min=0, joins=set(),
+                           exchanges_max=1, single_max=0, py=0),
+    "kgx_node_merge": dict(scans=3, pushed_min=1, joins=set(),
+                           exchanges_max=1, single_max=0, py=0),
+    "window_running_sum": dict(scans=1, pushed_min=0, joins=set(),
+                               exchanges_max=1, single_max=0, py=0),
+    "tumbling_window": dict(scans=1, pushed_min=1, joins=set(),
+                            exchanges_max=1, single_max=0, py=0),
+    "knn_cosine": dict(scans=1, pushed_min=1, joins=set(),
+                       exchanges_max=0, single_max=0, py=0),
+    # two-pass prefix-sum consumers: the 1-row stats broadcast is a
+    # BroadcastNestedLoopJoin by Spark's classification of a crossJoin,
+    # and the offsets branch legitimately single-partitions tiny rows
+    "running_sum_scalable": dict(
+        scans=4, pushed_min=0,
+        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        exchanges_max=4, single_max=2, py=0),
+    "token_packing": dict(
+        scans=4, pushed_min=0,
+        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        exchanges_max=4, single_max=2, py=0),
+    "length_batching": dict(
+        scans=5, pushed_min=0,
+        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        exchanges_max=6, single_max=3, py=0),
+}
+
+
+def _facts(spark, df):
+    from tools.plan_audit import formatted_plan
+
+    plan = formatted_plan(spark, df)
+    df.toArrow()  # finalize AQE so executed-plan facts are real
+    executed = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    return dict(
+        scans=len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)),
+        pushed=sum(1 for p in re.findall(r"PushedFilters: \[([^\]]*)\]",
+                                         plan) if p.strip()),
+        joins=set(re.findall(
+            r"^\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct)", plan, re.M)),
+        exchanges=len(re.findall(
+            r"\bExchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition)", executed)),
+        single=len(re.findall(r"\bExchange SinglePartition", executed)),
+        py=len(re.findall(
+            r"\b(?:ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
+            r"|MapInPandas|PythonUDTF)\b", executed)),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_plan_invariants(spark, name):
+    from data_services_spark.registry import RAW_QUERIES
+
+    want = EXPECTED[name]
+    got = _facts(spark, RAW_QUERIES[name](spark, SF_DIR))
+    assert got["scans"] == want["scans"], got
+    assert got["pushed"] >= want["pushed_min"], got
+    assert got["joins"] == want["joins"], got
+    assert got["exchanges"] <= want["exchanges_max"], got
+    assert got["single"] <= want["single_max"], got
+    assert got["py"] == want["py"], got
+    assert "CartesianProduct" not in got["joins"], got
+
+
+@pytest.mark.parametrize("name", ["running_sum_scalable", "token_packing",
+                                  "length_batching"])
+def test_scalable_forms_never_funnel_the_table(spark, name):
+    """The guarantee the single_max ceiling can't express textually: the
+    MAIN TABLE never passes through one task. AQE's partition coalescing
+    is disabled for the observation — at this toy sf it legitimately
+    merges every sub-advisory partition into one, which is exactly the
+    behavior that vanishes at scale where partitions exceed the
+    advisory; what must NOT vanish is the underlying multi-partition
+    plan shape this test pins."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.registry import RAW_QUERIES
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    # build FIRST: registry queries defensively configure_session(),
+    # which would re-enable coalescing; AQE reads the conf at execution
+    out = RAW_QUERIES[name](spark, SF_DIR)
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    # the aggregate must REFERENCE a window-derived output column
+    # (out.columns[-1]: running_tokens/chunk_id/batch_id) — counting
+    # only spark_partition_id() lets the optimizer prune the whole
+    # window+exchange away and measure the bare scan instead
+    probe = out.columns[-1]
+    try:
+        total = out.count()
+        sizes = [r["n"] for r in
+                 out.groupBy(F.spark_partition_id().alias("p"))
+                 .agg(F.count(probe).alias("n")).collect()]
+    finally:
+        spark.conf.set(key, saved)
+    assert max(sizes) < total, (max(sizes), total)
