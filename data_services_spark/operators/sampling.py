@@ -96,14 +96,20 @@ def vocab_top_k(docs: DataFrame, text_col: str = "text",
     docs (stopwords), keep the top `k` by (df desc, token asc).
 
     Returns (token, df) — the tokenizer-training / feature-hashing prep
-    step. One shuffle (groupBy token), then top-k over survivors only."""
-    n_docs = docs.select(F.count(F.lit(1))).first()[0]
-    max_df = int(n_docs * max_df_frac)
+    step. One shuffle (groupBy token), then top-k over survivors only;
+    the doc-count bound rides in as a 1-row broadcast instead of a
+    driver-side scalar job (floor(N * frac) == the former int() truncation
+    for non-negative N)."""
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__N"))
     df_counts = (docs.select(F.explode(F.array_distinct(
                      tokenize(text_col))).alias("token"))
                  .groupBy("token")
                  .agg(F.count(F.lit(1)).alias("df"))
-                 .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+                 .crossJoin(F.broadcast(n_docs))
+                 .filter((F.col("df") >= min_df)
+                         & (F.col("df") <= F.floor(F.col("__N")
+                                                   * max_df_frac)))
+                 .drop("__N"))
     return (df_counts.orderBy(F.desc("df"), F.col("token")).limit(k))
 
 

@@ -52,17 +52,19 @@ def tfidf(docs: DataFrame, text_col: str = "text",
 
     tf is the raw in-doc count; single double multiply at the end keeps the
     value bit-stable across engines. Optional per-doc top-k by
-    (tfidf desc, term asc).
+    (tfidf desc, term asc). N rides in as a 1-row broadcast (the
+    lm_logprob pattern below) — no driver-side scalar job per plan build.
     """
-    n_docs = docs.select(F.countDistinct(id_col)).head()[0]
+    n_docs = docs.agg(F.countDistinct(id_col).cast("double").alias("__N"))
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.select("doc_id", "term").distinct() \
         .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     out = (tf.join(F.broadcast(df_), "term")
+           .crossJoin(F.broadcast(n_docs))
            .withColumn("tfidf",
-                       F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                       F.col("tf") * F.log(F.col("__N") / F.col("df")))
            .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
                    F.col("df").cast("long").alias("df"), "tfidf"))
     if top_k is not None:
