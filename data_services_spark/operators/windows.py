@@ -102,18 +102,32 @@ def bucket_by_leading_key(df: DataFrame, key_col: str,
     Balance is linear-uniform — skewed key distributions give uneven
     buckets (correctness unaffected); feed a quantile-spaced surrogate
     key if that matters.
+
+    String/binary keys get a monotone numeric surrogate: the first 8
+    bytes, zero-padded, read as an unsigned big-endian integer — exactly
+    Spark's binary string comparison order on that prefix (shorter
+    strings pad with 0x00, which sorts before every byte, matching
+    prefix ordering). Keys sharing an 8-byte prefix collapse into one
+    bucket — order-consistency is unaffected, only balance.
     """
-    from pyspark.sql.types import DateType, NumericType, TimestampType
+    from pyspark.sql.types import (
+        BinaryType, DateType, NumericType, StringType, TimestampType,
+    )
 
     dt = df.schema[key_col].dataType
-    if not isinstance(dt, (NumericType, TimestampType, DateType)):
+    if isinstance(dt, (StringType, BinaryType)):
+        q = "`" + key_col.replace("`", "``") + "`"
+        key = F.expr(
+            f"cast(conv(hex(rpad(cast({q} as binary), 8, x'00')), 16, 10)"
+            f" as double)")
+    elif isinstance(dt, (NumericType, TimestampType, DateType)):
+        # DateType casts to double as NULL; go through days-since-epoch.
+        key = (F.unix_date(F.col(key_col)) if isinstance(dt, DateType)
+               else F.col(key_col)).cast("double")
+    else:
         raise ValueError(
-            f"bucket_by_leading_key needs a numeric/timestamp leading "
-            f"order column; {key_col} is {dt.simpleString()}. Derive a "
-            f"numeric surrogate (epoch_ms, dense id) first.")
-    # DateType casts to double as NULL; go through days-since-epoch.
-    key = (F.unix_date(F.col(key_col)) if isinstance(dt, DateType)
-           else F.col(key_col)).cast("double")
+            f"bucket_by_leading_key needs a numeric/timestamp/string "
+            f"leading order column; {key_col} is {dt.simpleString()}.")
     stats = df.agg(F.min(key).alias("__kmin"), F.max(key).alias("__kmax"))
     span = F.col("__kmax") - F.col("__kmin")
     frac = F.when(span > 0, (key - F.col("__kmin")) / span) \
@@ -145,10 +159,12 @@ def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
     `num_partitions` rows.
 
     `order_cols` must be a total order (tie-break explicitly), exactly
-    as the single-window form requires for determinism, and the LEADING
-    order column must be numeric/timestamp (bucket key). Exact for
-    integer/long values; for doubles feed a quantized column
-    (functions/numeric.py) so partial sums are order-independent.
+    as the single-window form requires for determinism; the LEADING
+    order column may be numeric, timestamp, date, string, or binary
+    (strings bucket by a monotone 8-byte-prefix surrogate — see
+    :func:`bucket_by_leading_key`). Exact for integer/long values; for
+    doubles feed a quantized column (functions/numeric.py) so partial
+    sums are order-independent.
     """
     v = F.col(value) if isinstance(value, str) else value
     oc = [F.col(c) for c in order_cols]

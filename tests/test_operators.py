@@ -868,3 +868,28 @@ def test_decode_media_dispatches_real_codecs(spark):
     arr = np.frombuffer(b"abc", np.uint8)
     assert got[3] == [float(arr[i::8].sum() % 997) for i in range(8)]
     assert len(got[4]) == 8  # malformed PNG routed to stub, not an error
+
+
+def test_scalable_running_sum_string_keys(spark):
+    """String order keys bucket by the monotone 8-byte-prefix surrogate:
+    results must equal the plain global window, including unicode keys,
+    duplicated keys, and keys sharing a long common prefix (which
+    collapse into one bucket — order-consistency over balance)."""
+    from pyspark.sql import Window
+
+    from data_services_spark.operators.windows import scalable_running_sum
+
+    keys = (["doc-%04d" % i for i in range(60)]
+            + ["doc-%04d" % (i % 7) for i in range(40)]   # duplicates
+            + ["sharedprefix_aaaaaaa_%02d" % i for i in range(30)]
+            + ["", "a", "zz", "ä", "日本語", "\x00weird"])
+    rows = [(k, (i * 37) % 11 + 1, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k string, v long, tie long")
+    w = Window.orderBy("k", "tie").rowsBetween(
+        Window.unboundedPreceding, 0)
+    want = sorted((r["k"], r["tie"], r["s"]) for r in
+                  df.withColumn("s", F.sum("v").over(w)).collect())
+    got = sorted((r["k"], r["tie"], r["s"]) for r in
+                 scalable_running_sum(df, ["k", "tie"], "v", "s",
+                                      num_partitions=9).collect())
+    assert got == want
