@@ -92,7 +92,7 @@ def main() -> None:
             RAW_QUERIES[name](spark, sf_dir).toArrow()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
-        # Marginal: median of 5 re-executions of ONE built plan — the
+        # Marginal: median of 3 re-executions of ONE built plan — the
         # judge-readable split of per-plan constants (analysis, codegen
         # source generation, job floors) from repeatable work. Caveats,
         # stated so the number is read honestly: re-executing a finalized
@@ -106,7 +106,15 @@ def main() -> None:
         df = RAW_QUERIES[name](spark, sf_dir)
         df.toArrow()
         reps = []
-        for _ in range(5):
+        # 3 reps (not 5): keeps total bench wall-time near the pre-
+        # marginal-mode budget; the median of 3 identifies the floor
+        # split just as well (fresh keeps its min-of-5). GC before each
+        # rep, untimed: a marginal rep is often fetch-only (shuffle
+        # reused), so the PREVIOUS rep's multi-hundred-MB Arrow garbage
+        # otherwise lands its pauses inside the next timing (measured:
+        # sf1 edge_merge marginal read 57s under that debt, ~2s clean).
+        for _ in range(3):
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             df.toArrow()
             reps.append(time.perf_counter() - t0)
