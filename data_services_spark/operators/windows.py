@@ -78,7 +78,8 @@ def sliding(events: DataFrame, ts_col: str, duration: str, slide: str,
 
 def bucket_by_leading_key(df: DataFrame, key_col: str,
                           num_buckets: int,
-                          bucket_alias: str = "__bucket") -> DataFrame:
+                          bucket_alias: str = "__bucket",
+                          balance: str = "linear") -> DataFrame:
     """Assign each row an order-consistent bucket id that is a PURE
     FUNCTION OF THE ROW'S DATA — `least(n-1, floor((k - min) / span * n))`
     over the leading order column, with min/max supplied by a one-row
@@ -99,9 +100,21 @@ def bucket_by_leading_key(df: DataFrame, key_col: str,
     double is order-preserving, floor is monotone), so bucket i's rows
     all precede bucket i+1's in the total order; equal keys always share
     a bucket; NULL keys land in bucket 0 (Spark default NULLS FIRST).
-    Balance is linear-uniform — skewed key distributions give uneven
-    buckets (correctness unaffected); feed a quantile-spaced surrogate
-    key if that matters.
+    Balance modes (both data-derived and order-consistent):
+
+    - ``"linear"`` (default): min/max linear spacing — one tiny
+      aggregate, ideal for roughly-uniform keys (dense ids, epochs);
+      skewed distributions give uneven buckets (correctness
+      unaffected).
+    - ``"quantile"``: boundaries at exact key percentiles (one
+      one-row aggregate of ``num_buckets - 1`` ``F.percentile`` values,
+      broadcast; rows self-assign by counting boundaries below their
+      key — a codegen sum of comparisons). Balanced under ANY
+      distribution, bounded only by ties: rows equal to a boundary
+      share a bucket. Cost is O(num_buckets) expression terms per row —
+      use for moderate bucket counts (<=128); exact percentile is a
+      deterministic sort-based aggregate, so buckets are stable across
+      partitionings like everything else here.
 
     String/binary keys get a monotone numeric surrogate: the first 8
     bytes, zero-padded, read as an unsigned big-endian integer — exactly
@@ -128,6 +141,20 @@ def bucket_by_leading_key(df: DataFrame, key_col: str,
         raise ValueError(
             f"bucket_by_leading_key needs a numeric/timestamp/string "
             f"leading order column; {key_col} is {dt.simpleString()}.")
+    if balance == "quantile":
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = df.agg(*[F.percentile(key, q).alias(f"__qb{i}")
+                          for i, q in enumerate(qs)])
+        bucket = F.lit(0)
+        for i in range(len(qs)):
+            bucket = bucket + F.when(key > F.col(f"__qb{i}"), 1) \
+                .otherwise(0)
+        return (df.crossJoin(F.broadcast(bounds))
+                .withColumn(bucket_alias, bucket.cast("int"))
+                .drop(*[f"__qb{i}" for i in range(len(qs))]))
+    if balance != "linear":
+        raise ValueError(f"balance must be 'linear' or 'quantile', "
+                         f"got {balance!r}")
     stats = df.agg(F.min(key).alias("__kmin"), F.max(key).alias("__kmax"))
     span = F.col("__kmax") - F.col("__kmin")
     frac = F.when(span > 0, (key - F.col("__kmin")) / span) \
@@ -142,7 +169,8 @@ def bucket_by_leading_key(df: DataFrame, key_col: str,
 
 def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
                          value: Column | str, out: str,
-                         num_partitions: int | None = None) -> DataFrame:
+                         num_partitions: int | None = None,
+                         balance: str = "linear") -> DataFrame:
     """Global running sum WITHOUT a single-partition sort — the two-pass
     prefix-sum decomposition for the pattern `SUM(x) OVER (ORDER BY ...
     ROWS UNBOUNDED PRECEDING)` that otherwise funnels the whole table
@@ -171,7 +199,7 @@ def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    d = bucket_by_leading_key(df, order_cols[0], n)
+    d = bucket_by_leading_key(df, order_cols[0], n, balance=balance)
     w_in = (Window.partitionBy("__bucket").orderBy(*oc)
             .rowsBetween(Window.unboundedPreceding, 0))
     t = d.withColumn("__run", F.sum(v).over(w_in))

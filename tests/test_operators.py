@@ -893,3 +893,43 @@ def test_scalable_running_sum_string_keys(spark):
                  scalable_running_sum(df, ["k", "tie"], "v", "s",
                                       num_partitions=9).collect())
     assert got == want
+
+
+def test_bucket_quantile_balance_on_skewed_keys(spark):
+    """balance='quantile' must (a) keep the running sum exact on a
+    heavily skewed key distribution and (b) actually balance where
+    linear bucketing collapses: with 99% of keys in [0,10) and a sparse
+    tail out to 1e9, linear puts ~everything in bucket 0."""
+    from pyspark.sql import Window
+
+    from data_services_spark.operators.windows import (
+        bucket_by_leading_key, scalable_running_sum,
+    )
+
+    rows = [(i % 10, 1, i) for i in range(990)] + \
+        [(10**9 + i, 1, 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, v long, tie long")
+    w = Window.orderBy("k", "tie").rowsBetween(
+        Window.unboundedPreceding, 0)
+    want = sorted((r["k"], r["tie"], r["s"]) for r in
+                  df.withColumn("s", F.sum("v").over(w)).collect())
+    for mode in ("linear", "quantile"):
+        got = sorted((r["k"], r["tie"], r["s"]) for r in
+                     scalable_running_sum(df, ["k", "tie"], "v", "s",
+                                          num_partitions=8,
+                                          balance=mode).collect())
+        assert got == want, mode
+
+    def max_bucket(mode):
+        b = bucket_by_leading_key(df, "k", 8, balance=mode)
+        return max(r["n"] for r in b.groupBy("__bucket")
+                   .agg(F.count(F.lit(1)).alias("n")).collect())
+
+    # linear: the whole head lands in bucket 0 (tail stretches the span)
+    assert max_bucket("linear") >= 990
+    # quantile: bounded by tie mass — each of the 10 head values is 99
+    # rows, so no bucket need exceed ~2 tie-groups
+    assert max_bucket("quantile") <= 250
+
+    with pytest.raises(ValueError, match="balance"):
+        bucket_by_leading_key(df, "k", 8, balance="nope")
