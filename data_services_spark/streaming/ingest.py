@@ -184,13 +184,41 @@ def _read_state(spark: SparkSession, state_dir: str,
 
 
 def read_merged_state(spark: SparkSession, state_dir: str,
-                      internal: bool = False) -> DataFrame:
+                      internal: bool = False,
+                      generation: int | None = None) -> DataFrame:
     """The committed merged-node state (empty-state error is the caller's
     signal that no batch has ever committed). ``internal=True`` keeps the
-    per-scalar `*__rank` bookkeeping columns."""
-    df = _read_state(spark, state_dir)
-    if df is None:
-        raise FileNotFoundError(f"no committed generation in {state_dir}")
+    per-scalar `*__rank` bookkeeping columns.
+
+    ``generation=N`` TIME-TRAVELS: reads the snapshot exactly as it was
+    when generation N's manifest was current, resolved from the archived
+    manifest history — the same mechanism a table format's `VERSION AS
+    OF` uses, and the same retention contract: :func:`vacuum_state`
+    keeps the generations referenced by the last ``keep_last``
+    manifests, so snapshots inside that window stay byte-readable and
+    older ones raise a clear error instead of a silent partial read."""
+    if generation is None:
+        df = _read_state(spark, state_dir)
+        if df is None:
+            raise FileNotFoundError(
+                f"no committed generation in {state_dir}")
+    else:
+        hist = os.path.join(state_dir, _MANIFESTS, f"{generation}.json")
+        if not os.path.exists(hist):
+            raise FileNotFoundError(
+                f"generation {generation} has no archived manifest in "
+                f"{state_dir} (never committed, or aged out by "
+                f"vacuum_state retention)")
+        with open(hist) as fh:
+            manifest = json.load(fh)
+        paths = _bucket_paths(state_dir, manifest)
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot at generation {generation} references "
+                f"vacuumed data (e.g. {missing[0]}); raise keep_last to "
+                "retain deeper history")
+        df = spark.read.parquet(*paths)
     if not internal:
         df = df.drop(*[c for c in df.columns if c.endswith("__rank")])
     return df

@@ -37,6 +37,72 @@ EXPECTED = {
     "q3_shipping_priority": dict(scans=3, pushed_min=3,
                                  joins={"BroadcastHashJoin"},
                                  exchanges_max=1, single_max=0, py=0),
+    # complete TPC-H shape set (facts collected at sf0.01, round 5).
+    # q2's SortMergeJoin is the post-aggregate min-cost join (both sides
+    # derived, size estimates unknown — a legitimate shuffle join; AQE
+    # may still convert it at runtime); the BroadcastNestedLoopJoins in
+    # q11/q22 are 1-row scalar-threshold broadcasts, not data joins.
+    "q2_min_cost_supplier": dict(
+        scans=10, pushed_min=10,
+        joins={"BroadcastHashJoin", "SortMergeJoin"},
+        exchanges_max=4, single_max=0, py=0),
+    "q4_order_priority": dict(scans=2, pushed_min=2,
+                              joins={"BroadcastHashJoin"},
+                              exchanges_max=1, single_max=0, py=0),
+    "q5_region_revenue": dict(scans=6, pushed_min=6,
+                              joins={"BroadcastHashJoin"},
+                              exchanges_max=1, single_max=0, py=0),
+    "q6_forecast_revenue": dict(scans=1, pushed_min=1, joins=set(),
+                                exchanges_max=1, single_max=1, py=0),
+    "q7_nation_volume": dict(scans=6, pushed_min=6,
+                             joins={"BroadcastHashJoin"},
+                             exchanges_max=1, single_max=0, py=0),
+    "q8_market_share": dict(scans=8, pushed_min=8,
+                            joins={"BroadcastHashJoin"},
+                            exchanges_max=1, single_max=0, py=0),
+    "q9_nation_profit": dict(scans=5, pushed_min=5,
+                             joins={"BroadcastHashJoin"},
+                             exchanges_max=1, single_max=0, py=0),
+    "q10_returned_items": dict(scans=4, pushed_min=4,
+                               joins={"BroadcastHashJoin"},
+                               exchanges_max=1, single_max=0, py=0),
+    "q11_important_parts": dict(scans=2, pushed_min=0,
+                                joins={"BroadcastNestedLoopJoin"},
+                                exchanges_max=3, single_max=1, py=0),
+    "q12_priority_lines": dict(scans=2, pushed_min=2,
+                               joins={"BroadcastHashJoin"},
+                               exchanges_max=1, single_max=0, py=0),
+    "q13_order_histogram": dict(scans=2, pushed_min=1,
+                                joins={"BroadcastHashJoin"},
+                                exchanges_max=2, single_max=0, py=0),
+    "q14_promo_revenue": dict(scans=2, pushed_min=2,
+                              joins={"BroadcastHashJoin"},
+                              exchanges_max=1, single_max=1, py=0),
+    "q15_top_supplier": dict(scans=3, pushed_min=3,
+                             joins={"BroadcastHashJoin"},
+                             exchanges_max=3, single_max=1, py=0),
+    "q16_supplier_variety": dict(scans=2, pushed_min=2,
+                                 joins={"BroadcastHashJoin"},
+                                 exchanges_max=2, single_max=0, py=0),
+    "q17_small_qty": dict(scans=2, pushed_min=2,
+                          joins={"BroadcastHashJoin"},
+                          exchanges_max=2, single_max=1, py=0),
+    "q18_large_volume": dict(scans=3, pushed_min=3,
+                             joins={"BroadcastHashJoin"},
+                             exchanges_max=1, single_max=0, py=0),
+    "q19_disjunctive": dict(scans=2, pushed_min=2,
+                            joins={"BroadcastHashJoin"},
+                            exchanges_max=1, single_max=1, py=0),
+    "q20_excess_stock": dict(scans=5, pushed_min=5,
+                             joins={"BroadcastHashJoin"},
+                             exchanges_max=2, single_max=0, py=0),
+    "q21_blocked_suppliers": dict(scans=4, pushed_min=4,
+                                  joins={"BroadcastHashJoin"},
+                                  exchanges_max=1, single_max=0, py=0),
+    "q22_lost_customers": dict(
+        scans=3, pushed_min=3,
+        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        exchanges_max=2, single_max=1, py=0),
     "kgx_edge_merge": dict(scans=1, pushed_min=0, joins=set(),
                            exchanges_max=1, single_max=0, py=0),
     "kgx_node_merge": dict(scans=3, pushed_min=1, joins=set(),

@@ -527,3 +527,40 @@ def test_writer_lease_concurrent_acquirers_one_wins(tmp_path):
             t.join()
         assert len(wins) == 1 and len(errs) == 7, (round_no, wins, errs)
         release_writer_lease(state, wins[0])
+
+
+def test_time_travel_reads_and_vacuum_retention(spark, tmp_path):
+    """generation=N reconstructs each historical snapshot exactly from
+    the archived manifests; snapshots beyond vacuum retention fail with
+    a clear error instead of a silent partial read."""
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, read_merged_state, vacuum_state,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    batches = [
+        [("X:1", "one", ["a"], 1)],
+        [("X:1", None, ["b"], 2), ("X:2", "two", ["c"], 1)],
+        [("X:2", "TWO", ["d"], 0)],
+    ]
+    for i, rows in enumerate(batches):
+        merge_upsert_batch(spark, spark.createDataFrame(rows, NODES),
+                           str(state), batch_id=i)
+
+    def snap(gen=None):
+        return {(r.id, r.name, tuple(r.category)) for r in
+                read_merged_state(spark, str(state),
+                                  generation=gen).collect()}
+
+    assert snap(0) == {("X:1", "one", ("a",))}
+    assert snap(1) == {("X:1", "one", ("a", "b")), ("X:2", "two", ("c",))}
+    want_now = {("X:1", "one", ("a", "b")), ("X:2", "TWO", ("c", "d"))}
+    assert snap(2) == want_now == snap()
+
+    # retention: keep the last 2 manifests; gen 0 ages out
+    vacuum_state(str(state), keep_last=2)
+    assert snap(2) == want_now  # current still byte-readable
+    assert snap(1) == {("X:1", "one", ("a", "b")), ("X:2", "two", ("c",))}
+    with pytest.raises(FileNotFoundError, match="generation 0"):
+        snap(0)
