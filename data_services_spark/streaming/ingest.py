@@ -224,6 +224,53 @@ def read_merged_state(spark: SparkSession, state_dir: str,
     return df
 
 
+def state_changes(spark: SparkSession, state_dir: str,
+                  from_gen: int, to_gen: int,
+                  key_cols=("id",)) -> DataFrame:
+    """Change-data-feed between two committed snapshots: one row per key
+    whose merged record was added, removed, or changed between
+    `from_gen` and `to_gen` (both resolved via the archived manifest
+    history — the same retention contract as time travel). Returns the
+    key columns + `change` ('added'|'removed'|'changed').
+
+    Plan shape: two manifest-pruned parquet reads full-outer-joined on
+    the merge key with a whole-row null-safe struct comparison — no
+    state is scanned outside the two snapshots, and at scale the join
+    co-partitions on the same key the state is bucketed by. The
+    downstream use is incremental export: feed 'changed'+'added' keys to
+    a sink instead of re-exporting the full graph."""
+    old = read_merged_state(spark, state_dir, generation=from_gen,
+                            internal=True)
+    new = read_merged_state(spark, state_dir, generation=to_gen,
+                            internal=True)
+    # schema evolution between snapshots: align columns, missing -> NULL
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    keys = list(key_cols)
+    payload = [c for c in sorted(new.columns)
+               if c not in keys and c != _BUCKET]
+    a = old.alias("a")
+    b = new.alias("b")
+    cond = None
+    for k in keys:
+        e = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = e if cond is None else cond & e
+    j = a.join(b, cond, "full_outer")
+    removed = F.col(f"b.{keys[0]}").isNull()
+    added = F.col(f"a.{keys[0]}").isNull()
+    same = F.struct(*[F.col(f"a.{c}") for c in payload]).eqNullSafe(
+        F.struct(*[F.col(f"b.{c}") for c in payload]))
+    return (j.filter(added | removed | ~same)
+            .select(*[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}"))
+                      .alias(k) for k in keys],
+                    F.when(removed, "removed").when(added, "added")
+                    .otherwise("changed").alias("change")))
+
+
 def _to_stateful(batch: DataFrame, scalar_props, list_props,
                  rank_col: str, key_cols=("id",)) -> DataFrame:
     """Raw node/edge rows -> stateful-merge shape: each scalar carries
@@ -325,14 +372,20 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
         state = _read_state(spark, state_dir)
         incoming = state.withColumn(
             _BUCKET, _bucket_col(num_buckets, key_cols)) \
-            .unionByName(incoming)
+            .unionByName(incoming, allowMissingColumns=True)
         touched = None  # everything rewrites
     elif touched:
         state = _read_state(spark, state_dir, buckets=touched)
         if state is not None:
+            # allowMissingColumns = SCHEMA EVOLUTION: a batch may carry
+            # a prop the accumulated state has never seen (or drop one).
+            # Missing sides fill NULL; the per-scalar __rank state makes
+            # that exact — null ranks never win min_by, so a later batch
+            # from any source claims the new prop exactly as a
+            # from-scratch merge would (pytest-asserted).
             incoming = state.withColumn(
                 _BUCKET, _bucket_col(num_buckets, key_cols)) \
-                .unionByName(incoming)
+                .unionByName(incoming, allowMissingColumns=True)
     if touched is None or touched:
         merged = _merge_stateful(incoming, scalar_props, list_props,
                                  extra_group_cols=(_BUCKET,),

@@ -564,3 +564,64 @@ def test_time_travel_reads_and_vacuum_retention(spark, tmp_path):
     assert snap(1) == {("X:1", "one", ("a", "b")), ("X:2", "two", ("c",))}
     with pytest.raises(FileNotFoundError, match="generation 0"):
         snap(0)
+
+
+def test_schema_evolution_new_prop_mid_stream(spark, tmp_path):
+    """A batch may introduce a scalar prop the accumulated state never
+    saw: missing sides fill NULL, null ranks never win min_by, and the
+    incremental result equals a from-scratch merge over all batches."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.merge import merge_nodes
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, read_merged_state,
+    )
+
+    V1 = "id string, name string, category array<string>, source_rank int"
+    V2 = ("id string, name string, symbol string, "
+          "category array<string>, source_rank int")
+    state = tmp_path / "state"
+    b0 = spark.createDataFrame(
+        [("X:1", "one", ["a"], 2), ("X:2", "two", ["b"], 1)], V1)
+    b1 = spark.createDataFrame(
+        [("X:1", "ONE", "S1", ["c"], 1),      # better rank wins name+symbol
+         ("X:3", "three", "S3", ["d"], 1)], V2)
+    merge_upsert_batch(spark, b0, str(state), batch_id=0,
+                       scalar_props=("name",))
+    merge_upsert_batch(spark, b1, str(state), batch_id=1,
+                       scalar_props=("name", "symbol"))
+    got = {(r.id, r.name, r.symbol, tuple(r.category)) for r in
+           read_merged_state(spark, str(state)).collect()}
+    # from-scratch equivalent over the union (missing symbol -> NULL)
+    scratch = merge_nodes(
+        b0.withColumn("symbol", F.lit(None).cast("string"))
+        .unionByName(b1),
+        scalar_props=("name", "symbol"))
+    want = {(r.id, r.name, r.symbol, tuple(r.category)) for r in
+            scratch.collect()}
+    assert got == want
+    assert ("X:2", "two", None, ("b",)) in got
+    assert ("X:1", "ONE", "S1", ("a", "c")) in got
+
+
+def test_state_changes_cdc_between_generations(spark, tmp_path):
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, state_changes,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    merge_upsert_batch(spark, spark.createDataFrame(
+        [("X:1", "one", ["a"], 1), ("X:2", "two", ["b"], 1)], NODES),
+        str(state), batch_id=0)
+    merge_upsert_batch(spark, spark.createDataFrame(
+        [("X:2", None, ["b2"], 2),            # list grows -> changed
+         ("X:3", "three", ["c"], 1)], NODES),  # added
+        str(state), batch_id=1)
+    got = {(r.id, r.change) for r in
+           state_changes(spark, str(state), 0, 1).collect()}
+    assert got == {("X:2", "changed"), ("X:3", "added")}
+    # reversed direction reads as removal
+    rev = {(r.id, r.change) for r in
+           state_changes(spark, str(state), 1, 0).collect()}
+    assert rev == {("X:2", "changed"), ("X:3", "removed")}
