@@ -238,11 +238,14 @@ def state_changes(spark: SparkSession, state_dir: str,
     state is scanned outside the two snapshots, and at scale the join
     co-partitions on the same key the state is bucketed by. The
     downstream use is incremental export: feed 'changed'+'added' keys to
-    a sink instead of re-exporting the full graph."""
-    old = read_merged_state(spark, state_dir, generation=from_gen,
-                            internal=True)
-    new = read_merged_state(spark, state_dir, generation=to_gen,
-                            internal=True)
+    a sink instead of re-exporting the full graph.
+
+    The comparison is over the VISIBLE record (internal ``*__rank``
+    bookkeeping excluded): a higher-priority source re-confirming an
+    identical value improves a rank without changing what any consumer
+    reads, and must not flag the row."""
+    old = read_merged_state(spark, state_dir, generation=from_gen)
+    new = read_merged_state(spark, state_dir, generation=to_gen)
     # schema evolution between snapshots: align columns, missing -> NULL
     for c in new.columns:
         if c not in old.columns:

@@ -625,3 +625,24 @@ def test_state_changes_cdc_between_generations(spark, tmp_path):
     rev = {(r.id, r.change) for r in
            state_changes(spark, str(state), 1, 0).collect()}
     assert rev == {("X:2", "changed"), ("X:3", "removed")}
+
+
+def test_state_changes_ignores_invisible_rank_improvements(spark, tmp_path):
+    """A re-confirmation from a higher-priority source improves internal
+    ranks without changing the visible record (n_merged aside) — CDC
+    must flag it only because n_merged moved, and a truly identical
+    snapshot pair yields no rows."""
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, state_changes,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    merge_upsert_batch(spark, spark.createDataFrame(
+        [("X:1", "one", ["a"], 2)], NODES), str(state), batch_id=0)
+    # empty batch: generation advances, nothing rewrites
+    merge_upsert_batch(
+        spark,
+        spark.createDataFrame([], NODES),
+        str(state), batch_id=1)
+    assert state_changes(spark, str(state), 0, 1).count() == 0
