@@ -157,11 +157,16 @@ def bucket_by_leading_key(df: DataFrame, key_col: str,
                          f"got {balance!r}")
     stats = df.agg(F.min(key).alias("__kmin"), F.max(key).alias("__kmax"))
     span = F.col("__kmax") - F.col("__kmin")
-    frac = F.when(span > 0, (key - F.col("__kmin")) / span) \
-        .otherwise(F.lit(0.0))
-    bucket = F.coalesce(
-        F.least(F.lit(num_buckets - 1), F.floor(frac * num_buckets)),
-        F.lit(0)).cast("int")
+    # NULL keys MUST branch explicitly to bucket 0 (Spark sorts them
+    # first): letting a null frac flow into least() would send them to
+    # the LAST bucket, because least/greatest SKIP nulls rather than
+    # propagate them — least(n-1, NULL) = n-1, not NULL. That inverts
+    # the null rows' position in the reassembled order and silently
+    # corrupts every later row's offset (caught by the null-key test).
+    frac = F.when(key.isNull() | ~(span > 0), F.lit(0.0)) \
+        .otherwise((key - F.col("__kmin")) / span)
+    bucket = F.least(F.lit(num_buckets - 1),
+                     F.floor(frac * num_buckets)).cast("int")
     return (df.crossJoin(F.broadcast(stats))
             .withColumn(bucket_alias, bucket)
             .drop("__kmin", "__kmax"))

@@ -933,3 +933,30 @@ def test_bucket_quantile_balance_on_skewed_keys(spark):
 
     with pytest.raises(ValueError, match="balance"):
         bucket_by_leading_key(df, "k", 8, balance="nope")
+
+
+def test_scalable_running_sum_null_keys_sort_first(spark):
+    """NULL leading keys sort first (Spark NULLS FIRST) and must land in
+    bucket 0 under BOTH balance modes. The linear mode once sent them to
+    the LAST bucket because least()/greatest() SKIP nulls instead of
+    propagating them — least(n-1, NULL) = n-1 — silently shifting every
+    later row's offset."""
+    from pyspark.sql import Window
+
+    from data_services_spark.operators.windows import scalable_running_sum
+
+    rows = [(None, 5, 0), (None, 3, 1)] + \
+        [(i, 1, 10 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, v long, tie long")
+    w = Window.orderBy("k", "tie").rowsBetween(
+        Window.unboundedPreceding, 0)
+    want = sorted(((r["k"], r["tie"], r["s"]) for r in
+                   df.withColumn("s", F.sum("v").over(w)).collect()),
+                  key=repr)
+    for mode in ("linear", "quantile"):
+        got = sorted(((r["k"], r["tie"], r["s"]) for r in
+                      scalable_running_sum(df, ["k", "tie"], "v", "s",
+                                           num_partitions=4,
+                                           balance=mode).collect()),
+                     key=repr)
+        assert got == want, mode
