@@ -3838,8 +3838,9 @@ WITH toks AS (
     FROM documents
 )
 SELECT doc_id, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) AS running_tokens
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS running_tokens
 FROM toks
 """)
 def running_sum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3872,8 +3873,8 @@ WITH b AS (
     FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_returnflag,
-       SUM(CASE WHEN l_quantity < lo OR l_quantity > hi
-                THEN 1 ELSE 0 END) AS n_clipped,
+       CAST(SUM(CASE WHEN l_quantity < lo OR l_quantity > hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
        {sql_dsum('l_quantity', 'sum_qty')},
        {sql_dsum('LEAST(GREATEST(l_quantity, lo), hi)', 'sum_qty_wins')}
 FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
@@ -3917,9 +3918,10 @@ WITH d AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {sql_davg('n_tokens', 'avg_tokens')}
 FROM dup GROUP BY source
 """)
@@ -3948,10 +3950,10 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q12_priority_lines", """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -1,25 +1,43 @@
 """Local stand-in for the driver's correctness gate: run every registry
-query on Spark and its oracle on DuckDB at sf0.01; compare row count,
-column names, and order-insensitive values (exact, after canonical
-normalization). Usage:
+query on Spark and its oracle on DuckDB at sf0.01 and compare through
+the SAME channel the driver uses — both sides materialized to Arrow —
+so a type divergence the driver would hash-mismatch can never hide
+behind Python's numeric coercion again (round-5 verdict ask #2: two
+rounds of "142/142" `fetchall()` sweeps coexisted with driver reds
+because `Decimal(3) == 3` is True; DuckDB widens integer SUMs to
+HUGEINT, which surfaces as decimal128(38,0) on the Arrow channel while
+Spark emits int64 — identical values, different hash). Usage:
 
-    python tools/verify_queries.py [--json SWEEP.json] [query ...]
+    python tools/verify_queries.py [--json SWEEP.json] [--strict] [q ...]
 
---json additionally writes a machine-readable sweep result (one entry
-per attempted query) — committed per round as SWEEP_r{N}.json so the
-queries outside the driver's 50-entry correctness window still leave a
-hard, reviewable signal.
+Checks per query, in order:
+  1. Spark runs and (for rows-only queries) returns >0 rows
+  2. oracle runs on DuckDB
+  3. column-name sets match
+  4. TYPE PARITY: each column's Arrow type class matches exactly
+     (decimal128 vs int64 FAILS; only representation-identical aliases
+     such as large_string/string are equivalenced — see _type_class)
+  5. row counts match
+  6. order-insensitive exact value match on the Arrow-materialized rows
+
+--json writes the machine-readable sweep (committed per round as
+SWEEP_r{N}.json). --strict additionally runs the plan-regression guard
+(tests/test_plan_guard.py) after the value+type sweep so one command is
+the full pre-commit gate: value parity, type parity, plan pins.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -28,11 +46,60 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def _type_class(t: pa.DataType):
+    """Canonical class of an Arrow type for parity checking.
+
+    Deliberately strict: numeric width and decimal-ness are IDENTITY
+    (int64 != decimal128(38,0) — that exact divergence is the bug class
+    this tool exists to catch). Only aliases with identical value
+    representation are merged: large_* offsets variants, and timestamp
+    unit/zone (Spark session-local TIMESTAMP exports tz-aware UTC where
+    DuckDB exports naive; the driver's pandas canonicalization treats
+    both as the same wall-clock instant, verified by five rounds of
+    green hashes on tz-bearing queries).
+    """
+    if pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return ("list", _type_class(t.value_type))
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_struct(t):
+        return ("struct",
+                tuple((f.name, _type_class(f.type)) for f in t))
+    if pa.types.is_map(t):
+        return ("map", _type_class(t.key_type), _type_class(t.item_type))
+    if pa.types.is_decimal(t):
+        return ("decimal", t.precision, t.scale)
+    return str(t)
+
+
+def compare_arrow_types(s_schema: pa.Schema, d_schema: pa.Schema):
+    """Return list of 'col: spark_type vs duckdb_type' divergences."""
+    dtypes = {f.name: f.type for f in d_schema}
+    out = []
+    for f in s_schema:
+        dt = dtypes.get(f.name)
+        if dt is not None and _type_class(f.type) != _type_class(dt):
+            out.append(f"{f.name}: spark {f.type} vs duckdb {dt}")
+    return out
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, datetime.datetime):
+        # tz-aware (Spark session-local export) and naive (DuckDB) agree
+        # on the instant under the UTC session; compare wall-clock UTC.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -42,10 +109,13 @@ def norm_cell(v):
     return v
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(tbl: pa.Table):
+    cols = sorted(tbl.column_names)
+    data = {c: tbl.column(c).to_pylist() for c in cols}
     return sorted(
-        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=repr
+        (tuple(norm_cell(data[c][i]) for c in cols)
+         for i in range(tbl.num_rows)),
+        key=repr,
     )
 
 
@@ -59,6 +129,9 @@ def main() -> int:
         i = argv.index("--json")
         json_path = argv[i + 1]
         del argv[i:i + 2]
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
     only = set(argv)
     spark = get_spark("verify")
     con = duckdb.connect()
@@ -82,68 +155,95 @@ def main() -> int:
         attempted += 1
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stbl = fn(spark, SF_DIR).toArrow()
         except Exception as exc:
             failures.append(name)
             record(name, "fail", None, t0, f"spark error: {exc}")
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in ORACLES:
-            print(f"ok    {name}: rows-only ({len(srows)} rows, "
-                  f"{time.time()-t0:.1f}s)")
-            if len(srows) == 0:
+            if stbl.num_rows == 0:
                 failures.append(name)
                 record(name, "fail", 0, t0, "rows-only query returned 0 rows")
                 print(f"FAIL  {name}: 0 rows")
             else:
-                record(name, "rows_only", len(srows), t0)
+                record(name, "rows_only", stbl.num_rows, t0)
+                print(f"ok    {name}: rows-only ({stbl.num_rows} rows, "
+                      f"{time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(ORACLES[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtbl = con.execute(ORACLES[name]).arrow()
         except Exception as exc:
             failures.append(name)
-            record(name, "fail", len(srows), t0, f"duckdb error: {exc}")
+            record(name, "fail", stbl.num_rows, t0, f"duckdb error: {exc}")
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
-        if sorted(scols) != sorted(dcols):
+        if sorted(stbl.column_names) != sorted(dtbl.column_names):
             failures.append(name)
-            record(name, "fail", len(srows), t0,
-                   f"columns {sorted(scols)} vs {sorted(dcols)}")
-            print(f"FAIL  {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            record(name, "fail", stbl.num_rows, t0,
+                   f"columns {sorted(stbl.column_names)} "
+                   f"vs {sorted(dtbl.column_names)}")
+            print(f"FAIL  {name}: columns {sorted(stbl.column_names)} "
+                  f"vs {sorted(dtbl.column_names)}")
             continue
-        if len(srows) != len(drows):
+        type_diffs = compare_arrow_types(stbl.schema, dtbl.schema)
+        if type_diffs:
             failures.append(name)
-            record(name, "fail", len(srows), t0,
-                   f"rowcount {len(srows)} vs {len(drows)}")
-            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(drows)}")
+            record(name, "fail", stbl.num_rows, t0,
+                   f"type divergence: {'; '.join(type_diffs)}")
+            print(f"FAIL  {name}: type divergence: {'; '.join(type_diffs)}")
             continue
-        cs, cd = canon(srows, scols), canon(drows, dcols)
+        if stbl.num_rows != dtbl.num_rows:
+            failures.append(name)
+            record(name, "fail", stbl.num_rows, t0,
+                   f"rowcount {stbl.num_rows} vs {dtbl.num_rows}")
+            print(f"FAIL  {name}: rowcount {stbl.num_rows} "
+                  f"vs {dtbl.num_rows}")
+            continue
+        cs, cd = canon(stbl), canon(dtbl)
         if cs != cd:
             failures.append(name)
             bad = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b][:3]
-            record(name, "fail", len(srows), t0,
+            record(name, "fail", stbl.num_rows, t0,
                    f"value mismatch at sorted rows {bad}")
             print(f"FAIL  {name}: value mismatch at sorted rows {bad}")
             for i in bad[:2]:
                 print(f"      spark : {cs[i]}")
                 print(f"      duckdb: {cd[i]}")
             continue
-        record(name, "pass", len(srows), t0)
-        print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+        record(name, "pass", stbl.num_rows, t0)
+        print(f"ok    {name}: {stbl.num_rows} rows + types match "
+              f"({time.time()-t0:.1f}s)")
 
     print(f"\n{attempted - len(failures)}/{attempted} pass")
+    plan_guard = None
+    if strict and not only:
+        print("\n--strict: running plan-regression guard ...")
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             "tests/test_plan_guard.py", "-q", "--no-header"],
+            cwd="/root/repo", capture_output=True, text=True)
+        tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        plan_guard = {"pass": proc.returncode == 0, "summary": tail,
+                      "sec": round(time.time() - t0, 2)}
+        print(f"plan guard: {'PASS' if plan_guard['pass'] else 'FAIL'} "
+              f"({tail})")
+        if proc.returncode != 0:
+            failures.append("__plan_guard__")
+            print(proc.stdout[-4000:])
     if json_path:
         summary = {
             "sf_dir": SF_DIR,
+            "mode": "strict_arrow" if strict else "arrow",
             "attempted": attempted,
-            "pass": attempted - len(failures),
+            "pass": attempted - len([f for f in failures
+                                     if f != "__plan_guard__"]),
             "fail": len(failures),
             "queries": results,
         }
+        if plan_guard is not None:
+            summary["plan_guard"] = plan_guard
         with open(json_path, "w") as fh:
             json.dump(summary, fh, indent=1)
         print(f"wrote {json_path}")
