@@ -4438,78 +4438,87 @@ def fuzzy_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order is a correctness-coverage decision. The window ROTATES
 # each round so cumulative driver coverage approaches the full registry:
 # r1-r3 verified the original 50-name core, r4 rotated in 22 tail queries,
-# and ROUND 5 rotates in the ~39 names never driver-hash-verified before
-# (the complete remaining TPC-H shape set q2/q4/q6-q16/q18-q21, the
-# window-frame/time-series family, the sketch/graph/skew demos, and the
-# rest of the LLM-ops tail). After this round ~131 of 142 registry queries
-# have been in a driver window at least once.
+# r5 rotated in the TPC-H shape set + window/sketch/graph/LLM families.
+# Cumulative driver-HASH-verified after r5: 110 of 142 (union of
+# hash_match=true across CORRECTNESS_r01-r05 — the round-5 notes' "~131"
+# counted window membership, not green hashes; corrected per the round-5
+# verdict). ROUND 6 window = the 27 oracle-bearing names never
+# hash-verified (23 never-windowed + the four round-5 reds, whose
+# oracles are now BIGINT-cast — kept in for the green re-check) + 10
+# pinned canonicals + 13 per-family representatives. After a green r6
+# every oracle-bearing query (137/142) is driver-hash-verified; the
+# remaining 5 (approx_distinct, hll_distinct_merge, ivf_topk,
+# minhash_lsh_pairs, simhash_fingerprint) are rows-only BY DESIGN
+# (engine-specific sketch/hash families or trained clustering — no
+# DuckDB oracle can hash-match; each algorithm is exactly checked via an
+# md5-family twin or a recall pytest) and are deliberately NOT given
+# window slots the driver would always record as `no_oracle`.
 #
-# Ten slots stay pinned on per-family canonicals; running_sum_scalable
-# stays IN the window deliberately — it was round 4's one hash mismatch
-# (physical-partition-id dependence, fixed this round by data-derived
-# bucketing) and the green re-check is the point. Families whose r1-r4
-# canonical rotated to the tail this round are covered in-window by proxy:
-#   P1/P2 -> q2/q14 string projection + corpus_report renames
-#   P3    -> q12 (IN list), q16 (NOT IN), q19 (disjunctive membership)
-#   P4/F3 -> q1_pricing_summary + q6 threshold band
-#   P5/F6 -> quality_report validity scoring + q19 conditionals
+# Families whose canonical rotated to the tail this round are covered
+# in-window by proxy (r6 edition — the TPC-H shape set was hash-verified
+# r5, so only q1/q3/q12 keep slots):
+#   P1/P2 -> corpus_report renames + text_redact rewrite projection
+#   P3    -> q12 (IN list) + event_funnel membership states
+#   P4/F3 -> q1_pricing_summary thresholds + stats_exact moments
+#   P5/F6 -> quality_report validity scoring + conditional_null
 #   P6    -> chunk_dedup (first-occurrence exact dedup at chunk grain)
 #   J1/J2 -> kgx_normalize
-#   J3/J6 -> kgx_connected_subset (semi) + q16/q21 (anti/exists)
-#   J5    -> q2-q21 complete shape set this round
-#   J7    -> join_range verified r1-r4; join_asof in-window shares the
-#            union+window composition (operators/asof.py)
+#   J3/J6 -> kgx_connected_subset (semi) + graph_build_nodes admission
+#   J5    -> q1/q3/q12 in-window; full q2-q21 set hash-verified r5
+#   J7/J8 -> join_asof + join_asof_forward/_nearest (all three
+#            directions of the union+window composition, asof.py)
 #   A4/K3 -> record_counts
-#   A6/A7 -> agg_hyperedge/cluster_collect verified r4; corpus_report's
-#            grouped collect in-window
-#   A8    -> q1 partials + winsorize_qty/outlier_zscore stats +
-#            hll_distinct_merge (approx, rows-only by design)
-#   A9    -> agg_cube verified r4; q13_order_histogram grouped dist
-#   W1/W2 -> cohort_retention + resample_gapfill lag/rank windows
+#   A6/A7 -> corpus_report grouped collect (agg_hyperedge verified r4)
+#   A8    -> winsorize_qty/outlier_zscore/percentile_qty/stats_exact
+#   A9    -> pivot_status + unpivot_metrics (agg_cube verified r4)
+#   W1/W2 -> cohort_retention rank + resample_gapfill lag windows
 #   W3    -> window_range_frame + running_sum_scalable (two-pass twin)
 #   W4/O2 -> knn_per_label per-group top-k + q3 TakeOrderedAndProject
+#   O1    -> table_checksum global-order fold (sort_global verified r4)
 #   U1    -> kgx_node_merge fixture (three-source unionByName)
-#   U2    -> set_except/table_diff verified r4
+#   U2    -> set_except/table_diff verified r4; dataset_split partitions
+#   F1    -> text_nfc/text_redact string kernels (q2/q14 verified r5)
+#   F2    -> event_funnel/stream_sliding time bucketing
 #   F4    -> knn_cosine_arrow/ann_lsh_topk array scoring + lm_logprob
 #   F5/P7 -> json_props
 #   T1/T4 -> stream_tumbling (real readStream twin)
-#   T2    -> sliding_window/stream_sliding verified r1-r4;
-#            resample_gapfill's time-bucket windows in-window
-#   T3    -> interval_concurrency builds on session_window in-window;
-#            stream_session verified r4
+#   T2    -> stream_sliding in-window this round
+#   T3    -> stream_interval_join + event_funnel event-time composition
+#            (session forms verified r4/r5)
 #   T5    -> dedup_stateful verified r1-r4 + replay pytest
-#   D5    -> udtf_tokenize verified r4
-#   L1    -> text_dedup_exact/corpus_dedup verified r4; chunk_dedup in
-#   L2    -> simhash_md5 in-window; minhash/near-dup capstones r4
+#   D5    -> udtf_tokenize verified r4; token_count_regex in-window
+#   L1    -> chunk_dedup in-window (text_dedup_exact verified r4)
+#   L2    -> simhash_fingerprint + fuzzy_dedup in-window (minhash/
+#            near-dup capstones verified r4; simhash_md5 r5)
 #   L3/L4 -> knn_cosine_arrow + ann_lsh_topk + knn_per_label in-window
-#   L5    -> lm_logprob/text_repetition/quality_report/corpus_report in
+#   L5    -> lm_logprob/quality_report/corpus_report + token families
 #   L6    -> multimodal_frames in-window (multimodal_decode r4)
 PRIORITY = (
-    # pinned per-family canonicals
+    # pinned per-family canonicals (every round)
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # round-4 red, fixed this round — kept in for the green re-check
-    "running_sum_scalable",
-    # complete remaining TPC-H shape set (never driver-verified before r5)
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_nation_profit",
-    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-    "q13_order_histogram", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_variety", "q18_large_volume", "q19_disjunctive",
-    "q20_excess_stock", "q21_blocked_suppliers",
-    # window-frame / time-series family
-    "window_range_frame", "cohort_retention", "resample_gapfill",
-    "interval_concurrency", "winsorize_qty", "outlier_zscore",
-    # sketches, dedup, similarity
-    "hll_distinct_merge", "chunk_dedup", "simhash_md5",
-    "knn_cosine_arrow", "ann_lsh_topk", "knn_per_label",
-    # text analysis / corpus reporting
-    "lm_logprob", "text_repetition", "quality_report", "corpus_report",
-    # multimodal + graph algorithms
-    "multimodal_frames", "triangle_count", "pagerank_parts", "graph_bfs",
-    # skew-mitigation join demos
-    "join_salted", "skew_salted_degree",
+    # the four round-5 reds: engine values verified exact, oracles now
+    # BIGINT-cast — kept in for the driver's green re-check
+    "running_sum_scalable", "q12_priority_lines", "winsorize_qty",
+    "corpus_report",
+    # the 23 oracle-bearing names never in any driver window (the
+    # round-5 verdict's 24-list minus simhash_fingerprint, which is
+    # rows-only — its algorithm is hash-checked via the md5-family twin
+    # simhash_md5, slotted here in its place)
+    "cond_agg_priority", "conditional_null", "dataset_split",
+    "event_funnel", "fuzzy_dedup", "graph_build_nodes", "hist_prices",
+    "join_asof_forward", "join_asof_nearest", "length_batching",
+    "length_batching_scalable", "percentile_qty", "pivot_status",
+    "sample_stratified", "simhash_md5", "stats_exact",
+    "stream_interval_join", "stream_sliding", "table_checksum",
+    "text_nfc", "text_redact", "token_count_regex", "token_packing",
+    "unpivot_metrics",
+    # per-family representatives re-checked this round
+    "window_range_frame", "resample_gapfill", "cohort_retention",
+    "outlier_zscore", "chunk_dedup", "knn_cosine_arrow", "ann_lsh_topk",
+    "knn_per_label", "lm_logprob", "quality_report", "multimodal_frames",
+    "pagerank_parts",
 )
 
 
