@@ -179,6 +179,9 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     Every branch shares one Arrow plumbing shape: binary in,
     ``array<double>`` out, batch-iterated — the production contract.
     """
+    import struct
+    import zlib
+
     import numpy as np
     import pandas as pd
 
@@ -211,8 +214,15 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                              float(s.sum()), float(np.abs(s).sum()),
                              float(s.min()) if s.size else 0.0,
                              float(s.max()) if s.size else 0.0])
-        except ValueError:
-            pass  # malformed/unsupported media: fall through to the stub
+        except (ValueError, zlib.error, struct.error, ZeroDivisionError):
+            # Malformed/unsupported media: fall through to the stub.
+            # ValueError covers the decoders' own rejections; the rest
+            # are raised by the stdlib below them on crafted inputs that
+            # pass the signature check — zlib.error (corrupt IDAT),
+            # struct.error (truncated IHDR), ZeroDivisionError (a fmt
+            # chunk declaring 0 channels). A single bad row must fall
+            # back, never fail the whole mapInPandas job.
+            pass
         return _fake_decode(payload)
 
     has_mime = "media_meta" in df.columns

@@ -34,6 +34,21 @@ _QVEC_CACHE: dict[tuple, list[float]] = {}
 _QVEC_CACHE_MAX = 256
 
 
+def clear_query_vector_cache() -> int:
+    """Drop all memoized query vectors; returns how many were evicted.
+
+    The cache assumes input files are immutable for the process
+    lifetime. A long-lived service that rewrites files IN PLACE at the
+    same path (compaction, dataset regeneration) must call this after
+    the rewrite — the semantic-hash key sees the same plan and would
+    serve the pre-rewrite vector. (Writers that publish a NEW path or
+    generation — the pattern everything in streaming/ingest.py uses —
+    never need it: a different path changes the plan hash.)"""
+    n = len(_QVEC_CACHE)
+    _QVEC_CACHE.clear()
+    return n
+
+
 def _query_vector(embeddings: DataFrame, query_id: int,
                   id_col: str, vec_col: str) -> list[float]:
     """Driver-side fetch of one query vector — used ONLY where the value
@@ -57,7 +72,10 @@ def _query_vector(embeddings: DataFrame, query_id: int,
     vec = list(row[0])
     if key is not None:
         if len(_QVEC_CACHE) >= _QVEC_CACHE_MAX:
-            _QVEC_CACHE.clear()
+            # Evict the oldest entry (insertion order), not the whole
+            # cache — a service cycling >256 distinct (plan, id) pairs
+            # keeps its hot tail instead of thrashing from empty.
+            _QVEC_CACHE.pop(next(iter(_QVEC_CACHE)))
         _QVEC_CACHE[key] = vec
     return vec
 

@@ -142,6 +142,21 @@ def bucket_by_leading_key(df: DataFrame, key_col: str,
             f"bucket_by_leading_key needs a numeric/timestamp/string "
             f"leading order column; {key_col} is {dt.simpleString()}.")
     if balance == "quantile":
+        if num_buckets > 128:
+            import warnings
+
+            # Honor the caller's explicit choice, but loudly: the mode
+            # costs num_buckets-1 exact percentile aggregates plus that
+            # many per-row comparison terms — past ~128 the expression
+            # tree's codegen cost dwarfs any balance win (the <=128
+            # guidance above). Callers who hit this via a derived
+            # default instead get the capped default in
+            # scalable_running_sum.
+            warnings.warn(
+                f"balance='quantile' with num_buckets={num_buckets} "
+                "builds an O(num_buckets) expression tree per row; "
+                "keep it <=128 (see docstring) or use balance='linear'",
+                stacklevel=2)
         qs = [i / num_buckets for i in range(1, num_buckets)]
         bounds = df.agg(*[F.percentile(key, q).alias(f"__qb{i}")
                           for i, q in enumerate(qs)])
@@ -204,6 +219,13 @@ def scalable_running_sum(df: DataFrame, order_cols: Sequence[str],
     spark = df.sparkSession
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if num_partitions is None and balance == "quantile":
+        # A derived default (shuffle.partitions, typically 200) would
+        # silently exceed quantile mode's <=128 expression-tree guidance
+        # (round-5 advisor); more buckets past the core count buy no
+        # balance anyway. Explicit num_partitions is honored (with a
+        # warning past 128, see bucket_by_leading_key).
+        n = min(n, 128)
     d = bucket_by_leading_key(df, order_cols[0], n, balance=balance)
     w_in = (Window.partitionBy("__bucket").orderBy(*oc)
             .rowsBetween(Window.unboundedPreceding, 0))

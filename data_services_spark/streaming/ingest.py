@@ -333,7 +333,7 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     try:
         _merge_upsert_locked(spark, batch, state_dir, batch_id,
                              scalar_props, list_props, rank_col,
-                             num_buckets, key_cols)
+                             num_buckets, key_cols, lease_token=token)
     finally:
         release_writer_lease(state_dir, token)
 
@@ -341,7 +341,7 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
 def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
                          state_dir: str, batch_id: int, scalar_props,
                          list_props, rank_col, num_buckets,
-                         key_cols) -> None:
+                         key_cols, lease_token: str | None = None) -> None:
     # foreachBatch is at-least-once: a crash between the _CURRENT swap and
     # the streaming checkpoint commit re-runs this batch_id on restart.
     # Without this guard the retry would read gen=<batch_id> and overwrite
@@ -413,7 +413,37 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
     tmp = os.path.join(state_dir, f"{_CURRENT}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest_doc, fh)
-    os.replace(tmp, os.path.join(state_dir, _CURRENT))
+    # Commit-time lease re-check (round-5 advisor): the lease has a TTL
+    # but no renewal heartbeat, so a merge that outruns ttl_seconds lets
+    # a second writer LEGITIMATELY take over mid-merge. Verify ownership
+    # and swap _CURRENT inside ONE lease-mutex critical section — if the
+    # token no longer matches, the commit fails loudly instead of
+    # silently racing the usurper's manifest swap (the exact corruption
+    # the lease exists to prevent). The usurper holds the lease and the
+    # prior committed generation; this writer's uncommitted gen=N
+    # directory is orphaned and vacuumable.
+    with _lease_mutex(state_dir):
+        if lease_token is not None:
+            cur = None
+            try:
+                with open(os.path.join(state_dir, _LEASE)) as fh:
+                    cur = json.load(fh)
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            if cur is None or cur.get("token") != lease_token:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+                raise RuntimeError(
+                    f"writer lease on {state_dir} lost mid-merge (merge "
+                    f"outran its TTL and "
+                    f"{'expired' if cur is None else cur.get('owner')} "
+                    "took over); refusing to commit generation "
+                    f"{batch_id} over the new writer's state. Re-run "
+                    "the batch with a ttl_seconds sized above the "
+                    "longest merge.")
+        os.replace(tmp, os.path.join(state_dir, _CURRENT))
 
 
 def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:

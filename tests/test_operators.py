@@ -870,6 +870,54 @@ def test_decode_media_dispatches_real_codecs(spark):
     assert len(got[4]) == 8  # malformed PNG routed to stub, not an error
 
 
+def test_decode_media_malformed_rows_fall_back_not_fail(spark):
+    """Advisor finding (round 5): _decode caught only ValueError, but
+    stdlib raises other types on crafted inputs that pass the signature
+    check — zlib.error on corrupt IDAT bytes, struct.error on a
+    truncated IHDR, ZeroDivisionError on a WAV fmt chunk declaring 0
+    channels. Each such row must take the byte-histogram stub, never
+    fail the whole mapInPandas job."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    from data_services_spark.operators.multimodal import decode_media
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    # valid signature + valid IHDR, but IDAT is NOT zlib data
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    corrupt_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", b"this is not deflate")
+                    + chunk(b"IEND", b""))
+    # IHDR chunk whose declared length is 13 but data is truncated:
+    # struct.unpack(">IIBBBBB") sees 5 bytes and raises struct.error
+    truncated_ihdr = (b"\x89PNG\r\n\x1a\n"
+                      + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5)
+    # hand-built RIFF/WAVE with a fmt chunk declaring 0 channels
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    data = b"\x00\x00" * 4
+    wav0 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    rows = [(1, bytearray(corrupt_idat), "image/png"),
+            (2, bytearray(truncated_ihdr), "image/png"),
+            (3, bytearray(wav0), "audio/wav")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, m string") \
+        .withColumn("media_meta", F.struct(F.col("m").alias("mime")))
+    got = {r["doc_id"]: r["features"] for r in
+           decode_media(df, feature_dim=8).collect()}
+    for doc_id, payload in [(1, corrupt_idat), (2, truncated_ihdr),
+                            (3, wav0)]:
+        arr = np.frombuffer(payload, np.uint8)
+        assert got[doc_id] == \
+            [float(arr[i::8].sum() % 997) for i in range(8)], doc_id
+
+
 def test_scalable_running_sum_string_keys(spark):
     """String order keys bucket by the monotone 8-byte-prefix surrogate:
     results must equal the plain global window, including unicode keys,
@@ -893,6 +941,63 @@ def test_scalable_running_sum_string_keys(spark):
                  scalable_running_sum(df, ["k", "tie"], "v", "s",
                                       num_partitions=9).collect())
     assert got == want
+
+
+def test_quantile_bucket_count_capped_and_warned(spark):
+    """Round-5 advisor: balance='quantile' builds an O(num_buckets)
+    expression tree, so (a) the derived default in scalable_running_sum
+    caps at 128 instead of inheriting shuffle.partitions=200 silently,
+    and (b) an explicit count past 128 warns but is honored."""
+    import warnings
+
+    from data_services_spark.operators.windows import (
+        bucket_by_leading_key, scalable_running_sum,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 5 + 1).alias("v"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        got = sorted(
+            (r["k"], r["s"]) for r in scalable_running_sum(
+                df, ["k"], "v", "s", balance="quantile").collect())
+    want = []
+    run = 0
+    for k in range(200):
+        run += k % 5 + 1
+        want.append((k, run))
+    assert got == want
+    with pytest.warns(UserWarning, match="num_buckets=150"):
+        bucket_by_leading_key(df, "k", 150, balance="quantile")
+
+
+def test_query_vector_cache_evicts_one_and_clears(spark):
+    """Round-5 advisor: the qvec cache must evict ONE entry on overflow
+    (not thrash from empty) and expose an explicit invalidation hook for
+    in-place file rewrites."""
+    from data_services_spark.operators import similarity as sim
+
+    saved = dict(sim._QVEC_CACHE)
+    sim._QVEC_CACHE.clear()
+    try:
+        sim._QVEC_CACHE.update({("k", i): [float(i)] for i in range(3)})
+        old_max = sim._QVEC_CACHE_MAX
+        sim._QVEC_CACHE_MAX = 3
+        try:
+            df = spark.createDataFrame(
+                [(7, [1.0, 2.0])], "vec_id long, embedding array<double>")
+            vec = sim._query_vector(df, 7, "vec_id", "embedding")
+            assert vec == [1.0, 2.0]
+            assert len(sim._QVEC_CACHE) == 3          # one in, one out
+            assert ("k", 0) not in sim._QVEC_CACHE    # oldest evicted
+            assert ("k", 1) in sim._QVEC_CACHE
+        finally:
+            sim._QVEC_CACHE_MAX = old_max
+        assert sim.clear_query_vector_cache() == 3
+        assert sim._QVEC_CACHE == {}
+    finally:
+        sim._QVEC_CACHE.clear()
+        sim._QVEC_CACHE.update(saved)
 
 
 def test_bucket_quantile_balance_on_skewed_keys(spark):

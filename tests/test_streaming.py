@@ -497,6 +497,51 @@ def test_writer_lease_stale_takeover_and_release_safety(spark, tmp_path):
     release_writer_lease(str(state), live)
 
 
+def test_writer_lease_lost_mid_merge_refuses_commit(spark, tmp_path):
+    """Round-5 advisor: the lease has a TTL but no renewal heartbeat, so
+    a merge outrunning ttl_seconds lets a second writer legitimately
+    take over MID-MERGE. The first writer's commit must then fail loudly
+    at the _CURRENT swap (token re-checked under the lease mutex) and
+    leave the committed pointer untouched — never silently race the
+    usurper's manifest."""
+    from data_services_spark.streaming.ingest import (
+        _merge_upsert_locked, acquire_writer_lease, merge_upsert_batch,
+        read_merged_state,
+    )
+
+    NODES = "id string, name string, category array<string>, source_rank int"
+    state = tmp_path / "state"
+    b0 = spark.createDataFrame([("X:1", "one", ["c"], 1)], NODES)
+    merge_upsert_batch(spark, b0, str(state), batch_id=0)
+
+    # Writer A acquires with a TTL its merge will outrun (born stale),
+    # then writer B takes over while A is "still merging".
+    a_token = acquire_writer_lease(str(state), ttl_seconds=-1)
+    b_token = acquire_writer_lease(str(state))  # legitimate takeover
+    assert a_token != b_token
+
+    b1 = spark.createDataFrame([("X:2", "two", ["d"], 1)], NODES)
+    with pytest.raises(RuntimeError, match="lost mid-merge"):
+        # A's merge body reaching its commit with A's stale token
+        _merge_upsert_locked(spark, b1, str(state), batch_id=1,
+                             scalar_props=("name",),
+                             list_props=("category",),
+                             rank_col="source_rank", num_buckets=16,
+                             key_cols=("id",), lease_token=a_token)
+    # committed state still generation 0, B's view intact
+    assert {(r.id, r.name) for r in
+            read_merged_state(spark, str(state)).collect()} \
+        == {("X:1", "one")}
+    # and B (the rightful holder) commits the batch fine
+    _merge_upsert_locked(spark, b1, str(state), batch_id=1,
+                         scalar_props=("name",), list_props=("category",),
+                         rank_col="source_rank", num_buckets=16,
+                         key_cols=("id",), lease_token=b_token)
+    assert {(r.id, r.name) for r in
+            read_merged_state(spark, str(state)).collect()} \
+        == {("X:1", "one"), ("X:2", "two")}
+
+
 def test_writer_lease_concurrent_acquirers_one_wins(tmp_path):
     """N threads race acquisition (fresh and stale-takeover): exactly one
     wins each round — the rename-based takeover cannot split-brain."""
