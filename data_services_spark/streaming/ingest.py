@@ -38,6 +38,7 @@ _CURRENT = "_CURRENT"
 _BUCKET = "__bucket"
 _MANIFESTS = "_manifests"
 _LEASE = "_WRITER_LEASE"
+_PINS = "_pins"
 
 
 def acquire_writer_lease(state_dir: str, ttl_seconds: float = 3600,
@@ -160,6 +161,115 @@ def _committed_gen(state_dir: str) -> int | None:
     return None if m is None else m["gen"]
 
 
+def pin_snapshot(state_dir: str, generation: int | None = None,
+                 ttl_seconds: float = 3600,
+                 owner: str | None = None) -> dict:
+    """Register a reader-visible SNAPSHOT PIN on a committed generation
+    (default: the currently committed one); returns ``{"pin_id",
+    "gen"}``. While the pin is live, :func:`vacuum_state` retains every
+    generation directory that snapshot's manifest references AND its
+    archived manifest — regardless of ``keep_last`` — so a reader can
+    hold a consistent view across writer handoffs for as long as it
+    needs, not just as long as the retention window happens to cover.
+    This is the reader half of snapshot isolation: writers serialize
+    through the lease; readers declare their snapshot through a pin.
+
+    The pin is a JSON file under ``_pins/`` (atomic create), carrying a
+    TTL (default 1h) so a reader that dies without releasing cannot
+    block retention forever — the local-fs analog of a table format's
+    reader-snapshot lease. After writing the pin the referenced
+    manifest and data directories are RE-VERIFIED: a vacuum racing the
+    pin (sweep started before the pin file landed) surfaces here as a
+    clean FileNotFoundError and the half-pin is removed, never a torn
+    read later. Release with :func:`release_snapshot_pin`, or use
+    :func:`pinned_snapshot` for scoped reads.
+    """
+    if generation is None:
+        m = _read_manifest(state_dir)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed generation in {state_dir} to pin")
+        generation = m["gen"]
+    pin_id = f"{os.getpid()}-{uuid.uuid4().hex}"
+    pins_dir = os.path.join(state_dir, _PINS)
+    os.makedirs(pins_dir, exist_ok=True)
+    path = os.path.join(pins_dir, f"{pin_id}.json")
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"pin_id": pin_id, "gen": generation,
+                   "owner": owner or pin_id, "pid": os.getpid(),
+                   "created_unix": time.time(),
+                   "expires_unix": time.time() + ttl_seconds}, fh)
+    os.replace(tmp, path)
+    # post-write verification closes the pin/vacuum race window
+    try:
+        manifest = _pinned_manifest(state_dir, generation)
+        missing = [p for p in _bucket_paths(state_dir, manifest)
+                   if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"generation {generation} was vacuumed while pinning "
+                f"(e.g. {missing[0]}); re-pin the current generation")
+    except FileNotFoundError:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        raise
+    return {"pin_id": pin_id, "gen": generation}
+
+
+def release_snapshot_pin(state_dir: str, pin_id: str) -> None:
+    """Remove a snapshot pin; idempotent (an expired-and-collected or
+    already-released pin is a no-op)."""
+    try:
+        os.remove(os.path.join(state_dir, _PINS, f"{pin_id}.json"))
+    except FileNotFoundError:
+        pass
+
+
+def _pinned_manifest(state_dir: str, generation: int) -> dict:
+    """The manifest doc that was current at `generation` — the archived
+    copy, or the live pointer if it still points there."""
+    cur = _read_manifest(state_dir)
+    if cur is not None and cur["gen"] == generation:
+        return cur
+    hist = os.path.join(state_dir, _MANIFESTS, f"{generation}.json")
+    if not os.path.exists(hist):
+        raise FileNotFoundError(
+            f"generation {generation} has no archived manifest in "
+            f"{state_dir}")
+    with open(hist) as fh:
+        return json.load(fh)
+
+
+def _live_pins(state_dir: str) -> list[dict]:
+    """Unexpired pins; expired/corrupt pin files are garbage-collected
+    in passing (the dead-reader path)."""
+    pins_dir = os.path.join(state_dir, _PINS)
+    if not os.path.isdir(pins_dir):
+        return []
+    out = []
+    now = time.time()
+    for f in os.listdir(pins_dir):
+        if not f.endswith(".json"):
+            continue
+        path = os.path.join(pins_dir, f)
+        try:
+            with open(path) as fh:
+                pin = json.load(fh)
+        except (json.JSONDecodeError, FileNotFoundError):
+            continue  # mid-write tmp or concurrent release
+        if pin.get("expires_unix", 0) <= now:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            continue
+        out.append(pin)
+    return out
+
+
 def _bucket_paths(state_dir: str, manifest: dict,
                   buckets=None) -> list[str]:
     if manifest["buckets"] is None:  # legacy unbucketed layout
@@ -222,6 +332,40 @@ def read_merged_state(spark: SparkSession, state_dir: str,
     if not internal:
         df = df.drop(*[c for c in df.columns if c.endswith("__rank")])
     return df
+
+
+class pinned_snapshot:
+    """Scoped snapshot-isolated read: pin the committed generation,
+    expose its DataFrame, release on exit.
+
+        with pinned_snapshot(spark, state_dir) as snap:
+            snap.df ...   # consistent view, vacuum-proof
+            snap.gen      # the pinned generation
+
+    Writers keep committing and vacuuming underneath; the view stays
+    byte-stable for the block's duration (tests drive this from reader
+    subprocesses against alternating writers)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 ttl_seconds: float = 3600, internal: bool = False):
+        self._spark, self._dir = spark, state_dir
+        self._ttl, self._internal = ttl_seconds, internal
+        self.df: DataFrame | None = None
+        self.gen: int | None = None
+        self._pin_id: str | None = None
+
+    def __enter__(self):
+        pin = pin_snapshot(self._dir, ttl_seconds=self._ttl)
+        self._pin_id, self.gen = pin["pin_id"], pin["gen"]
+        self.df = read_merged_state(self._spark, self._dir,
+                                    internal=self._internal,
+                                    generation=self.gen)
+        return self
+
+    def __exit__(self, *exc):
+        if self._pin_id is not None:
+            release_snapshot_pin(self._dir, self._pin_id)
+        return False
 
 
 def state_changes(spark: SparkSession, state_dir: str,
@@ -459,6 +603,11 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
     was current stays fully readable. Size K to cover the longest
     reader you allow to overlap ingest (the Delta/Iceberg
     VACUUM-retention trade, expressed in manifests instead of hours).
+    Readers that must outlive the window declare themselves with
+    :func:`pin_snapshot`: every generation a live pin's manifest
+    references — and that archived manifest itself — is retained
+    regardless of ``keep_last``; expired pins (dead readers) are
+    garbage-collected in passing.
 
     Also never touches generation directories AT or ABOVE the committed
     generation: an uncommitted higher generation is either a concurrent
@@ -480,6 +629,16 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
         for _, path in sorted(hist_files, reverse=True)[:keep_last]:
             with open(path) as fh:
                 manifests.append(json.load(fh))
+    pinned_gens: set[int] = set()
+    for pin in _live_pins(state_dir):
+        try:
+            manifests.append(_pinned_manifest(state_dir, pin["gen"]))
+            pinned_gens.add(pin["gen"])
+        except FileNotFoundError:
+            # pin references history already gone (pinned after the
+            # data was vacuumed under an older retention policy) — the
+            # reader's own post-pin verification surfaced this to them
+            continue
     keep_gens: set[int] = set()
     for m in manifests:
         keep_gens.add(m["gen"])
@@ -495,9 +654,11 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
         path = os.path.join(state_dir, d)
         shutil.rmtree(path)
         deleted.append(path)
-    # age out manifest history beyond the retention window
-    for _, path in sorted(hist_files, reverse=True)[keep_last:]:
-        os.remove(path)
+    # age out manifest history beyond the retention window — except
+    # manifests a live pin still resolves through
+    for gen, path in sorted(hist_files, reverse=True)[keep_last:]:
+        if gen not in pinned_gens:
+            os.remove(path)
     return deleted
 
 
