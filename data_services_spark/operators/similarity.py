@@ -241,14 +241,40 @@ def hyperplane_planes(dim: int, n_planes: int = 4, seed: int = 42,
 
 
 def _bucket_expr(vec_col: str, planes: Sequence[Sequence[float]]) -> F.Column:
-    """Sign-bit bucket string: one bit per hyperplane, '1' iff dot >= 0."""
-    from data_services_spark.functions.vectors import dot_product
+    """Sign-bit bucket string: one bit per hyperplane, '1' iff dot >= 0.
 
-    bits = [F.when(dot_product(F.col(vec_col),
-                               F.array(*[F.lit(p) for p in plane])) >= 0,
-                   F.lit("1")).otherwise(F.lit("0"))
-            for plane in planes]
-    return F.concat(*bits)
+    The plane weights are always literals here, so each dot UNROLLS into
+    a flat left-associated sum built as ONE SQL string (one F.expr
+    parse, knn_topk's pattern — the Column-API form would cost hundreds
+    of py4j round trips per plan build, and the earlier higher-order
+    fold cost ~3µs/row/plane interpreted: measured 2.6s -> 0.35s
+    execution for 4 planes over the 200k x 64 sf1 corpus, round 6).
+    The same `* aggregate(array(e0), 1.0, (a,x) -> a)` CodegenFallback
+    barrier as knn_topk keeps the unrolled tree OUT of whole-stage
+    codegen source generation (it appears once per branch — query and
+    corpus — so fusion would pay the superlinear produce/consume walk
+    twice per fresh plan). Bit parity with the old fold: left-associated
+    0.0-seeded sum order is unchanged, `* 1.0` is a bit-identity, NULL
+    embeddings still yield NULL dots and take the '0' branch — the
+    exact-hash DuckDB oracles (bucket_sql twins) see identical buckets.
+    """
+    vq = "`" + vec_col.replace("`", "``") + "`"
+    dim = len(planes[0])
+    elem = [f"CAST({vq}[{i}] AS DOUBLE)" for i in range(dim)]
+    one_fb = (f"aggregate(array({elem[0]}), CAST(1.0 AS DOUBLE), "
+              f"(a, x) -> a)")
+    bits = []
+    for j, plane in enumerate(planes):
+        dot = " + ".join(
+            f"{elem[i]} * CAST('{float(plane[i])!r}' AS DOUBLE)"
+            for i in range(dim))
+        # ONE barrier per projection is enough: CollapseCodegenStages
+        # disqualifies the whole Project from WSCG if ANY expression
+        # contains a CodegenFallback node, so only the first bit pays
+        # the interpreted 1-element fold.
+        guarded = f"(({dot}) * {one_fb})" if j == 0 else f"({dot})"
+        bits.append(f"CASE WHEN {guarded} >= 0.0 THEN '1' ELSE '0' END")
+    return F.expr("CONCAT(" + ", ".join(bits) + ")")
 
 
 def bucket_sql(vec_expr: str, planes: Sequence[Sequence[float]]) -> str:
@@ -285,14 +311,31 @@ def ann_hyperplane_topk(embeddings: DataFrame, query_id: int, k: int = 10,
         dim = int(row[0])
     planes = hyperplane_planes(dim, n_planes)
     b = _bucket_expr(vec_col, planes)
+    # The query branch also pre-folds its own norm ONCE (1 row): the
+    # candidate scoring below then divides by the broadcast scalar
+    # instead of re-deriving sqrt(norm(qv)) per candidate row.
     q = (embeddings.filter(F.col(id_col) == query_id)
-         .select(b.alias("__qb"), F.col(vec_col).alias("__qv")))
+         .select(b.alias("__qb"), F.col(vec_col).alias("__qv"),
+                 F.sqrt(dot_product(F.col(vec_col), F.col(vec_col)))
+                 .alias("__qn")))
+    # Candidate scoring, unrolled as ONE SQL-string expression with the
+    # knn_topk codegen barrier (see _bucket_expr/knn_topk docstrings):
+    # the higher-order cosine fold cost ~40µs/candidate interpreted —
+    # half the post-prune runtime at sf1 (round 6, measured). Division
+    # order sqrt(norm_a) * __qn == sqrt(norm_a) * sqrt(norm_b) keeps the
+    # result bit-identical to the fold and the DuckDB oracle.
+    vq = "`" + vec_col.replace("`", "``") + "`"
+    ea = [f"CAST({vq}[{i}] AS DOUBLE)" for i in range(dim)]
+    eb = [f"CAST(`__qv`[{i}] AS DOUBLE)" for i in range(dim)]
+    dot = " + ".join(f"{ea[i]} * {eb[i]}" for i in range(dim))
+    na = " + ".join(f"{ea[i]} * {ea[i]}" for i in range(dim))
+    one_fb = (f"aggregate(array({ea[0]}), CAST(1.0 AS DOUBLE), "
+              f"(a, x) -> a)")
+    sim = f"(({dot}) / (SQRT({na}) * `__qn`)) * {one_fb}"
     cand = (embeddings.filter(F.col(id_col) != query_id)
             .withColumn("__b", b)
             .join(F.broadcast(q), F.col("__b") == F.col("__qb"))
-            .select(F.col(id_col),
-                    cosine_similarity(F.col(vec_col), F.col("__qv"))
-                    .alias("cosine_sim")))
+            .select(F.col(id_col), F.expr(sim).alias("cosine_sim")))
     top = cand.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("cosine_sim"), F.col(id_col))
     return top.select(F.row_number().over(w).cast("long").alias("rank"),
