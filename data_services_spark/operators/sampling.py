@@ -262,3 +262,53 @@ def heavy_hitters(tokens: DataFrame, term_col: str, min_count: int,
     return (pruned.groupBy(term_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= min_count))
+
+
+def source_mixture_sample(df: DataFrame, source_col: str,
+                          token_budget: int, weight=None,
+                          id_col: str = "doc_id",
+                          seed: int = 7) -> DataFrame:
+    """Temperature-style source-mixture sampling: pick a deterministic
+    subset of documents whose per-source volume approximates a target
+    MIXTURE — the step that turns N crawled sources of wildly different
+    sizes into the rebalanced blend a training run actually consumes
+    (small curated sources upweighted, the giant crawl downsampled).
+
+    `df` must carry an ``n_tokens`` long column (the caller's token
+    counter — tokenize once, reuse everywhere). `weight` maps the
+    per-source token total (a Column) to the source's unnormalized
+    mixture weight as an exact INTEGER Column; the default
+    ``floor(sqrt(tokens))`` is temperature 0.5 quantized — integer so
+    the weight SUM is order-independent arithmetic, never a float sum
+    whose grouping order could differ between engines. The keep rate
+    per source is
+
+        rate_s = least(1.0, budget * w_s / w_sum / tokens_s)
+
+    evaluated in doubles over those exact integers — bit-deterministic
+    when the oracle spells the same expression shape — and a document
+    survives iff its id-hash uniform (:func:`split_uniform`, stable
+    across runs, cluster sizes, and row order) falls under its source's
+    rate. Expected kept tokens per source: budget * w_s / w_sum, capped
+    at the source's actual volume.
+
+    Plan shape: one tiny per-source aggregate (partial map-side, S
+    groups) broadcast back over the scan — the winsorize/threshold
+    two-pass pattern; the corpus itself never shuffles.
+    """
+    if weight is None:
+        def weight(t):
+            return F.floor(F.sqrt(t)).cast("long")
+    per_source = (df.groupBy(source_col)
+                  .agg(F.sum("n_tokens").cast("long").alias("__src_tokens"))
+                  .withColumn("__w", weight(F.col("__src_tokens"))))
+    totals = per_source.agg(F.sum("__w").cast("long").alias("__w_sum"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(token_budget)) * F.col("__w").cast("double")
+        / F.col("__w_sum").cast("double")
+        / F.col("__src_tokens").cast("double"))
+    return (df.join(F.broadcast(per_source), source_col)
+            .crossJoin(F.broadcast(totals))
+            .filter(split_uniform(id_col, seed) < rate)
+            .drop("__src_tokens", "__w", "__w_sum"))

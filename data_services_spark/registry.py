@@ -3362,6 +3362,68 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("contamination"))
 
 
+@register("source_mixture", """
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), src AS (
+    SELECT source,
+           CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+           CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT) AS w
+    FROM d GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS w_sum FROM src
+)
+SELECT d.doc_id, d.source, d.n_tokens
+FROM d JOIN src USING (source), tot
+WHERE CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000000 AS DOUBLE) / 1000000.0
+      < LEAST(1.0, 20000.0 * CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)
+                   / CAST(src_tokens AS DOUBLE))
+""")
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source-mixture sampling (the Pile/LLaMA-style
+    rebalancing step): per-source token totals -> integer temperature-0.5
+    weights (floor(sqrt)) -> capped keep rates toward a 20k-token budget
+    -> deterministic id-hash membership. Weights and their sum are exact
+    integers so no cross-engine float-sum ordering can flip a boundary
+    doc; the corpus never shuffles (tiny agg broadcast back, the
+    winsorize two-pass shape)."""
+    from data_services_spark.operators.sampling import source_mixture_sample
+    from data_services_spark.operators.text import tokenize
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    return source_mixture_sample(d, "source", token_budget=20000)
+
+
+@register("embedding_quantize", """
+SELECT vec_id, scale,
+       CASE WHEN scale > 0
+            THEN list_transform(de, x -> CAST(FLOOR(x / scale + 0.5)
+                                              AS INTEGER))
+            ELSE list_transform(de, x -> 0) END AS qvec
+FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> abs(x))) / 127.0 AS scale
+    FROM embeddings
+)
+""")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x storage
+    cut a 100 TB vector corpus takes before indexing. Per vector
+    scale = max|x|/127, q = floor(x/scale + 0.5) (explicit half-up: the
+    engines' round() half-way conventions differ, floor(x+0.5) does
+    not); zero vectors quantize to zeros. Map-only projection: no
+    shuffle, no Python."""
+    from data_services_spark.operators.similarity import quantize_embeddings
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e)
+
+
 @register("token_packing", """
 WITH toks AS (
     SELECT doc_id,

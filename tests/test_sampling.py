@@ -143,3 +143,59 @@ def test_heavy_hitters_floor_survives_high_partition_counts(spark):
     n_cand64 = heavy_hitter_candidates(df, "term", 64).count()
     vocab = df.distinct().count()
     assert n_cand64 < vocab / 100, (n_cand64, vocab)
+
+
+def test_source_mixture_budget_and_determinism(spark):
+    """The expected kept-token volume per source is budget * w/w_sum
+    (capped at the source's own volume); membership is a pure function
+    of doc_id; and the small source keeps a HIGHER fraction than the
+    giant one (the point of temperature < 1)."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.sampling import source_mixture_sample
+
+    rows = []
+    for i in range(2000):
+        rows.append((i, "crawl", 100))          # 200k tokens
+    for i in range(2000, 2100):
+        rows.append((i, "books", 100))          # 10k tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "n_tokens long")
+    out = source_mixture_sample(df, "source", token_budget=30000)
+    got = {r["source"]: r["kept"] for r in
+           out.groupBy("source").agg(
+               F.sum("n_tokens").alias("kept")).collect()}
+    # weights: floor(sqrt(200000))=447, floor(sqrt(10000))=100, sum 547
+    # expected kept: crawl 30000*447/547 = 24516, books 30000*100/547
+    # = 5484 (both under the source volumes, so no cap) — hash sampling
+    # noise is +-O(sqrt(n)) docs of 100 tokens
+    assert abs(got["crawl"] - 24516) < 4000, got
+    assert abs(got["books"] - 5484) < 2000, got
+    # temperature upweights the small source RELATIVELY
+    assert got["books"] / 10000 > got["crawl"] / 200000
+    # determinism: same ids survive on a reshuffled frame
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         source_mixture_sample(df.repartition(7), "source",
+                               token_budget=30000).collect()}
+    assert a == b
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """Reconstruction q*scale is within scale/2 of every element (the
+    half-up rounding bound), ints fit int8, and the zero vector maps to
+    zeros with scale 0."""
+    from data_services_spark.operators.similarity import quantize_embeddings
+
+    rows = [(1, [0.5, -1.0, 0.25, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-0.003, 0.001, 0.002, -0.0015])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["scale"], r["qvec"])
+           for r in quantize_embeddings(df).collect()}
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale, q = got[vid]
+        assert all(-128 <= qi <= 127 for qi in q), (vid, q)
+        for x, qi in zip(vec, q):
+            assert abs(qi * scale - x) <= scale / 2 + 1e-12, (vid, x, qi)
