@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from data_services_spark.operators.dedup import md5_long_hash, shingles
 from data_services_spark.operators.text import tokenize
@@ -299,16 +299,21 @@ def source_mixture_sample(df: DataFrame, source_col: str,
     if weight is None:
         def weight(t):
             return F.floor(F.sqrt(t)).cast("long")
+    # w_sum comes from a window over the S-row aggregate — NOT a second
+    # aggregation branch, which would re-derive (and re-scan) the whole
+    # corpus lineage. The empty partition spec is safe here: it funnels
+    # S source rows through one task, never the table.
+    w_all = Window.partitionBy()
     per_source = (df.groupBy(source_col)
                   .agg(F.sum("n_tokens").cast("long").alias("__src_tokens"))
-                  .withColumn("__w", weight(F.col("__src_tokens"))))
-    totals = per_source.agg(F.sum("__w").cast("long").alias("__w_sum"))
+                  .withColumn("__w", weight(F.col("__src_tokens")))
+                  .withColumn("__w_sum",
+                              F.sum("__w").over(w_all).cast("long")))
     rate = F.least(
         F.lit(1.0),
         F.lit(float(token_budget)) * F.col("__w").cast("double")
         / F.col("__w_sum").cast("double")
         / F.col("__src_tokens").cast("double"))
     return (df.join(F.broadcast(per_source), source_col)
-            .crossJoin(F.broadcast(totals))
             .filter(split_uniform(id_col, seed) < rate)
             .drop("__src_tokens", "__w", "__w_sum"))

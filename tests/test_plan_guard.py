@@ -128,6 +128,19 @@ EXPECTED = {
         scans=5, pushed_min=0,
         joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         exchanges_max=6, single_max=3, py=0),
+    # round-6 additions. source_mixture's single-partition exchange is
+    # the S-row per-source window (w_sum), never the corpus;
+    # embedding_quantize must stay a map-only projection; ann's two
+    # scans are the corpus probe + the 1-row query branch, zero
+    # shuffles (TakeOrdered merges driver-side).
+    "source_mixture": dict(scans=2, pushed_min=1,
+                           joins={"BroadcastHashJoin"},
+                           exchanges_max=2, single_max=1, py=0),
+    "embedding_quantize": dict(scans=1, pushed_min=0, joins=set(),
+                               exchanges_max=0, single_max=0, py=0),
+    "ann_lsh_topk": dict(scans=2, pushed_min=2,
+                         joins={"BroadcastHashJoin"},
+                         exchanges_max=0, single_max=0, py=0),
 }
 
 
