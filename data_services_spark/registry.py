@@ -4507,9 +4507,11 @@ def fuzzy_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdict). ROUND 6 window = the 27 oracle-bearing names never
 # hash-verified (23 never-windowed + the four round-5 reds, whose
 # oracles are now BIGINT-cast — kept in for the green re-check) + 10
-# pinned canonicals + 13 per-family representatives. After a green r6
-# every oracle-bearing query (137/142) is driver-hash-verified; the
-# remaining 5 (approx_distinct, hll_distinct_merge, ivf_topk,
+# pinned canonicals + 13 per-family representatives. After a green r6,
+# 137 of the 139 oracle-bearing queries are driver-hash-verified (the
+# two round-6 additions — source_mixture, embedding_quantize — are
+# sweep-verified and queue for the r7 window); the remaining 5
+# (approx_distinct, hll_distinct_merge, ivf_topk,
 # minhash_lsh_pairs, simhash_fingerprint) are rows-only BY DESIGN
 # (engine-specific sketch/hash families or trained clustering — no
 # DuckDB oracle can hash-match; each algorithm is exactly checked via an
