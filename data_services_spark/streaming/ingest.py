@@ -493,17 +493,31 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
     # permanently wedged) — and a successful re-merge would double-count.
     manifest = _read_manifest(state_dir)
     committed = None if manifest is None else manifest["gen"]
-    if committed is not None and committed == batch_id:
+    # The replay guards compare against the BATCH WATERMARK (the last
+    # merged batch_id), not the commit generation: maintenance commits
+    # (compact_state) advance the generation without consuming a batch
+    # id, so gen and watermark diverge the first time the state is
+    # compacted. Legacy manifests carry no watermark field — there the
+    # two were equal by construction.
+    watermark = None if manifest is None \
+        else manifest.get("batch_watermark", manifest["gen"])
+    if watermark is not None and watermark == batch_id:
         return  # legitimate foreachBatch retry of the just-committed batch
-    if committed is not None and committed > batch_id:
+    if watermark is not None and watermark > batch_id:
         # batch ids restart at 0 when the streaming checkpoint is reset;
         # pairing a fresh checkpoint with old state would silently drop
         # every batch until batch_id catches up — fail loudly instead.
         raise RuntimeError(
-            f"state_dir {state_dir} is at generation {committed} but the "
-            f"stream delivered batch {batch_id}: the streaming checkpoint "
-            "and merge state are out of sync (checkpoint reset against "
-            "retained state?). Clear one or the other.")
+            f"state_dir {state_dir} is at batch watermark {watermark} but "
+            f"the stream delivered batch {batch_id}: the streaming "
+            "checkpoint and merge state are out of sync (checkpoint reset "
+            "against retained state?). Clear one or the other.")
+    # Commit generation: normally the batch id, but never below a
+    # maintenance commit's generation (crash-retry recomputes the same
+    # value because `committed` is unchanged until the commit lands, so
+    # the retry overwrites its own orphaned gen directory exactly as
+    # before).
+    gen = batch_id if committed is None else max(batch_id, committed + 1)
     incoming = _to_stateful(batch, scalar_props, list_props, rank_col,
                             key_cols) \
         .withColumn(_BUCKET, _bucket_col(num_buckets, key_cols))
@@ -537,35 +551,46 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
         merged = _merge_stateful(incoming, scalar_props, list_props,
                                  extra_group_cols=(_BUCKET,),
                                  key_cols=key_cols)
-        gen_dir = os.path.join(state_dir, f"gen={batch_id}")
+        gen_dir = os.path.join(state_dir, f"gen={gen}")
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(gen_dir)
         written = [d.split("=", 1)[1] for d in os.listdir(gen_dir)
                    if d.startswith(f"{_BUCKET}=")]
-        new_buckets = {**old_buckets, **{b: batch_id for b in written}}
+        new_buckets = {**old_buckets, **{b: gen for b in written}}
     else:  # empty batch: nothing rewrites, just advance the generation
         new_buckets = old_buckets
-    manifest_doc = {"gen": batch_id, "buckets": new_buckets}
-    # Archive the manifest BEFORE swapping _CURRENT: vacuum_state derives
-    # its retained-generation set from this history, so every manifest
-    # that was ever current is accounted for. A crash between archive and
-    # swap leaves a never-current archive entry — harmless (it only
-    # widens the retained set by one manifest until it ages out).
+    manifest_doc = {"gen": gen, "batch_watermark": batch_id,
+                    "buckets": new_buckets}
+    _commit_manifest(state_dir, manifest_doc, lease_token)
+
+
+def _commit_manifest(state_dir: str, manifest_doc: dict,
+                     lease_token: str | None) -> None:
+    """Archive + atomically swap a manifest, shared by merge and
+    compaction commits.
+
+    The manifest is archived BEFORE swapping ``_CURRENT``: vacuum_state
+    derives its retained-generation set from this history, so every
+    manifest that was ever current is accounted for. A crash between
+    archive and swap leaves a never-current archive entry — harmless (it
+    only widens the retained set by one manifest until it ages out).
+
+    Commit-time lease re-check (round-5 advisor): the lease has a TTL
+    but no renewal heartbeat, so a merge that outruns ttl_seconds lets
+    a second writer LEGITIMATELY take over mid-merge. Verify ownership
+    and swap _CURRENT inside ONE lease-mutex critical section — if the
+    token no longer matches, the commit fails loudly instead of
+    silently racing the usurper's manifest swap (the exact corruption
+    the lease exists to prevent). The usurper holds the lease and the
+    prior committed generation; this writer's uncommitted gen=N
+    directory is orphaned and vacuumable."""
+    gen = manifest_doc["gen"]
     hist = os.path.join(state_dir, _MANIFESTS)
     os.makedirs(hist, exist_ok=True)
-    with open(os.path.join(hist, f"{batch_id}.json"), "w") as fh:
+    with open(os.path.join(hist, f"{gen}.json"), "w") as fh:
         json.dump(manifest_doc, fh)
     tmp = os.path.join(state_dir, f"{_CURRENT}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest_doc, fh)
-    # Commit-time lease re-check (round-5 advisor): the lease has a TTL
-    # but no renewal heartbeat, so a merge that outruns ttl_seconds lets
-    # a second writer LEGITIMATELY take over mid-merge. Verify ownership
-    # and swap _CURRENT inside ONE lease-mutex critical section — if the
-    # token no longer matches, the commit fails loudly instead of
-    # silently racing the usurper's manifest swap (the exact corruption
-    # the lease exists to prevent). The usurper holds the lease and the
-    # prior committed generation; this writer's uncommitted gen=N
-    # directory is orphaned and vacuumable.
     with _lease_mutex(state_dir):
         if lease_token is not None:
             cur = None
@@ -584,7 +609,7 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
                     f"outran its TTL and "
                     f"{'expired' if cur is None else cur.get('owner')} "
                     "took over); refusing to commit generation "
-                    f"{batch_id} over the new writer's state. Re-run "
+                    f"{gen} over the new writer's state. Re-run "
                     "the batch with a ttl_seconds sized above the "
                     "longest merge.")
         os.replace(tmp, os.path.join(state_dir, _CURRENT))
@@ -660,6 +685,137 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
         if gen not in pinned_gens:
             os.remove(path)
     return deleted
+
+
+def bucket_file_stats(state_dir: str) -> dict[str, tuple[int, int]]:
+    """Per-bucket ``(file_count, total_bytes)`` of the committed state —
+    the fragmentation report a compaction policy decides from. Pure
+    local-fs metadata (os.scandir), no Spark job."""
+    manifest = _read_manifest(state_dir)
+    if manifest is None or manifest["buckets"] is None:
+        return {}
+    out: dict[str, tuple[int, int]] = {}
+    for b, g in manifest["buckets"].items():
+        d = os.path.join(state_dir, f"gen={g}", f"{_BUCKET}={b}")
+        n = size = 0
+        if os.path.isdir(d):
+            for e in os.scandir(d):
+                if e.is_file() and e.name.endswith(".parquet"):
+                    n += 1
+                    size += e.stat().st_size
+        out[b] = (n, size)
+    return out
+
+
+def compact_state(spark: SparkSession, state_dir: str,
+                  target_file_bytes: int = 128 << 20,
+                  min_files: int = 2,
+                  buckets=None,
+                  lease_ttl_seconds: float = 3600) -> dict:
+    """Rewrite fragmented buckets of the merged state into full-size
+    files — the OPTIMIZE/bin-packing half of the transactional-table
+    story (Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files``).
+
+    Incremental merge is write-amplification-optimal (each batch rewrites
+    only touched buckets) but file-count-pessimal: every rewrite lands
+    one-or-more new files per bucket, and at 100 TB a thousand batches
+    of small files turn every read's scan planning and row-group
+    scheduling into the bottleneck. Compaction restores read efficiency
+    without blocking ingest semantics:
+
+    - runs under the same writer lease as merges (serializes with them,
+      fails fast on contention);
+    - commits a REAL new generation (time travel to pre-compaction
+      snapshots keeps working; a pinned reader is never torn — old
+      generation directories age out through the normal
+      :func:`vacuum_state` retention/pin contract, they are not deleted
+      here);
+    - does NOT advance the batch watermark: the manifest's
+      ``batch_watermark`` field stays at the last merged batch id, so
+      the stream's replay/sync guards are oblivious to any number of
+      interleaved maintenance commits;
+    - byte-identical visible state: rows are moved, never re-merged —
+      the change-data-feed between the pre- and post-compaction
+      generations is empty (pytest-asserted).
+
+    Only buckets with at least ``min_files`` files rewrite (pass
+    ``buckets=`` to force a subset); each rewrites into
+    ``ceil(bytes / target_file_bytes)`` files, salted by a
+    deterministic hash of the row (stable under task retries, unlike
+    round-robin) so oversized buckets split evenly.
+
+    Returns ``{"gen", "buckets_compacted", "files_before",
+    "files_after", "bytes_compacted"}`` (gen None = nothing to do).
+    """
+    token = acquire_writer_lease(state_dir, ttl_seconds=lease_ttl_seconds)
+    try:
+        return _compact_locked(spark, state_dir, target_file_bytes,
+                               min_files, buckets, token)
+    finally:
+        release_writer_lease(state_dir, token)
+
+
+def _compact_locked(spark: SparkSession, state_dir: str,
+                    target_file_bytes: int, min_files: int,
+                    buckets, lease_token: str) -> dict:
+    manifest = _read_manifest(state_dir)
+    if manifest is None or manifest["buckets"] is None:
+        # empty or legacy unbucketed state: the next merge folds a legacy
+        # layout into buckets wholesale — nothing for compaction to do.
+        return {"gen": None, "buckets_compacted": [], "files_before": 0,
+                "files_after": 0, "bytes_compacted": 0}
+    stats = bucket_file_stats(state_dir)
+    wanted = None if buckets is None else {str(b) for b in buckets}
+    frag = {b: (n, size) for b, (n, size) in stats.items()
+            if (wanted is None and n >= min_files)
+            or (wanted is not None and b in wanted)}
+    if not frag:
+        return {"gen": None, "buckets_compacted": [], "files_before": 0,
+                "files_after": 0, "bytes_compacted": 0}
+    new_gen = manifest["gen"] + 1
+    # One read over the fragmented buckets' directories. basePath makes
+    # Spark recover `gen` and bucket as partition columns from the paths;
+    # mergeSchema unions schemas across generations (schema evolution:
+    # a bucket last written before a column existed reads as NULL — the
+    # same NULLs every reader already sees, now materialized).
+    src_dirs = _bucket_paths(state_dir, manifest, buckets=list(frag))
+    df = (spark.read.option("basePath", state_dir)
+          .option("mergeSchema", True).parquet(*src_dirs)
+          .drop("gen"))
+    # ceil(bytes/target) output files per bucket, via a per-bucket salt
+    # modulus looked up from a literal map (at most num_buckets entries).
+    nfiles = {b: max(1, -(-size // target_file_bytes))
+              for b, (_, size) in frag.items()}
+    map_items: list = []
+    for b, n in nfiles.items():
+        map_items.extend([F.lit(int(b)), F.lit(int(n))])
+    data_cols = [c for c in df.columns if c != _BUCKET]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]),
+                  F.element_at(F.create_map(*map_items), F.col(_BUCKET)))
+    # hash-repartition on (bucket, salt): every (bucket, salt) pair lands
+    # in exactly one task, so bucket b writes at most nfiles[b] files.
+    total = sum(nfiles.values())
+    packed = (df.withColumn("__salt", salt)
+              .repartition(total, F.col(_BUCKET), F.col("__salt"))
+              .drop("__salt"))
+    gen_dir = os.path.join(state_dir, f"gen={new_gen}")
+    packed.write.mode("overwrite").partitionBy(_BUCKET).parquet(gen_dir)
+    written = [d.split("=", 1)[1] for d in os.listdir(gen_dir)
+               if d.startswith(f"{_BUCKET}=")]
+    new_buckets = {**manifest["buckets"],
+                   **{b: new_gen for b in written}}
+    manifest_doc = {
+        "gen": new_gen,
+        "batch_watermark": manifest.get("batch_watermark", manifest["gen"]),
+        "buckets": new_buckets,
+    }
+    _commit_manifest(state_dir, manifest_doc, lease_token)
+    after = bucket_file_stats(state_dir)
+    return {"gen": new_gen,
+            "buckets_compacted": sorted(written, key=int),
+            "files_before": sum(n for n, _ in frag.values()),
+            "files_after": sum(after[b][0] for b in written),
+            "bytes_compacted": sum(s for _, s in frag.values())}
 
 
 def stream_merge_nodes(node_stream: DataFrame, state_dir: str,
