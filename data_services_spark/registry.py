@@ -4493,6 +4493,50 @@ def fuzzy_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", dist.cast("long").alias("edit_dist")))
 
 
+_Z_BITS = 16
+_Z_INTERLEAVE_DUCK = " | ".join(
+    f"(((z{i + 1} >> {b}) & 1) << {b * 2 + i})"
+    for b in range(_Z_BITS) for i in range(2))
+
+
+@register("zorder_cluster", f"""
+WITH r AS (
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn1,
+           CAST(MAX(l_orderkey) AS BIGINT) AS mx1,
+           CAST(MIN(l_partkey) AS BIGINT) AS mn2,
+           CAST(MAX(l_partkey) AS BIGINT) AS mx2
+    FROM lineitem
+), n AS (
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CASE WHEN mx1 = mn1 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(l_orderkey AS BIGINT) - mn1) * 65535
+                     // (mx1 - mn1) END AS z1,
+           CASE WHEN mx2 = mn2 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(l_partkey AS BIGINT) - mn2) * 65535
+                     // (mx2 - mn2) END AS z2
+    FROM lineitem, r
+)
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST({_Z_INTERLEAVE_DUCK} AS BIGINT) AS zkey
+FROM n
+""")
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_orderkey, l_partkey) —
+    the multi-dimensional layout device behind operators/layout.py's
+    `zorder_write` (Delta OPTIMIZE ZORDER BY analog). Exact integer
+    range-normalization to 16 bits per column (floor division — no
+    float rounding to diverge across engines) + bit interleave, all one
+    JVM-side expression; column ranges come from a broadcast 1-row
+    aggregate, never a driver fetch. The layout payoff (row-group
+    min/max skipping on EVERY interleaved dimension) is measured in
+    tests/test_layout.py; this query pins the key computation itself to
+    an exact oracle."""
+    from data_services_spark.operators.layout import zorder_key
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey")
+    return zorder_key(li, ["l_orderkey", "l_partkey"], bits=_Z_BITS)
+
+
 # ---------------------------------------------------------------------------
 # Evaluation-order priority
 # ---------------------------------------------------------------------------

@@ -141,6 +141,12 @@ EXPECTED = {
     "ann_lsh_topk": dict(scans=2, pushed_min=2,
                          joins={"BroadcastHashJoin"},
                          exchanges_max=0, single_max=0, py=0),
+    # zorder_cluster: one lineitem scan + the broadcast 1-row min/max
+    # aggregate (single-partition final agg) NLJ'd back; the interleave
+    # itself must stay a map-side projection with zero Python.
+    "zorder_cluster": dict(scans=2, pushed_min=0,
+                           joins={"BroadcastNestedLoopJoin"},
+                           exchanges_max=1, single_max=1, py=0),
 }
 
 
