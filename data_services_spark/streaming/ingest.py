@@ -821,34 +821,52 @@ def _compact_locked(spark: SparkSession, state_dir: str,
 def stream_merge_nodes(node_stream: DataFrame, state_dir: str,
                        checkpoint_dir: str,
                        scalar_props=("name",),
-                       list_props=("category",)):
+                       list_props=("category",),
+                       compact_every: int | None = None,
+                       compact_kwargs: dict | None = None):
     """Attach the incremental merge sink to a streaming node DataFrame;
-    returns the StreamingQuery."""
+    returns the StreamingQuery. ``compact_every=N`` folds a
+    :func:`compact_state` maintenance pass into every Nth batch
+    (``compact_kwargs`` forwards policy knobs like target_file_bytes)."""
     return _stream_merge(node_stream, state_dir, checkpoint_dir,
-                         scalar_props, list_props, key_cols=("id",))
+                         scalar_props, list_props, key_cols=("id",),
+                         compact_every=compact_every,
+                         compact_kwargs=compact_kwargs)
 
 
 def stream_merge_edges(edge_stream: DataFrame, state_dir: str,
                        checkpoint_dir: str,
                        scalar_props=(),
                        list_props=("publications",
-                                   "aggregator_knowledge_sources")):
+                                   "aggregator_knowledge_sources"),
+                       compact_every: int | None = None,
+                       compact_kwargs: dict | None = None):
     """A2's streaming twin: incremental edge merge on the four-column KGX
     edge key (subject, predicate, object, primary_knowledge_source) —
     same bucketed generational state, buckets hash the composite key."""
     from data_services_spark.operators.merge import EDGE_KEY
     return _stream_merge(edge_stream, state_dir, checkpoint_dir,
-                         scalar_props, list_props, key_cols=EDGE_KEY)
+                         scalar_props, list_props, key_cols=EDGE_KEY,
+                         compact_every=compact_every,
+                         compact_kwargs=compact_kwargs)
 
 
 def _stream_merge(stream: DataFrame, state_dir: str, checkpoint_dir: str,
-                  scalar_props, list_props, key_cols):
+                  scalar_props, list_props, key_cols,
+                  compact_every: int | None = None,
+                  compact_kwargs: dict | None = None):
     os.makedirs(state_dir, exist_ok=True)
     spark = stream.sparkSession
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         merge_upsert_batch(spark, batch, state_dir, batch_id,
                            scalar_props, list_props, key_cols=key_cols)
+        # Inline maintenance cadence: compaction is its own lease-guarded
+        # commit AFTER the merge's, and never consumes a batch id, so a
+        # crash between the two merely defers compaction to the next
+        # cadence hit — the merge's idempotent-retry contract is intact.
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_state(spark, state_dir, **(compact_kwargs or {}))
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)

@@ -193,6 +193,37 @@ def test_compact_legacy_manifest_without_watermark(spark, tmp_path):
     assert "Z:1" in ids
 
 
+def test_stream_merge_with_inline_compaction(spark, tmp_path):
+    """compact_every cadence inside the foreachBatch sink: final state
+    still equals the from-scratch merge, and a maintenance generation
+    actually landed (gen ran ahead of the batch watermark)."""
+    from data_services_spark.operators.merge import merge_nodes
+    from data_services_spark.streaming.ingest import stream_merge_nodes
+
+    rows1 = [("X:1", None, ["c1"], 1), ("X:2", "two", ["c2"], 1)]
+    rows2 = [("X:1", "one-late", ["c3"], 2), ("X:3", "three", [], 2)]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(rows1, NODES).coalesce(1).write.parquet(
+        str(src / "batch1"))
+    spark.createDataFrame(rows2, NODES).coalesce(1).write.parquet(
+        str(src / "batch2"))
+    stream = (spark.readStream.schema(NODES)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/batch*/"))
+    q = stream_merge_nodes(stream, str(tmp_path / "state"),
+                           str(tmp_path / "ckpt"), compact_every=1,
+                           compact_kwargs={"min_files": 1})
+    q.awaitTermination()
+
+    m = json.load(open(tmp_path / "state" / "_CURRENT"))
+    assert m["gen"] > m["batch_watermark"], \
+        "compaction generations should have run ahead of the watermark"
+    got = _visible(read_merged_state(spark, str(tmp_path / "state")))
+    want = _visible(merge_nodes(_batch(spark, rows1 + rows2)))
+    assert got == want
+
+
 def test_compact_preserves_schema_evolution_nulls(spark, tmp_path):
     """Buckets last written before a column existed read as NULL; after
     compaction those NULLs are materialized, not invented values."""

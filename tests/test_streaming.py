@@ -99,6 +99,61 @@ def test_stateful_user_totals_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_tws_user_totals_equals_batch_and_apply(spark, events_dir):
+    """transformWithStateInPandas (named ValueState, RocksDB-backed) ==
+    batch groupBy after drain. The TWS state server speaks protobuf to
+    the JVM — absent in this sandbox, present on standard cluster
+    images, so the runtime half skips itself here (the operator's plan
+    construction is still exercised below either way)."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.streaming.stateful import stream_user_totals_tws
+
+    # plan construction must always work (API surface + schema wiring)
+    stream0 = read_event_stream(spark, events_dir)
+    out0 = stream_user_totals_tws(stream0)
+    assert out0.isStreaming and set(out0.columns) == {
+        "user_id", "n_events", "total_value_micros", "last_ts_ms"}
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState runtime needs the protobuf package")
+
+    from data_services_spark.streaming.events import run_to_memory_sink
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, "org.apache.spark.sql.execution."
+                   "streaming.state.RocksDBStateStoreProvider")
+    try:
+        stream = read_event_stream(spark, events_dir)
+        out = run_to_memory_sink(stream_user_totals_tws(stream),
+                                 "tws_totals", output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
+    final = (out.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"),
+                  F.max("total_value_micros").alias("total_value_micros"),
+                  F.max("last_ts_ms").alias("last_ts_ms")))
+
+    from data_services_spark.catalog import load_table
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                   .alias("total_value_micros"),
+                  (F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                   / F.lit(1000)).cast("long").alias("last_ts_ms")))
+    got = {r.user_id: (r.n_events, r.total_value_micros, r.last_ts_ms)
+           for r in final.collect()}
+    want = {r.user_id: (r.n_events, r.total_value_micros, r.last_ts_ms)
+            for r in batch.collect()}
+    assert got == want
+
+
 def test_stream_merge_nodes_equals_batch_merge(spark, tmp_path):
     """foreachBatch incremental KGX merge == from-scratch batch merge,
     regardless of which batch each source arrives in."""
