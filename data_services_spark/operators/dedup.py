@@ -280,3 +280,110 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 24,
+                        window: int = 8,
+                        hash_family: str = "md5") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the normalized text, then keep the minimum hash of each window
+    of ``window`` consecutive k-grams. The selected set is the
+    fingerprint; the winnowing guarantee is that any shared substring
+    of length >= k + window - 1 contributes at least one shared
+    fingerprint, so containment/clone detection reduces to an inverted
+    index over (fingerprint -> doc) instead of all-pairs comparison.
+
+    The classic formulation rolls a Rabin hash across the text; that is
+    a sequential-CPU optimization, not a semantic. Here each k-gram is
+    hashed directly (``substr`` + hash) inside one per-row chain of
+    higher-order array functions — ``transform`` over a position
+    ``sequence``, ``array_min`` over ``slice`` windows — so the whole
+    operator is a zero-shuffle JVM-side projection: selection happens
+    row-local, and only the (already tiny) fingerprint sets ever move.
+    With the md5 family the selection is exactly reproducible in
+    ANSI-ish SQL (the registry query's DuckDB oracle mirrors it
+    list-function for list-function).
+
+    Returns (id, fps) where fps = sorted distinct selected hashes —
+    ascending array<long>, set semantics per the paper.
+
+    Pick ``k`` against the corpus' real entropy: on low-entropy text
+    (templates, boilerplate, small vocabularies) short grams collide
+    across unrelated documents and the downstream inverted index goes
+    quadratic. The defaults (24, 8) discriminate on the synthetic
+    benchmark corpus; natural prose tolerates smaller k (the paper uses
+    ~8 for text, ~50 for source code).
+    """
+    # Staged projections, not one nested expression: higher-order
+    # array functions run interpreted, and a lambda body re-evaluates
+    # every non-attribute subtree PER ELEMENT — an inline `h` inside
+    # `slice(h, j, w)` would recompute all n gram md5s for each of the
+    # n windows (O(n^2) hashes/row; measured: turned a 500-row table
+    # into minutes). Aliasing each stage forces the arrays to
+    # materialize once per row; Catalyst's CollapseProject keeps the
+    # stages separate because the aliases are referenced repeatedly.
+    s = F.col("__s")
+    n_grams = F.length(s) - (k - 1)
+    grams = F.when(
+        n_grams <= 0, F.array(_slot_hash(hash_family, s, "win"))
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: _slot_hash(hash_family, s.substr(i, F.lit(k)), "win")))
+    h = F.col("__h")
+    n_win = F.size(h) - (window - 1)
+    sel = F.when(n_win <= 0, F.array(F.array_min(h))).otherwise(
+        F.transform(F.sequence(F.lit(1), n_win),
+                    lambda j: F.array_min(F.slice(h, j, window))))
+    return (docs
+            .select(F.col(id_col), _norm_text(text_col).alias("__s"))
+            .select(id_col, grams.alias("__h"))
+            .select(F.col(id_col),
+                    F.array_sort(F.array_distinct(sel)).alias("fps")))
+
+
+def winnow_shared_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 24,
+                        window: int = 8, min_shared: int = 2,
+                        max_df: int | None = 256,
+                        hash_family: str = "md5") -> DataFrame:
+    """Candidate containment/clone pairs from a winnowing inverted
+    index: explode fingerprints, self-join per fingerprint bucket
+    (id_a < id_b), keep pairs sharing >= ``min_shared`` fingerprints.
+    Same cost shape as the MinHash LSH band join — sum over buckets of
+    |bucket|^2, never corpus x corpus.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE the self-join (a semi-join against the small
+    per-fingerprint frequency aggregate). This is the operator's scale
+    guard: a boilerplate gram shared by 1M documents carries zero
+    discrimination but would alone contribute 5x10^11 joined rows; the
+    cap bounds every bucket's contribution to max_df^2, exactly the
+    stop-word/max-df move from tf-idf applied to fingerprint buckets.
+    Returns (id_a, id_b, n_shared)."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window,
+                              hash_family)
+    # explode_outer, NOT explode: for plain explode the optimizer infers
+    # `size(fps) > 0` (InferFiltersFromGenerate) and predicate pushdown
+    # substitutes the alias chain into that Filter — re-inlining the
+    # whole staged fingerprint expression and re-triggering the O(n^2)
+    # interpreted re-evaluation the staging exists to prevent (measured:
+    # 173s vs 2s on 500 rows). The inferred filter doesn't exist for
+    # outer explode; the null-fp filter below sits on the GENERATED
+    # attribute, which nothing can push past the Generate.
+    inv = (fps.select(F.col(id_col).alias("id"),
+                      F.explode_outer("fps").alias("fp"))
+           .filter(F.col("fp").isNotNull()))
+    if max_df is not None:
+        keep = (inv.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df).select("fp"))
+        inv = inv.join(keep, "fp", "left_semi")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))

@@ -33,6 +33,7 @@ from data_services_spark.operators import (
     merge_nodes, meta_kg, minhash_lsh_pairs, nearest_within_group,
     normalization_failures, quality_score,
     simhash64_df, sliding, term_frequencies, tfidf, top_k_per_group, tumbling,
+    winnow_fingerprints, winnow_shared_pairs,
 )
 from data_services_spark.operators.multimodal import (
     attach_binary_payload, decode_media, extract_payload_meta,
@@ -1482,6 +1483,77 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(d).alias("fp"))
 
 
+def _sql_md5h(seed, expr: str) -> str:
+    """DuckDB twin of operators.dedup.md5_long_hash."""
+    return (f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT")
+
+
+# k-gram size / window / bucket doc-frequency cap (guarantee length:
+# k + w - 1 = 31). k=24 because the synthetic corpus draws from a ~30
+# word vocabulary — 8-char grams collide across nearly all documents
+# (measured: 111k of 124k possible pairs shared >=2 fingerprints at
+# k=8; 35 pairs at k=24) — see winnow_fingerprints' docstring.
+_WIN_K, _WIN_W, _WIN_MAXDF = 24, 8, 256
+_WINNOW_FPS_SQL = f"""
+WITH n AS (
+    SELECT doc_id, lower(trim(text)) AS s FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN length(s) - {_WIN_K - 1} <= 0
+                THEN [{_sql_md5h('win', 's')}]
+                ELSE list_transform(
+                    generate_series(1, length(s) - {_WIN_K - 1}),
+                    i -> {_sql_md5h('win', f'substr(s, i, {_WIN_K})')})
+           END AS h
+    FROM n
+), w AS (
+    SELECT doc_id,
+           CASE WHEN len(h) - {_WIN_W - 1} <= 0 THEN [list_min(h)]
+                ELSE list_transform(
+                    generate_series(1, len(h) - {_WIN_W - 1}),
+                    j -> list_min(h[j:j + {_WIN_W - 1}]))
+           END AS sel
+    FROM g
+)
+SELECT doc_id, list_sort(list_distinct(sel)) AS fps FROM w
+"""
+
+
+@register("winnow_fingerprint", _WINNOW_FPS_SQL)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003): min-hash
+    of every window of 4 consecutive character 8-gram hashes, as a
+    zero-shuffle higher-order-function projection. The md5 hash family
+    makes the selected sets exactly reproducible in the DuckDB oracle
+    (list_transform / list_min mirror transform / array_min)."""
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=_WIN_K, window=_WIN_W)
+
+
+@register("winnow_pairs", f"""
+WITH fps AS ({_WINNOW_FPS_SQL}
+), inv AS (
+    SELECT doc_id AS id, unnest(fps) AS fp FROM fps
+), kept AS (
+    SELECT * FROM inv WHERE fp IN (
+        SELECT fp FROM inv GROUP BY fp HAVING COUNT(*) <= {_WIN_MAXDF})
+)
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(*) >= 2
+""")
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone/containment candidate pairs from the winnowing inverted
+    index (fingerprint-bucket self-join, id_a < id_b, >= 2 shared
+    fingerprints) — MOSS-style matching at LSH-band cost, never
+    all-pairs. The max_df stop-fingerprint cap (mirrored in the oracle)
+    bounds every bucket's quadratic contribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_shared_pairs(d, k=_WIN_K, window=_WIN_W, min_shared=2,
+                               max_df=_WIN_MAXDF)
+
+
 @register("near_dup_jaccard", """
 WITH toks AS (
     SELECT lang, doc_id,
@@ -1516,11 +1588,6 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-family twin `minhash_lsh_md5` proves the algorithm exactly)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, num_hashes=32, bands=8)
-
-
-def _sql_md5h(seed, expr: str) -> str:
-    """DuckDB twin of operators.dedup.md5_long_hash."""
-    return (f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT")
 
 
 _MH_N, _MH_BANDS = 16, 4
@@ -4552,9 +4619,10 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-verified (23 never-windowed + the four round-5 reds, whose
 # oracles are now BIGINT-cast — kept in for the green re-check) + 10
 # pinned canonicals + 13 per-family representatives. After a green r6,
-# 137 of the 139 oracle-bearing queries are driver-hash-verified (the
-# two round-6 additions — source_mixture, embedding_quantize — are
-# sweep-verified and queue for the r7 window); the remaining 5
+# 137 of the 142 oracle-bearing queries are driver-hash-verified (the
+# five round-6 additions — source_mixture, embedding_quantize,
+# zorder_cluster, winnow_fingerprint, winnow_pairs — are sweep-verified
+# and queue for the r7 window); the remaining 5
 # (approx_distinct, hll_distinct_merge, ivf_topk,
 # minhash_lsh_pairs, simhash_fingerprint) are rows-only BY DESIGN
 # (engine-specific sketch/hash families or trained clustering — no

@@ -1065,3 +1065,60 @@ def test_scalable_running_sum_null_keys_sort_first(spark):
                                            balance=mode).collect()),
                      key=repr)
         assert got == want, mode
+
+
+def _winnow_ref(text: str, k: int = 8, w: int = 4) -> list[int]:
+    """Plain-Python winnowing reference (Schleimer et al. fig. 5, the
+    simple min-of-window form the operator implements)."""
+    import hashlib
+
+    s = text.strip().lower()
+
+    def h(g: str) -> int:
+        return int(hashlib.md5(f"win:{g}".encode()).hexdigest()[:15], 16)
+
+    hs = ([h(s)] if len(s) - (k - 1) <= 0
+          else [h(s[i:i + k]) for i in range(len(s) - k + 1)])
+    sel = ([min(hs)] if len(hs) - (w - 1) <= 0
+           else [min(hs[j:j + w]) for j in range(len(hs) - w + 1)])
+    return sorted(set(sel))
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    from data_services_spark.operators import winnow_fingerprints
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "tiny",           # shorter than k -> single whole-text hash
+             "exactly8!",      # one gram over k=8 after norm
+             "",               # empty after trim
+             "aaaaaaaaaaaaaaaaaaaa"]  # constant text -> 1 distinct gram
+    d = spark.createDataFrame(list(enumerate(texts)),
+                              "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fps"])
+           for r in winnow_fingerprints(d, k=8, window=4).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_ref(t, 8, 4), (i, t)
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 share at least one selected fingerprint; disjoint-
+    alphabet docs share none."""
+    from data_services_spark.operators import (winnow_fingerprints,
+                                               winnow_shared_pairs)
+
+    shared = "a very distinctive common passage of text"  # len 41 >= 11
+    d = spark.createDataFrame(
+        [(1, f"prefix one {shared} suffix alpha"),
+         (2, f"totally different opening {shared} and another ending"),
+         (3, "zzz qqq vvv kkk www uuu mmm nnn ooo ppp rrr sss ttt")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fps"])
+           for r in winnow_fingerprints(d, k=8, window=4).collect()}
+    assert fps[1] & fps[2], "guaranteed shared fingerprint missing"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_shared_pairs(d, k=8, window=4,
+                                          min_shared=2).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 2

@@ -147,6 +147,17 @@ EXPECTED = {
     "zorder_cluster": dict(scans=2, pushed_min=0,
                            joins={"BroadcastNestedLoopJoin"},
                            exchanges_max=1, single_max=1, py=0),
+    # winnowing: the fingerprint projection is zero-shuffle map-only
+    # (and zero Python — higher-order array funcs, staged so the
+    # interpreted lambdas never re-inline, dedup.py); the pairs query
+    # scans documents once per inverted-index use (max-df keep + both
+    # join sides + fps), broadcast-joins the tiny index, and must never
+    # funnel the corpus through a single partition.
+    "winnow_fingerprint": dict(scans=1, pushed_min=0, joins=set(),
+                               exchanges_max=0, single_max=0, py=0),
+    "winnow_pairs": dict(scans=4, pushed_min=2,
+                         joins={"BroadcastHashJoin"},
+                         exchanges_max=2, single_max=0, py=0),
 }
 
 
