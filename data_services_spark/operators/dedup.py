@@ -114,27 +114,20 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         "id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", num_hashes: int = 32,
-                      bands: int = 8, shingle_n: int = 3,
-                      hash_family: str = "xxhash64") -> DataFrame:
-    """L2: candidate near-duplicate pairs via banded MinHash LSH.
-
-    Signature is split into `bands` bands of `num_hashes/bands` rows; docs
-    sharing any band hash become a candidate pair. Returns (id_a, id_b,
-    est_jaccard) with id_a < id_b, est_jaccard = fraction of matching
-    signature slots (deduped across bands).
-    """
+def band_hashes(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", num_hashes: int = 32,
+                bands: int = 8, shingle_n: int = 3,
+                hash_family: str = "xxhash64") -> DataFrame:
+    """(id, sig, band, bh) — the LSH banding step shared by the batch
+    pair join (:func:`minhash_lsh_pairs`) and the streaming incremental
+    dedup (streaming/neardup.py): MinHash signature split into `bands`
+    bands of `num_hashes/bands` rows, each band's slice hashed to one
+    bucket key ``bh``. Two documents are near-dup candidates iff they
+    agree on (band, bh) for at least one band."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
                              hash_family)
-    # No persist: the self-join's two branches share an identical groupBy
-    # exchange, which Spark's ReuseExchange rule computes once (plan-asserted
-    # in tests/test_operators.py::test_minhash_lsh_leaves_no_cached_rdds)
-    # — an explicit .persist() here would leak cached
-    # blocks across calls in a long-lived session with no unpersist point
-    # (the consumer of this lazy DataFrame decides when execution happens).
-    banded = sig.select(
+    return sig.select(
         "id", "sig",
         F.explode(
             F.transform(
@@ -148,7 +141,29 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", "sig", F.col("bb.band").alias("band"),
+             F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 32,
+                      bands: int = 8, shingle_n: int = 3,
+                      hash_family: str = "xxhash64") -> DataFrame:
+    """L2: candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature is split into `bands` bands of `num_hashes/bands` rows; docs
+    sharing any band hash become a candidate pair. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b, est_jaccard = fraction of matching
+    signature slots (deduped across bands).
+    """
+    # No persist: the self-join's two branches share an identical groupBy
+    # exchange, which Spark's ReuseExchange rule computes once (plan-asserted
+    # in tests/test_operators.py::test_minhash_lsh_leaves_no_cached_rdds)
+    # — an explicit .persist() here would leak cached
+    # blocks across calls in a long-lived session with no unpersist point
+    # (the consumer of this lazy DataFrame decides when execution happens).
+    banded = band_hashes(docs, text_col, id_col, num_hashes, bands,
+                         shingle_n, hash_family)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bh") == F.col("b.bh"))

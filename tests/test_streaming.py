@@ -924,3 +924,101 @@ def test_multiwriter_handoff_concurrent_readers_never_torn(spark, tmp_path):
         assert rc == 0 and not rep["errors"], rep["errors"][:3]
     seen = set().union(*(rep["observed"] for rep in reports))
     assert seen, "readers never observed a generation"
+
+
+def _utime_tree(path, ts: float) -> None:
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (ts, ts))
+
+
+def test_stream_dedup_near_cross_batch(spark, tmp_path):
+    """Incremental near-dup dedup: duplicates are caught within a batch
+    AND across batches via the persisted band state; first arrival wins
+    and the state only grows with kept documents' bands."""
+    import time
+
+    from data_services_spark.streaming.ingest import read_merged_state
+    from data_services_spark.streaming.neardup import (
+        read_decisions, stream_dedup_near,
+    )
+
+    DOCS = "doc_id long, text string"
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different words about streaming state machinery"
+    t_c = "a third unique document concerning winnowing and minhash"
+    batches = [
+        [(1, t_a), (2, t_a), (3, t_b)],   # 2 = in-batch dup of 1
+        [(4, t_a), (5, t_c)],             # 4 = corpus dup of 1
+        [(6, t_c), (7, t_b)],             # 6 dup of 5, 7 dup of 3
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = src / f"batch{i}"
+        spark.createDataFrame(rows, DOCS).coalesce(1).write.parquet(str(d))
+        _utime_tree(d, now - 300 + 100 * i)  # deterministic arrival order
+
+    stream = (spark.readStream.schema(DOCS)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/batch*/"))
+    q = stream_dedup_near(stream, str(tmp_path / "state"),
+                          str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    dec = {r.doc_id: (r.status, r.duplicate_of, r.batch_id)
+           for r in read_decisions(spark, str(tmp_path / "state"))
+           .collect()}
+    assert dec == {1: ("kept", None, 0),
+                   2: ("dup_in_batch", 1, 0),
+                   3: ("kept", None, 0),
+                   4: ("dup_of_corpus", 1, 1),
+                   5: ("kept", None, 1),
+                   6: ("dup_of_corpus", 5, 2),
+                   7: ("dup_of_corpus", 3, 2)}
+    state = read_merged_state(spark, str(tmp_path / "state"))
+    kept_in_state = {r.doc_id for r in
+                     state.select("doc_id").distinct().collect()}
+    assert kept_in_state == {1, 3, 5}, \
+        "band state must hold exactly the kept documents"
+
+
+def test_stream_dedup_near_replay_idempotent(spark, tmp_path):
+    """At-least-once retry of a batch (crash after the merge commit,
+    before the checkpoint) must reproduce the ORIGINAL decisions: the
+    corpus check time-travels to the pre-batch snapshot, so a kept doc
+    is not re-classified as a duplicate of its own bands."""
+    from data_services_spark.streaming.ingest import read_merged_state
+    from data_services_spark.streaming.neardup import (
+        dedup_batch_against_state, read_decisions,
+    )
+
+    DOCS = "doc_id long, text string"
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different words about streaming state machinery"
+    state_dir = str(tmp_path / "state")
+    b0 = spark.createDataFrame([(1, t_a), (2, t_b)], DOCS)
+    b1 = spark.createDataFrame([(3, t_a), (4, t_b)], DOCS)
+
+    dedup_batch_against_state(spark, b0, state_dir, 0)
+    gen_after_b0 = read_merged_state(spark, state_dir).count()
+    dedup_batch_against_state(spark, b0, state_dir, 0)  # replay batch 0
+    assert read_merged_state(spark, state_dir).count() == gen_after_b0
+    dec0 = {r.doc_id: r.status for r in
+            read_decisions(spark, state_dir)
+            .filter("batch_id = 0").collect()}
+    assert dec0 == {1: "kept", 2: "kept"}
+
+    dedup_batch_against_state(spark, b1, state_dir, 1)
+    dedup_batch_against_state(spark, b1, state_dir, 1)  # replay batch 1
+    dec1 = {r.doc_id: (r.status, r.duplicate_of) for r in
+            read_decisions(spark, state_dir)
+            .filter("batch_id = 1").collect()}
+    assert dec1 == {3: ("dup_of_corpus", 1), 4: ("dup_of_corpus", 2)}
+    kept_in_state = {r.doc_id for r in
+                     read_merged_state(spark, state_dir)
+                     .select("doc_id").distinct().collect()}
+    assert kept_in_state == {1, 2}
