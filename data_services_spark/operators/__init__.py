@@ -10,7 +10,7 @@ from data_services_spark.operators.asof import asof_join, range_join
 from data_services_spark.operators.dedup import (
     exact_text_dedup, fingerprint, minhash_signature, minhash_lsh_pairs,
     simhash64, simhash64_df, minhash_signatures, jaccard_pairs,
-    winnow_fingerprints, winnow_shared_pairs,
+    winnow_fingerprint_rows, winnow_fingerprints, winnow_shared_pairs,
 )
 from data_services_spark.operators.similarity import (
     ivf_topk, knn_topk, knn_topk_arrow, nearest_within_group,
@@ -38,7 +38,8 @@ __all__ = [
     "asof_join", "range_join",
     "exact_text_dedup", "fingerprint", "minhash_signature",
     "minhash_lsh_pairs", "simhash64", "simhash64_df", "minhash_signatures",
-    "jaccard_pairs", "winnow_fingerprints", "winnow_shared_pairs",
+    "jaccard_pairs", "winnow_fingerprint_rows", "winnow_fingerprints",
+    "winnow_shared_pairs",
     "ivf_topk", "knn_topk", "knn_topk_arrow", "nearest_within_group",
     "tokenize", "term_frequencies", "tfidf", "quality_score", "lang_id",
     "attach_binary_payload", "extract_payload_meta", "decode_media",

@@ -358,6 +358,52 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                     F.array_sort(F.array_distinct(sel)).alias("fps")))
 
 
+def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 24,
+                            window: int = 8,
+                            hash_family: str = "md5") -> DataFrame:
+    """:func:`winnow_fingerprints` in row form — (id, fp) rows, exactly
+    ``explode(fps)`` of the array form (parity-tested).
+
+    This is the long-document scale path: the array form materializes
+    one hash per character per row (a 10 MB document = an 80 MB array
+    in a single row — memory-hostile and stuck in interpreted lambda
+    evaluation), where this form explodes gram positions to rows, hashes
+    each gram inside WholeStageCodegen, and takes the window minimum
+    with a frame-spec window aggregate. Costs one shuffle on the doc id
+    (the array form is zero-shuffle) — the right trade exactly when
+    documents are large; for short-document corpora prefer the array
+    form. Selection rule matches: window j covers gram hashes
+    [j, j+w-1]; only full windows select (j <= n_grams - w + 1), except
+    a document with fewer than w grams selects its global minimum."""
+    from pyspark.sql import Window as W
+
+    s = F.col("__s")
+    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(1))
+    staged = (docs
+              .select(F.col(id_col), _norm_text(text_col).alias("__s"))
+              .select(id_col, "__s", n_grams.alias("__n")))
+    grams = (staged
+             .select(id_col, "__s", "__n",
+                     F.explode(F.sequence(F.lit(1), F.col("__n")))
+                     .alias("__i"))
+             .select(id_col, "__n", "__i",
+                     _slot_hash(
+                         hash_family,
+                         F.when(F.col("__n") == 1, F.col("__s"))
+                         .otherwise(F.col("__s").substr(F.col("__i"),
+                                                        F.lit(k))),
+                         "win").alias("__gh")))
+    win = (W.partitionBy(id_col).orderBy("__i")
+           .rowsBetween(W.currentRow, window - 1))
+    sel = (grams
+           .withColumn("__m", F.min("__gh").over(win))
+           .filter(F.col("__i") <=
+                   F.greatest(F.col("__n") - (window - 1), F.lit(1))))
+    return (sel.select(F.col(id_col), F.col("__m").alias("fp"))
+            .distinct())
+
+
 def winnow_shared_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 24,
                         window: int = 8, min_shared: int = 2,

@@ -33,7 +33,7 @@ from data_services_spark.operators import (
     merge_nodes, meta_kg, minhash_lsh_pairs, nearest_within_group,
     normalization_failures, quality_score,
     simhash64_df, sliding, term_frequencies, tfidf, top_k_per_group, tumbling,
-    winnow_fingerprints, winnow_shared_pairs,
+    winnow_fingerprint_rows, winnow_fingerprints, winnow_shared_pairs,
 )
 from data_services_spark.operators.multimodal import (
     attach_binary_payload, decode_media, extract_payload_meta,
@@ -1528,6 +1528,21 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (list_transform / list_min mirror transform / array_min)."""
     d = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(d, k=_WIN_K, window=_WIN_W)
+
+
+@register("winnow_rows", f"""
+WITH fps AS ({_WINNOW_FPS_SQL}
+)
+SELECT doc_id, unnest(fps) AS fp FROM fps
+""")
+def winnow_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-form winnowing (the long-document scale path: posexplode'd
+    gram positions + frame-spec window min inside WholeStageCodegen,
+    one shuffle on doc_id instead of per-row megabyte arrays). Must
+    equal exactly explode(fps) of the array form — the oracle IS the
+    array-form SQL unnested."""
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprint_rows(d, k=_WIN_K, window=_WIN_W)
 
 
 @register("winnow_pairs", f"""
@@ -4619,10 +4634,10 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-verified (23 never-windowed + the four round-5 reds, whose
 # oracles are now BIGINT-cast — kept in for the green re-check) + 10
 # pinned canonicals + 13 per-family representatives. After a green r6,
-# 137 of the 142 oracle-bearing queries are driver-hash-verified (the
-# five round-6 additions — source_mixture, embedding_quantize,
-# zorder_cluster, winnow_fingerprint, winnow_pairs — are sweep-verified
-# and queue for the r7 window); the remaining 5
+# 137 of the 143 oracle-bearing queries are driver-hash-verified (the
+# six round-6 additions — source_mixture, embedding_quantize,
+# zorder_cluster, winnow_fingerprint, winnow_rows, winnow_pairs — are
+# sweep-verified and queue for the r7 window); the remaining 5
 # (approx_distinct, hll_distinct_merge, ivf_topk,
 # minhash_lsh_pairs, simhash_fingerprint) are rows-only BY DESIGN
 # (engine-specific sketch/hash families or trained clustering — no

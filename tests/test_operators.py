@@ -1122,3 +1122,26 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
              for r in winnow_shared_pairs(d, k=8, window=4,
                                           min_shared=2).collect()}
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 2
+
+
+def test_winnow_rows_equals_array_form(spark):
+    """The row-form scale path must select EXACTLY the array form's
+    fingerprints, including sub-k texts, exactly-one-window texts, and
+    the partial-window (< w grams) document."""
+    from data_services_spark.operators import (winnow_fingerprint_rows,
+                                               winnow_fingerprints)
+
+    texts = ["the quick brown fox jumps over the lazy dog again",
+             "tiny", "exactly8!", "", "aa" * 40,
+             "short but more than one gram"]
+    d = spark.createDataFrame(list(enumerate(texts)),
+                              "doc_id long, text string")
+    for k, w in ((8, 4), (5, 3), (24, 8)):
+        import pyspark.sql.functions as F
+
+        want = {(r.doc_id, f) for r in
+                winnow_fingerprints(d, k=k, window=w).collect()
+                for f in r.fps}
+        got = {(r.doc_id, r.fp) for r in
+               winnow_fingerprint_rows(d, k=k, window=w).collect()}
+        assert got == want, (k, w)

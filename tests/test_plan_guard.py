@@ -158,6 +158,10 @@ EXPECTED = {
     "winnow_pairs": dict(scans=4, pushed_min=2,
                          joins={"BroadcastHashJoin"},
                          exchanges_max=2, single_max=0, py=0),
+    # row-form winnowing: gram explode + frame-spec window min — one
+    # doc_id shuffle, everything codegen'd, no arrays, no Python.
+    "winnow_rows": dict(scans=1, pushed_min=0, joins=set(),
+                        exchanges_max=1, single_max=0, py=0),
 }
 
 
