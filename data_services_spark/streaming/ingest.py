@@ -39,6 +39,7 @@ _BUCKET = "__bucket"
 _MANIFESTS = "_manifests"
 _LEASE = "_WRITER_LEASE"
 _PINS = "_pins"
+_EXPORTS = "_exports"
 
 
 def acquire_writer_lease(state_dir: str, ttl_seconds: float = 3600,
@@ -705,6 +706,59 @@ def bucket_file_stats(state_dir: str) -> dict[str, tuple[int, int]]:
                     size += e.stat().st_size
         out[b] = (n, size)
     return out
+
+
+def export_snapshot_manifest(state_dir: str,
+                             generation: int | None = None,
+                             out_path: str | None = None) -> dict:
+    """Write an external-engine file manifest for a committed snapshot:
+    one absolute parquet data-file path per line, atomically swapped
+    into ``_exports/<gen>.files.txt`` (or ``out_path``).
+
+    This is the interop bridge a table format provides with generated
+    symlink manifests (Delta's ``symlink_format_manifest`` for
+    Presto/Trino/Athena): engines that can't walk the generational
+    manifest chain read a CONSISTENT snapshot by globbing nothing and
+    trusting the exported listing — every file belongs to exactly the
+    requested generation, never a mix of generations mid-commit.
+    Consumers read the physical state rows: merge bookkeeping columns
+    (``*__rank``, ``n_merged``) are present, and the bucket id is
+    directory-encoded only, exactly like any parquet-with-manifest
+    layout; drop or use them as needed.
+
+    Retention: an export is a file listing, NOT a pin — pair it with
+    :func:`pin_snapshot` (same generation) to keep the listed files
+    alive past ``vacuum_state``'s keep_last window. A vacuumed
+    generation raises FileNotFoundError here rather than exporting a
+    dangling listing.
+    """
+    if generation is None:
+        m = _read_manifest(state_dir)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed generation in {state_dir} to export")
+        generation = m["gen"]
+    else:
+        m = _pinned_manifest(state_dir, generation)
+    files: list[str] = []
+    for p in _bucket_paths(state_dir, m):
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"generation {generation} references vacuumed data "
+                f"({p}); pin before exporting or raise keep_last")
+        files.extend(sorted(
+            os.path.join(os.path.abspath(p), e.name)
+            for e in os.scandir(p)
+            if e.is_file() and e.name.endswith(".parquet")))
+    out = out_path or os.path.join(state_dir, _EXPORTS,
+                                   f"{generation}.files.txt")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(files) + ("\n" if files else ""))
+    os.replace(tmp, out)
+    return {"generation": generation, "n_files": len(files),
+            "path": out}
 
 
 def compact_state(spark: SparkSession, state_dir: str,

@@ -243,3 +243,51 @@ def test_compact_preserves_schema_evolution_nulls(spark, tmp_path):
     want = {(f"A:{j}", f"a{j}", None) for j in range(6)} | {("B:1", "b1",
                                                              "E")}
     assert got == want
+
+
+def test_export_snapshot_manifest_duckdb_roundtrip(spark, tmp_path):
+    """The exported file listing is the external-engine interop bridge
+    (symlink-manifest analog): DuckDB reading exactly the listed files
+    sees the same visible records as read_merged_state; with a pin the
+    listing survives vacuum, and exporting a vacuumed generation fails
+    loudly instead of emitting a dangling listing."""
+    import duckdb
+
+    from data_services_spark.streaming.ingest import (
+        export_snapshot_manifest, pin_snapshot, release_snapshot_pin,
+    )
+
+    state = tmp_path / "state"
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:1", "one", ["c1"], 1), ("X:2", "two", [], 1)]),
+        str(state), batch_id=0)
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:1", "one-upd", ["c2"], 0), ("X:3", "three", [], 1)]),
+        str(state), batch_id=1)
+
+    pre_gen = json.load(open(state / "_CURRENT"))["gen"]
+    pin = pin_snapshot(str(state), generation=pre_gen)
+    exp = export_snapshot_manifest(str(state))
+    assert exp["generation"] == pre_gen and exp["n_files"] > 0
+
+    files = [ln for ln in open(exp["path"]).read().splitlines() if ln]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT id, name, category FROM read_parquet(?) ORDER BY id",
+        [files]).fetchall()
+    want = sorted((r.id, r.name, r.category) for r in
+                  read_merged_state(spark, str(state))
+                  .select("id", "name", "category").collect())
+    assert [(i, n, list(c)) for i, n, c in want] == \
+        [(i, n, list(c)) for i, n, c in got]
+
+    # a later generation + vacuum: the pinned export stays readable
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:4", "four", [], 1)]), str(state), batch_id=2)
+    vacuum_state(str(state), keep_last=1)
+    for f in files:
+        assert os.path.exists(f), "pinned export lost a data file"
+    release_snapshot_pin(str(state), pin["pin_id"])
+    vacuum_state(str(state), keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        export_snapshot_manifest(str(state), generation=pre_gen)
