@@ -365,41 +365,51 @@ def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
     """:func:`winnow_fingerprints` in row form — (id, fp) rows, exactly
     ``explode(fps)`` of the array form (parity-tested).
 
-    This is the long-document scale path: the array form materializes
-    one hash per character per row (a 10 MB document = an 80 MB array
-    in a single row — memory-hostile and stuck in interpreted lambda
-    evaluation), where this form explodes gram positions to rows, hashes
-    each gram inside WholeStageCodegen, and takes the window minimum
-    with a frame-spec window aggregate. Costs one shuffle on the doc id
-    (the array form is zero-shuffle) — the right trade exactly when
-    documents are large; for short-document corpora prefer the array
-    form. Selection rule matches: window j covers gram hashes
-    [j, j+w-1]; only full windows select (j <= n_grams - w + 1), except
-    a document with fewer than w grams selects its global minimum."""
+    This is the long-document scale path, and it is LINEAR in document
+    length where the array form is quadratic: `substr(s, i, k)` scans
+    UTF8 bytes to position i (character counting), so hashing every
+    gram via substr costs O(n²) per document — measured minutes at 30k
+    chars/doc. Here the text is exploded to characters ONCE, each gram
+    is assembled from its k-row window frame (`collect_list` over ROWS
+    BETWEEN CURRENT AND k-1 FOLLOWING — O(k) per row), and the
+    winnowing minimum is a second frame-spec window over the gram
+    hashes. One shuffle on the doc id, two stacked Window passes, all
+    codegen'd, no per-row megabyte arrays (the array form additionally
+    holds one hash per character per row — 80 MB for a 10 MB document).
+    A single document's characters colocate in one task — per-doc work
+    is linear; corpora with many docs per partition distribute.
+
+    For short-document corpora the zero-shuffle array form wins (no
+    shuffle, no char explosion); measured crossover is ~10k chars/doc —
+    at 30k chars/doc the rows form is 3.7x faster and the gap grows
+    quadratically (SCALE.md "Winnowing forms"). Selection rule matches
+    the array form exactly: window j
+    covers gram hashes [j, j+w-1]; only full windows select (j <=
+    n_grams - w + 1), except a document with fewer than w grams (or
+    shorter than k) selects its global minimum."""
     from pyspark.sql import Window as W
 
-    s = F.col("__s")
-    n_grams = F.greatest(F.length(s) - (k - 1), F.lit(1))
-    staged = (docs
-              .select(F.col(id_col), _norm_text(text_col).alias("__s"))
-              .select(id_col, "__s", n_grams.alias("__n")))
-    grams = (staged
-             .select(id_col, "__s", "__n",
-                     F.explode(F.sequence(F.lit(1), F.col("__n")))
-                     .alias("__i"))
-             .select(id_col, "__n", "__i",
-                     _slot_hash(
-                         hash_family,
-                         F.when(F.col("__n") == 1, F.col("__s"))
-                         .otherwise(F.col("__s").substr(F.col("__i"),
-                                                        F.lit(k))),
-                         "win").alias("__gh")))
-    win = (W.partitionBy(id_col).orderBy("__i")
-           .rowsBetween(W.currentRow, window - 1))
+    staged = docs.select(F.col(id_col), _norm_text(text_col).alias("__s"))
+    chars = staged.select(
+        F.col(id_col), F.length("__s").alias("__n"),
+        F.posexplode(F.split("__s", "")).alias("__p0", "__ch"))
+    gram_frame = (W.partitionBy(id_col).orderBy("__p0")
+                  .rowsBetween(W.currentRow, k - 1))
+    n_grams = F.greatest(F.col("__n") - (k - 1), F.lit(1))
+    grams = (chars
+             .withColumn("__gram",
+                         F.array_join(
+                             F.collect_list("__ch").over(gram_frame), ""))
+             .filter(F.col("__p0") + 1 <= n_grams)
+             .select(id_col, "__n", (F.col("__p0") + 1).alias("__i"),
+                     _slot_hash(hash_family, F.col("__gram"), "win")
+                     .alias("__gh")))
+    min_frame = (W.partitionBy(id_col).orderBy("__i")
+                 .rowsBetween(W.currentRow, window - 1))
     sel = (grams
-           .withColumn("__m", F.min("__gh").over(win))
+           .withColumn("__m", F.min("__gh").over(min_frame))
            .filter(F.col("__i") <=
-                   F.greatest(F.col("__n") - (window - 1), F.lit(1))))
+                   F.greatest(n_grams - (window - 1), F.lit(1))))
     return (sel.select(F.col(id_col), F.col("__m").alias("fp"))
             .distinct())
 
