@@ -304,3 +304,49 @@ def test_incremental_merge_matches_one_shot(spark, rows, cut):
         got_df = merge_agg_state(
             base_state, spark.createDataFrame(delta, schema), ["k"], specs)
     assert sorted(map(tuple, got_df.collect()), key=repr) == want
+
+
+def _winnow_py(text: str, k: int, w: int) -> list[int]:
+    import hashlib
+
+    s = text.strip().lower()
+
+    def h(g: str) -> int:
+        return int(hashlib.md5(f"win:{g}".encode()).hexdigest()[:15], 16)
+
+    hs = ([h(s)] if len(s) - (k - 1) <= 0
+          else [h(s[i:i + k]) for i in range(len(s) - k + 1)])
+    sel = ([min(hs)] if len(hs) - (w - 1) <= 0
+           else [min(hs[j:j + w]) for j in range(len(hs) - w + 1)])
+    return sorted(set(sel))
+
+
+# printable-ascii alphabet: Python str.lower()/strip() agree with
+# Spark's lower()/trim() here (full-unicode casing tables differ for a
+# handful of codepoints — e.g. dotted İ — which is a documented
+# reference-vs-engine divergence, not a winnowing property).
+_texts = st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                                 max_codepoint=126),
+                          max_size=120),
+                  min_size=1, max_size=8)
+
+
+@settings(**_SETTINGS)
+@given(texts=_texts, k=st.integers(2, 12), w=st.integers(2, 6))
+def test_winnow_forms_match_python_reference(spark, texts, k, w):
+    """Array form == row form == plain-Python reference on random
+    printable texts and random (k, w) — the cross-shape invariant that
+    keeps the zero-shuffle and the long-document formulations honest."""
+    from data_services_spark.operators import (winnow_fingerprint_rows,
+                                               winnow_fingerprints)
+
+    d = spark.createDataFrame(list(enumerate(texts)),
+                              "doc_id long, text string")
+    want = {i: _winnow_py(t, k, w) for i, t in enumerate(texts)}
+    arr = {r.doc_id: list(r.fps)
+           for r in winnow_fingerprints(d, k=k, window=w).collect()}
+    assert arr == want
+    rows = {}
+    for r in winnow_fingerprint_rows(d, k=k, window=w).collect():
+        rows.setdefault(r.doc_id, []).append(r.fp)
+    assert {i: sorted(v) for i, v in rows.items()} == want
