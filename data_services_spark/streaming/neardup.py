@@ -87,6 +87,12 @@ def dedup_batch_against_state(spark: SparkSession, batch: DataFrame,
     """The foreachBatch body (callable directly for batch backfills):
     decide kept/duplicate for every document in `batch`, update the
     band state with the kept ones, write the decisions parquet."""
+    # NULL text would silently VANISH from the banding (the shingle
+    # explode drops null arrays), leaving those docs with no decision
+    # row at all; hash them as empty text instead — all-empty docs
+    # dedup among themselves, and every input doc gets a decision.
+    batch = batch.withColumn(text_col,
+                             F.coalesce(F.col(text_col), F.lit("")))
     bands_df = (band_hashes(batch, text_col, id_col, num_hashes, bands,
                             shingle_n, hash_family)
                 .select(F.col("id").alias("doc_id"), "band", "bh"))

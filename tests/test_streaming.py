@@ -1022,3 +1022,26 @@ def test_stream_dedup_near_replay_idempotent(spark, tmp_path):
                      read_merged_state(spark, state_dir)
                      .select("doc_id").distinct().collect()}
     assert kept_in_state == {1, 2}
+
+
+def test_stream_dedup_near_null_text_gets_decision(spark, tmp_path):
+    """NULL-text docs must not vanish without a decision: they hash as
+    empty text, dedup among themselves, and the doc-id accounting stays
+    complete."""
+    from data_services_spark.streaming.neardup import (
+        dedup_batch_against_state, read_decisions,
+    )
+
+    DOCS = "doc_id long, text string"
+    state_dir = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, None), (4, "")],
+        DOCS)
+    dedup_batch_against_state(spark, b0, state_dir, 0)
+    dec = {r.doc_id: (r.status, r.duplicate_of) for r in
+           read_decisions(spark, state_dir).collect()}
+    assert set(dec) == {1, 2, 3, 4}, "every doc needs a decision row"
+    assert dec[1] == ("kept", None)
+    assert dec[2] == ("kept", None)  # first empty-text arrival wins
+    assert dec[3] == ("dup_in_batch", 2)
+    assert dec[4] == ("dup_in_batch", 2)
