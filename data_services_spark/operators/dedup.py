@@ -351,8 +351,14 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     sel = F.when(n_win <= 0, F.array(F.array_min(h))).otherwise(
         F.transform(F.sequence(F.lit(1), n_win),
                     lambda j: F.array_min(F.slice(h, j, window))))
+    # NULL text fingerprints as empty text (same contract as the
+    # streaming dedup): without the coalesce the array form emits a
+    # null fps row while the row form drops the document entirely
+    # (posexplode of a null char array) — a silent parity divergence.
     return (docs
-            .select(F.col(id_col), _norm_text(text_col).alias("__s"))
+            .select(F.col(id_col),
+                    _norm_text(F.coalesce(F.col(text_col), F.lit("")))
+                    .alias("__s"))
             .select(id_col, grams.alias("__h"))
             .select(F.col(id_col),
                     F.array_sort(F.array_distinct(sel)).alias("fps")))
@@ -389,7 +395,9 @@ def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
     shorter than k) selects its global minimum."""
     from pyspark.sql import Window as W
 
-    staged = docs.select(F.col(id_col), _norm_text(text_col).alias("__s"))
+    staged = docs.select(
+        F.col(id_col),
+        _norm_text(F.coalesce(F.col(text_col), F.lit(""))).alias("__s"))
     chars = staged.select(
         F.col(id_col), F.length("__s").alias("__n"),
         F.posexplode(F.split("__s", "")).alias("__p0", "__ch"))

@@ -1496,7 +1496,7 @@ def _sql_md5h(seed, expr: str) -> str:
 _WIN_K, _WIN_W, _WIN_MAXDF = 24, 8, 256
 _WINNOW_FPS_SQL = f"""
 WITH n AS (
-    SELECT doc_id, lower(trim(text)) AS s FROM documents
+    SELECT doc_id, lower(trim(coalesce(text, ''))) AS s FROM documents
 ), g AS (
     SELECT doc_id,
            CASE WHEN length(s) - {_WIN_K - 1} <= 0

@@ -1133,7 +1133,7 @@ def test_winnow_rows_equals_array_form(spark):
 
     texts = ["the quick brown fox jumps over the lazy dog again",
              "tiny", "exactly8!", "", "aa" * 40,
-             "short but more than one gram"]
+             "short but more than one gram", None]  # null == empty text
     d = spark.createDataFrame(list(enumerate(texts)),
                               "doc_id long, text string")
     for k, w in ((8, 4), (5, 3), (24, 8)):
