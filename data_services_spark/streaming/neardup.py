@@ -117,12 +117,22 @@ def _decide_and_commit(spark: SparkSession, bands_df: DataFrame,
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"))
              .distinct())
-    comp = connected_components(pairs, src="id_a", dst="id_b")
     docs = bands_df.select("doc_id").distinct()
-    clustered = (docs.join(comp, docs.doc_id == comp.node, "left")
-                 .select("doc_id",
-                         F.coalesce("component", F.col("doc_id"))
-                         .alias("cluster_id")))
+    # Most production batches have NO in-batch candidate pair (an
+    # in-batch dup needs two near-identical docs in the SAME
+    # micro-batch); probing one row costs one short-circuit job where
+    # the CC iteration costs ~6-8 (eager checkpoints per round) —
+    # measured fixed floors dominate per-batch cost at micro-batch
+    # sizes (SCALE.md), so the probe pays for itself immediately.
+    if pairs.limit(1).count() == 0:
+        clustered = docs.select(
+            "doc_id", F.col("doc_id").alias("cluster_id"))
+    else:
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        clustered = (docs.join(comp, docs.doc_id == comp.node, "left")
+                     .select("doc_id",
+                             F.coalesce("component", F.col("doc_id"))
+                             .alias("cluster_id")))
     in_batch_dup = clustered.filter(F.col("doc_id") != F.col("cluster_id"))
     survivors = clustered.filter(F.col("doc_id") == F.col("cluster_id")) \
         .select("doc_id")
