@@ -460,7 +460,8 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
                        rank_col: str = "source_rank",
                        num_buckets: int = 16,
                        key_cols=("id",),
-                       lease_ttl_seconds: float = 3600) -> None:
+                       lease_ttl_seconds: float = 3600,
+                       delete_flag: str | None = None) -> None:
     """foreachBatch body: merge `batch` into the committed state and
     commit a new generation, rewriting ONLY the key-hash buckets the
     batch touches. Idempotent per batch_id (re-running a failed batch
@@ -471,6 +472,17 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     `key_cols` is the merge key — ("id",) for nodes, EDGE_KEY's four
     columns for edges.
 
+    ``delete_flag`` names a boolean column carrying KEY-LEVEL DELETES
+    (the table-format DELETE/MERGE "WHEN MATCHED THEN DELETE" half): a
+    row with the flag true removes its key from the new generation —
+    the bucket rewrite simply materializes without it, so no tombstone
+    rows exist and readers never post-filter. Semantics: the delete
+    erases the key's merge history (a later re-add starts fresh, as if
+    the key had never existed); in a batch carrying both a delete and
+    upserts for one key, the delete wins; deleting an absent key is a
+    no-op. Time travel still shows the key before the delete
+    generation, and `state_changes` reports it as 'removed'.
+
     The whole merge+commit runs under the state dir's writer lease
     (:func:`acquire_writer_lease`): a second concurrent writer raises
     immediately instead of racing the manifest swap."""
@@ -478,7 +490,8 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     try:
         _merge_upsert_locked(spark, batch, state_dir, batch_id,
                              scalar_props, list_props, rank_col,
-                             num_buckets, key_cols, lease_token=token)
+                             num_buckets, key_cols, lease_token=token,
+                             delete_flag=delete_flag)
     finally:
         release_writer_lease(state_dir, token)
 
@@ -486,7 +499,8 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
 def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
                          state_dir: str, batch_id: int, scalar_props,
                          list_props, rank_col, num_buckets,
-                         key_cols, lease_token: str | None = None) -> None:
+                         key_cols, lease_token: str | None = None,
+                         delete_flag: str | None = None) -> None:
     # foreachBatch is at-least-once: a crash between the _CURRENT swap and
     # the streaming checkpoint commit re-runs this batch_id on restart.
     # Without this guard the retry would read gen=<batch_id> and overwrite
@@ -519,13 +533,23 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
     # the retry overwrites its own orphaned gen directory exactly as
     # before).
     gen = batch_id if committed is None else max(batch_id, committed + 1)
+    dels = None
+    if delete_flag is not None and delete_flag in batch.columns:
+        flag = F.coalesce(F.col(delete_flag), F.lit(False))
+        dels = (batch.filter(flag)
+                .select(*key_cols).distinct()
+                .withColumn(_BUCKET, _bucket_col(num_buckets, key_cols)))
+        batch = batch.filter(~flag).drop(delete_flag)
     incoming = _to_stateful(batch, scalar_props, list_props, rank_col,
                             key_cols) \
         .withColumn(_BUCKET, _bucket_col(num_buckets, key_cols))
     # Touched-bucket discovery is a metadata-scale job: at most
-    # num_buckets ints reach the driver regardless of batch size.
-    touched = sorted(r[0] for r in
-                     incoming.select(_BUCKET).distinct().collect())
+    # num_buckets ints reach the driver regardless of batch size. A
+    # delete touches its key's bucket even with no upsert beside it —
+    # that bucket must rewrite without the key.
+    touch_src = incoming.select(_BUCKET) if dels is None \
+        else incoming.select(_BUCKET).unionByName(dels.select(_BUCKET))
+    touched = sorted(r[0] for r in touch_src.distinct().collect())
     old_buckets = {} if manifest is None or manifest["buckets"] is None \
         else dict(manifest["buckets"])
     if manifest is not None and manifest["buckets"] is None:
@@ -552,11 +576,24 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
         merged = _merge_stateful(incoming, scalar_props, list_props,
                                  extra_group_cols=(_BUCKET,),
                                  key_cols=key_cols)
+        if dels is not None:
+            # deletes win over same-batch upserts: the key is excluded
+            # from the rewrite AFTER merging, so the new generation
+            # simply doesn't contain it (no tombstones to post-filter).
+            merged = merged.join(dels.select(*key_cols),
+                                 list(key_cols), "left_anti")
         gen_dir = os.path.join(state_dir, f"gen={gen}")
         merged.write.mode("overwrite").partitionBy(_BUCKET).parquet(gen_dir)
         written = [d.split("=", 1)[1] for d in os.listdir(gen_dir)
                    if d.startswith(f"{_BUCKET}=")]
         new_buckets = {**old_buckets, **{b: gen for b in written}}
+        if touched:
+            # a touched bucket with NO output partition (its only keys
+            # were deleted this batch) must leave the manifest, or the
+            # next read would resurrect the old generation's copy
+            for b in touched:
+                if str(b) not in set(written):
+                    new_buckets.pop(str(b), None)
     else:  # empty batch: nothing rewrites, just advance the generation
         new_buckets = old_buckets
     manifest_doc = {"gen": gen, "batch_watermark": batch_id,
@@ -877,15 +914,20 @@ def stream_merge_nodes(node_stream: DataFrame, state_dir: str,
                        scalar_props=("name",),
                        list_props=("category",),
                        compact_every: int | None = None,
-                       compact_kwargs: dict | None = None):
+                       compact_kwargs: dict | None = None,
+                       delete_flag: str | None = None):
     """Attach the incremental merge sink to a streaming node DataFrame;
     returns the StreamingQuery. ``compact_every=N`` folds a
     :func:`compact_state` maintenance pass into every Nth batch
-    (``compact_kwargs`` forwards policy knobs like target_file_bytes)."""
+    (``compact_kwargs`` forwards policy knobs like target_file_bytes);
+    ``delete_flag`` names a boolean column carrying key-level deletes
+    (see :func:`merge_upsert_batch`) — a CDC feed streams retractions
+    through the same sink as upserts."""
     return _stream_merge(node_stream, state_dir, checkpoint_dir,
                          scalar_props, list_props, key_cols=("id",),
                          compact_every=compact_every,
-                         compact_kwargs=compact_kwargs)
+                         compact_kwargs=compact_kwargs,
+                         delete_flag=delete_flag)
 
 
 def stream_merge_edges(edge_stream: DataFrame, state_dir: str,
@@ -894,7 +936,8 @@ def stream_merge_edges(edge_stream: DataFrame, state_dir: str,
                        list_props=("publications",
                                    "aggregator_knowledge_sources"),
                        compact_every: int | None = None,
-                       compact_kwargs: dict | None = None):
+                       compact_kwargs: dict | None = None,
+                       delete_flag: str | None = None):
     """A2's streaming twin: incremental edge merge on the four-column KGX
     edge key (subject, predicate, object, primary_knowledge_source) —
     same bucketed generational state, buckets hash the composite key."""
@@ -902,19 +945,22 @@ def stream_merge_edges(edge_stream: DataFrame, state_dir: str,
     return _stream_merge(edge_stream, state_dir, checkpoint_dir,
                          scalar_props, list_props, key_cols=EDGE_KEY,
                          compact_every=compact_every,
-                         compact_kwargs=compact_kwargs)
+                         compact_kwargs=compact_kwargs,
+                         delete_flag=delete_flag)
 
 
 def _stream_merge(stream: DataFrame, state_dir: str, checkpoint_dir: str,
                   scalar_props, list_props, key_cols,
                   compact_every: int | None = None,
-                  compact_kwargs: dict | None = None):
+                  compact_kwargs: dict | None = None,
+                  delete_flag: str | None = None):
     os.makedirs(state_dir, exist_ok=True)
     spark = stream.sparkSession
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         merge_upsert_batch(spark, batch, state_dir, batch_id,
-                           scalar_props, list_props, key_cols=key_cols)
+                           scalar_props, list_props, key_cols=key_cols,
+                           delete_flag=delete_flag)
         # Inline maintenance cadence: compaction is its own lease-guarded
         # commit AFTER the merge's, and never consumes a batch id, so a
         # crash between the two merely defers compaction to the next

@@ -291,3 +291,77 @@ def test_export_snapshot_manifest_duckdb_roundtrip(spark, tmp_path):
     vacuum_state(str(state), keep_last=1)
     with pytest.raises(FileNotFoundError):
         export_snapshot_manifest(str(state), generation=pre_gen)
+
+
+def test_delete_flag_removes_keys(spark, tmp_path):
+    """Key-level deletes: the flagged key leaves the state (no
+    tombstone rows), a same-batch delete beats a same-batch upsert,
+    deleting an absent key is a no-op, time travel still sees the
+    pre-delete record, CDF reports 'removed', and a re-add after delete
+    starts merge history fresh."""
+    from data_services_spark.streaming.ingest import state_changes
+
+    DEL = "id string, name string, category array<string>, " \
+          "source_rank int, is_deleted boolean"
+    state = tmp_path / "state"
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:1", "one", ["c1"], 1), ("X:2", "two", [], 1),
+                ("X:3", "three", [], 1)]), str(state), batch_id=0)
+    pre_gen = json.load(open(state / "_CURRENT"))["gen"]
+
+    # delete X:1; delete+upsert X:2 in one batch (delete wins);
+    # delete absent X:9 (no-op); plain upsert of X:3
+    rows = [("X:1", None, None, 1, True),
+            ("X:2", "two-upd", ["c9"], 0, False),
+            ("X:2", None, None, 1, True),
+            ("X:9", None, None, 1, True),
+            ("X:3", "three-upd", [], 0, False)]
+    merge_upsert_batch(spark, spark.createDataFrame(rows, DEL),
+                       str(state), batch_id=1, delete_flag="is_deleted")
+
+    got = {r.id: (r.name, r.n_merged)
+           for r in read_merged_state(spark, str(state)).collect()}
+    assert set(got) == {"X:3"}, got
+    assert got["X:3"] == ("three-upd", 2)
+
+    # time travel: the pre-delete snapshot still has all three
+    old = {r.id for r in read_merged_state(
+        spark, str(state), generation=pre_gen).collect()}
+    assert old == {"X:1", "X:2", "X:3"}
+    cur_gen = json.load(open(state / "_CURRENT"))["gen"]
+    changes = {r.id: r.change for r in state_changes(
+        spark, str(state), pre_gen, cur_gen).collect()}
+    assert changes == {"X:1": "removed", "X:2": "removed",
+                       "X:3": "changed"}
+
+    # re-add X:1: merge history starts fresh (n_merged back to 1)
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:1", "one-again", [], 2)]), str(state), batch_id=2)
+    got = {r.id: (r.name, r.n_merged)
+           for r in read_merged_state(spark, str(state)).collect()}
+    assert got["X:1"] == ("one-again", 1) and set(got) == {"X:1", "X:3"}
+
+
+def test_delete_only_bucket_leaves_manifest(spark, tmp_path):
+    """A bucket whose ONLY key is deleted must drop out of the manifest
+    — otherwise the next read resurrects the old generation's copy."""
+    DEL = "id string, name string, category array<string>, " \
+          "source_rank int, is_deleted boolean"
+    state = tmp_path / "state"
+    # num_buckets=1: one bucket holds everything; delete ALL keys
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:1", "one", [], 1)]), str(state), batch_id=0,
+        num_buckets=1)
+    merge_upsert_batch(
+        spark, spark.createDataFrame([("X:1", None, None, 1, True)], DEL),
+        str(state), batch_id=1, delete_flag="is_deleted", num_buckets=1)
+    m = json.load(open(state / "_CURRENT"))
+    assert m["buckets"] == {}, m
+    with pytest.raises(FileNotFoundError):
+        read_merged_state(spark, str(state))  # empty == no visible rows
+    # and the state keeps working: a later upsert revives the bucket
+    merge_upsert_batch(spark, _batch(
+        spark, [("X:2", "two", [], 1)]), str(state), batch_id=2,
+        num_buckets=1)
+    got = {r.id for r in read_merged_state(spark, str(state)).collect()}
+    assert got == {"X:2"}
