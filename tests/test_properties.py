@@ -350,3 +350,59 @@ def test_winnow_forms_match_python_reference(spark, texts, k, w):
     for r in winnow_fingerprint_rows(d, k=k, window=w).collect():
         rows.setdefault(r.doc_id, []).append(r.fp)
     assert {i: sorted(v) for i, v in rows.items()} == want
+
+
+@settings(**_SETTINGS)
+@given(batches=st.lists(
+    st.lists(st.tuples(st.integers(0, 4),        # key
+                       st.booleans(),            # is_delete
+                       st.one_of(st.none(),      # name (None = no claim)
+                                 st.text(alphabet="abc", max_size=3))),
+            min_size=0, max_size=8),
+    min_size=1, max_size=5))
+def test_merge_state_with_deletes_matches_dict_reference(
+        spark, tmp_path_factory, batches):
+    """Random interleavings of upserts and key-level deletes across
+    micro-batches == a sequential Python dict reference (first-wins by
+    rank, delete erases history, delete beats same-batch upsert).
+    Ranks are globally unique so min_by has no tie nondeterminism."""
+    from data_services_spark.streaming.ingest import (
+        merge_upsert_batch, read_merged_state,
+    )
+
+    state_dir = str(tmp_path_factory.mktemp("delstate"))
+    SCHEMA = ("id string, name string, category array<string>, "
+              "source_rank int, is_deleted boolean")
+    ref: dict[str, list] = {}   # key -> [name, name_rank, n_merged]
+    rank = 0  # row counter; per-row rank is (rank * 37) % 997
+    for bi, batch in enumerate(batches):
+        rows = []
+        for key, is_del, name in batch:
+            # unique but NON-monotonic ranks (37 coprime 997): later
+            # batches can out-rank earlier names, exercising the
+            # per-scalar __rank state, with no min_by tie ambiguity
+            rows.append((f"K:{key}", name, None, (rank * 37) % 997,
+                         is_del))
+            rank += 1
+        # reference: merge upserts first, then deletes win
+        for kid, name, _cat, r, is_del in rows:
+            if is_del:
+                continue
+            e = ref.setdefault(kid, [None, None, 0])
+            e[2] += 1
+            if name is not None and (e[1] is None or r < e[1]):
+                e[0], e[1] = name, r
+        for kid, _n, _c, _r, is_del in rows:
+            if is_del:
+                ref.pop(kid, None)
+        merge_upsert_batch(
+            spark, spark.createDataFrame(rows, SCHEMA), state_dir,
+            batch_id=bi, delete_flag="is_deleted", num_buckets=4)
+
+    try:
+        got = {r.id: (r.name, r.n_merged)
+               for r in read_merged_state(spark, state_dir).collect()}
+    except FileNotFoundError:
+        got = {}  # everything deleted/never written
+    want = {k: (v[0], v[2]) for k, v in ref.items()}
+    assert got == want
