@@ -35,12 +35,23 @@ from pyspark.sql import DataFrame
 def _norm_expr(col: str, bits: int) -> str:
     """Exact integer range-normalization of `col` into [0, 2^bits):
     SQL-string form shared by the Spark expression and (modulo DIV
-    spelling) the DuckDB oracle. max==min degenerates to 0."""
+    spelling and the decimal widening) the DuckDB oracle. max==min
+    degenerates to 0.
+
+    The multiply routes through DECIMAL(38,0): a BIGINT
+    ``(v - min) * top`` overflows int64 once the column range exceeds
+    ~2^47 (snowflake-style or hash-derived ids) — throwing under
+    Spark 4's default ANSI mode, silently wrapping into wrong zkeys
+    with ANSI off (round-6 advisor). decimal128 holds the full
+    int64-range product exactly ((2^64)·65535 ≈ 10^24 « 10^38), and
+    integral DIV of decimals is exact and returns BIGINT, so the
+    result is bit-identical to the int64 formula wherever that one was
+    valid, and correct (not wrapped) everywhere else."""
     top = (1 << bits) - 1
     mn, mx = f"__mn_{col}", f"__mx_{col}"
     return (f"CASE WHEN {mx} = {mn} THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST(({col} - {mn}) * {top} AS BIGINT) "
-            f"DIV CAST({mx} - {mn} AS BIGINT) END")
+            f"ELSE (CAST({col} AS DECIMAL(38,0)) - {mn}) * {top} "
+            f"DIV (CAST({mx} AS DECIMAL(38,0)) - {mn}) END")
 
 
 def _interleave_expr(norms: list[str], bits: int) -> str:

@@ -561,7 +561,8 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
                     n_cells: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42,
-                    sample_fraction: float | None = None) -> dict:
+                    sample_fraction: float | None = None,
+                    incremental: bool = False) -> dict:
     """Materialize an IVF index: the corpus written PARTITIONED BY its
     k-means cell id, plus a tiny ``centroids.json`` artifact (the trained
     coarse quantizer + build params). Build once, probe many — the
@@ -575,9 +576,21 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
     - centroids are a driver-side artifact (n_cells × dim floats), so
       probes never re-fit — re-fitting per query was the round-2 weak
       spot this replaces.
+
+    ``incremental=True`` stores the corpus in the GENERATIONAL bucketed
+    state (streaming/ingest.py) instead of a static partitioned write —
+    key ``(id, cell)``, buckets hashed on the cell id — so new vectors
+    route through :func:`ivf_append` (assign to the nearest EXISTING
+    centroid, rewrite only the touched cells' buckets) instead of the
+    full-corpus rebuild a static layout forces; probes prune via the
+    manifest exactly as the static layout prunes via directories. A
+    drift counter in the artifact recommends re-training
+    (:func:`ivf_maybe_retrain`) once appends outgrow the trained
+    quantizer.
     """
     import json
     import os
+    import uuid
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -589,9 +602,8 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
         vecs.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="__fv",
                    predictionCol="__cell").fit(train)
-    assigned = model.transform(vecs).select(id_col, vec_col, "__cell")
-    corpus_dir = os.path.join(index_dir, "corpus")
-    assigned.write.mode("overwrite").partitionBy("__cell").parquet(corpus_dir)
+    assigned = model.transform(vecs).select(
+        id_col, vec_col, F.col("__cell").cast("int").alias("__cell"))
 
     meta = {
         "n_cells": n_cells, "seed": seed,
@@ -599,13 +611,64 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
         "centroids": [[float(x) for x in c]
                       for c in model.clusterCenters()],
     }
+    if incremental:
+        from data_services_spark.streaming.ingest import merge_upsert_batch
+        # versioned subdir: a retrain builds a sibling state and swaps
+        # the artifact pointer, so probes against the old quantizer
+        # stay consistent until the swap
+        subdir = f"corpus_state-{uuid.uuid4().hex[:8]}"
+        n_indexed = _ivf_state_write(assigned, index_dir, subdir,
+                                     batch_id=0, id_col=id_col,
+                                     vec_col=vec_col, n_cells=n_cells)
+        meta.update({"layout": "generational", "state_subdir": subdir,
+                     "n_indexed": n_indexed, "appended": 0})
+    else:
+        corpus_dir = os.path.join(index_dir, "corpus")
+        assigned.write.mode("overwrite").partitionBy("__cell") \
+            .parquet(corpus_dir)
+        meta["layout"] = "static"
     # artifact lands atomically AFTER the corpus: a crash mid-build
     # leaves no centroids.json, and the builder simply rebuilds
+    _ivf_write_meta(index_dir, meta)
+    return meta
+
+
+def _ivf_write_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, "centroids.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(index_dir, "centroids.json"))
-    return meta
+
+
+def _ivf_state_write(assigned: DataFrame, index_dir: str, subdir: str,
+                     batch_id: int, id_col: str, vec_col: str,
+                     n_cells: int) -> int:
+    """One batch of (id, vec, __cell) rows into the generational corpus
+    state. Key = (id, cell) with buckets hashing the CELL id — so a
+    probe's nprobe cells map to at most nprobe manifest buckets (hash
+    collisions between cells merely widen a read; the post-filter on
+    __cell keeps results exact), and an append rewrites only the
+    buckets its batch's cells hash to. Rank = -batch_id: a re-appended
+    (id, cell) key takes the newest embedding (last-write-wins), while
+    the merge key keeps same-id-different-cell rows distinct — the
+    append-only contract ivf_append documents."""
+    import os
+
+    from data_services_spark.streaming.ingest import merge_upsert_batch
+
+    state_dir = os.path.join(index_dir, subdir)
+    batch = assigned.withColumn("__rank",
+                                F.lit(-batch_id).cast("long"))
+    merge_upsert_batch(
+        assigned.sparkSession, batch, state_dir, batch_id,
+        scalar_props=(vec_col,), list_props=(), rank_col="__rank",
+        key_cols=(id_col, "__cell"), bucket_cols=("__cell",),
+        num_buckets=n_cells)
+    return batch.count()
 
 
 def ivf_load_meta(index_dir: str) -> dict | None:
@@ -620,13 +683,119 @@ def ivf_load_meta(index_dir: str) -> dict | None:
         return json.load(fh)
 
 
+def ivf_append(spark, index_dir: str, new_vectors: DataFrame,
+               drift_threshold: float = 0.25) -> dict:
+    """Append new vectors to a GENERATIONAL IVF index without the full
+    rebuild a static layout forces (previously ~a whole re-train +
+    re-write of the corpus per append): each vector is assigned to the
+    nearest EXISTING centroid by the same JVM-side squared-distance
+    fold the probe ranking uses (argmin |c|^2 - 2c·x; |x|^2 is
+    constant), and the batch merges into the corpus state rewriting
+    ONLY the buckets its cells hash to — O(touched cells' rows), not
+    O(corpus).
+
+    Append-only contract: ids are new. Re-appending an id with the
+    SAME embedding is an idempotent upsert; re-appending with a
+    DIFFERENT embedding that lands in another cell leaves both copies
+    indexed (delete first if you need replacement semantics).
+
+    The trained quantizer drifts as appends accumulate: recall degrades
+    once the appended mass is no longer distributed like the training
+    corpus. Returns ``{"appended_rows", "appended_total",
+    "appended_fraction", "retrain_recommended", "batch_id"}`` —
+    ``retrain_recommended`` fires when appends exceed
+    ``drift_threshold`` of the trained corpus size; act on it with
+    :func:`ivf_maybe_retrain`."""
+    import os
+
+    from data_services_spark.streaming.ingest import _read_manifest
+
+    meta = ivf_load_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no built IVF index in {index_dir}")
+    if meta.get("layout") != "generational":
+        raise ValueError(
+            f"IVF index in {index_dir} has a static layout; build with "
+            "incremental=True to support appends (a static index must "
+            "rebuild)")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    centers = meta["centroids"]
+    # nearest existing centroid, all JVM-side (same fold as ivf_topk)
+    neg_keys = F.array(*[
+        F.lit(float(sum(x * x for x in c)))
+        - F.lit(2.0) * dot_product(F.col(vec_col),
+                                   F.array(*[F.lit(float(x)) for x in c]))
+        for c in centers])
+    assigned = (new_vectors
+                .withColumn("__dk", neg_keys)
+                .withColumn("__cell",
+                            (F.array_position(F.col("__dk"),
+                                              F.array_min("__dk")) - 1)
+                            .cast("int"))
+                .select(id_col, vec_col, "__cell"))
+    state_dir = os.path.join(index_dir, meta["state_subdir"])
+    manifest = _read_manifest(state_dir)
+    batch_id = 1 if manifest is None else \
+        manifest.get("batch_watermark", manifest["gen"]) + 1
+    n = _ivf_state_write(assigned, index_dir, meta["state_subdir"],
+                         batch_id=batch_id, id_col=id_col,
+                         vec_col=vec_col, n_cells=meta["n_cells"])
+    meta["appended"] = meta.get("appended", 0) + n
+    frac = meta["appended"] / max(1, meta.get("n_indexed", 1))
+    _ivf_write_meta(index_dir, meta)
+    return {"appended_rows": n, "appended_total": meta["appended"],
+            "appended_fraction": frac,
+            "retrain_recommended": frac > drift_threshold,
+            "batch_id": batch_id}
+
+
+def ivf_maybe_retrain(spark, index_dir: str,
+                      drift_threshold: float = 0.25,
+                      force: bool = False,
+                      sample_fraction: float | None = None) -> dict:
+    """Re-train a generational IVF index once appends exceed the drift
+    threshold (or ``force=True``): read the full current corpus from
+    the state, fit fresh centroids, build a SIBLING state dir, and
+    atomically swap the artifact pointer — probes against the old
+    quantizer stay consistent until the swap, after which the old state
+    is removed. Returns ``{"retrained": bool, "appended_fraction"}``.
+    """
+    import os
+    import shutil
+
+    from data_services_spark.streaming.ingest import read_merged_state
+
+    meta = ivf_load_meta(index_dir)
+    if meta is None or meta.get("layout") != "generational":
+        raise FileNotFoundError(
+            f"no generational IVF index in {index_dir}")
+    frac = meta.get("appended", 0) / max(1, meta.get("n_indexed", 1))
+    if not force and frac <= drift_threshold:
+        return {"retrained": False, "appended_fraction": frac}
+    old_subdir = meta["state_subdir"]
+    corpus = read_merged_state(
+        spark, os.path.join(index_dir, old_subdir)) \
+        .select(meta["id_col"], meta["vec_col"])
+    ivf_build_index(corpus, index_dir, n_cells=meta["n_cells"],
+                    id_col=meta["id_col"], vec_col=meta["vec_col"],
+                    seed=meta["seed"], sample_fraction=sample_fraction,
+                    incremental=True)
+    shutil.rmtree(os.path.join(index_dir, old_subdir), ignore_errors=True)
+    return {"retrained": True, "appended_fraction": frac}
+
+
 def ivf_probe_topk(spark, index_dir: str, query_vec: Sequence[float],
                    k: int = 10, nprobe: int = 4,
                    exclude_id: int | None = None) -> DataFrame:
     """Probe a built IVF index: rank cells by centroid distance to the
     query DRIVER-SIDE (n_cells × dim floats — metadata scale), then scan
-    only the `nprobe` nearest cells' partition directories. Same output
-    contract as :func:`knn_topk` (rank, id, cosine_sim)."""
+    only the `nprobe` nearest cells' data. For a static index that is
+    partition-directory pruning; for a generational (appendable) index
+    it is manifest-bucket pruning — the probe cells' hash buckets are
+    computed with the writer's own hash (one metadata-scale job) and
+    only those bucket directories are read, with an exact ``__cell``
+    post-filter absorbing hash collisions. Same output contract as
+    :func:`knn_topk` (rank, id, cosine_sim)."""
     import math
     import os
 
@@ -639,7 +808,28 @@ def ivf_probe_topk(spark, index_dir: str, query_vec: Sequence[float],
         key=lambda i: math.dist(meta["centroids"][i], qv))[:nprobe]
 
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    if meta.get("layout") == "generational":
+        from data_services_spark.streaming.ingest import (
+            _bucket_paths, _read_manifest, read_merged_state,
+        )
+        state_dir = os.path.join(index_dir, meta["state_subdir"])
+        nb = meta["n_cells"]
+        buckets = sorted({
+            r.b for r in spark.createDataFrame(
+                [(int(c),) for c in probe_ids], "c int")
+            .select(F.pmod(F.xxhash64("c"), F.lit(nb))
+                    .cast("int").alias("b")).collect()})
+        manifest = _read_manifest(state_dir)
+        if manifest is None:
+            raise FileNotFoundError(
+                f"IVF index in {index_dir} has no committed corpus state")
+        if not _bucket_paths(state_dir, manifest, buckets):
+            # every probed cell is empty: a valid, empty result
+            return spark.createDataFrame(
+                [], f"rank long, {id_col} long, cosine_sim double")
+        corpus = read_merged_state(spark, state_dir, buckets=buckets)
+    else:
+        corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
     cand = corpus.filter(F.col("__cell").isin(probe_ids))
     if exclude_id is not None:
         cand = cand.filter(F.col(id_col) != exclude_id)

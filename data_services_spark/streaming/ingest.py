@@ -178,12 +178,18 @@ def pin_snapshot(state_dir: str, generation: int | None = None,
     The pin is a JSON file under ``_pins/`` (atomic create), carrying a
     TTL (default 1h) so a reader that dies without releasing cannot
     block retention forever — the local-fs analog of a table format's
-    reader-snapshot lease. After writing the pin the referenced
-    manifest and data directories are RE-VERIFIED: a vacuum racing the
-    pin (sweep started before the pin file landed) surfaces here as a
-    clean FileNotFoundError and the half-pin is removed, never a torn
-    read later. Release with :func:`release_snapshot_pin`, or use
-    :func:`pinned_snapshot` for scoped reads.
+    reader-snapshot lease. The pin write and the verification of the
+    referenced manifest + data directories run as ONE ``_lease_mutex``
+    critical section, paired with :func:`vacuum_state` holding the same
+    mutex across its pin scan + delete sweep. Post-write verification
+    alone did NOT close the race (round-6 advisor): a pin written after
+    vacuum's pin scan could still verify against directories vacuum was
+    about to delete — a "successful" pin followed by a torn read. With
+    the mutex, either the pin lands before vacuum's scan (retained) or
+    its verification runs after the sweep (sees the deletion, fails
+    with a clean FileNotFoundError, removes the half-pin). Release with
+    :func:`release_snapshot_pin`, or use :func:`pinned_snapshot` for
+    scoped reads.
     """
     if generation is None:
         m = _read_manifest(state_dir)
@@ -196,27 +202,27 @@ def pin_snapshot(state_dir: str, generation: int | None = None,
     os.makedirs(pins_dir, exist_ok=True)
     path = os.path.join(pins_dir, f"{pin_id}.json")
     tmp = f"{path}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"pin_id": pin_id, "gen": generation,
-                   "owner": owner or pin_id, "pid": os.getpid(),
-                   "created_unix": time.time(),
-                   "expires_unix": time.time() + ttl_seconds}, fh)
-    os.replace(tmp, path)
-    # post-write verification closes the pin/vacuum race window
-    try:
-        manifest = _pinned_manifest(state_dir, generation)
-        missing = [p for p in _bucket_paths(state_dir, manifest)
-                   if not os.path.isdir(p)]
-        if missing:
-            raise FileNotFoundError(
-                f"generation {generation} was vacuumed while pinning "
-                f"(e.g. {missing[0]}); re-pin the current generation")
-    except FileNotFoundError:
+    with _lease_mutex(state_dir):
+        with open(tmp, "w") as fh:
+            json.dump({"pin_id": pin_id, "gen": generation,
+                       "owner": owner or pin_id, "pid": os.getpid(),
+                       "created_unix": time.time(),
+                       "expires_unix": time.time() + ttl_seconds}, fh)
+        os.replace(tmp, path)
         try:
-            os.remove(path)
-        except FileNotFoundError:
-            pass
-        raise
+            manifest = _pinned_manifest(state_dir, generation)
+            missing = [p for p in _bucket_paths(state_dir, manifest)
+                       if not os.path.isdir(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"generation {generation} was vacuumed while pinning "
+                    f"(e.g. {missing[0]}); re-pin the current generation")
+        except (FileNotFoundError, json.JSONDecodeError):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            raise
     return {"pin_id": pin_id, "gen": generation}
 
 
@@ -296,7 +302,8 @@ def _read_state(spark: SparkSession, state_dir: str,
 
 def read_merged_state(spark: SparkSession, state_dir: str,
                       internal: bool = False,
-                      generation: int | None = None) -> DataFrame:
+                      generation: int | None = None,
+                      buckets=None) -> DataFrame:
     """The committed merged-node state (empty-state error is the caller's
     signal that no batch has ever committed). ``internal=True`` keeps the
     per-scalar `*__rank` bookkeeping columns.
@@ -307,12 +314,23 @@ def read_merged_state(spark: SparkSession, state_dir: str,
     OF` uses, and the same retention contract: :func:`vacuum_state`
     keeps the generations referenced by the last ``keep_last``
     manifests, so snapshots inside that window stay byte-readable and
-    older ones raise a clear error instead of a silent partial read."""
+    older ones raise a clear error instead of a silent partial read.
+
+    ``buckets=[...]`` reads ONLY those hash buckets' directories — the
+    manifest-level partition pruning a point/prefix lookup uses when the
+    caller can compute which buckets its keys hash to (the same
+    ``pmod(xxhash64(bucket_cols), num_buckets)`` the writer assigns
+    with; the manifest records both under ``bucket_cols`` /
+    ``num_buckets``). A probe then does O(touched buckets) I/O instead
+    of O(state) — the difference between a usable and an unusable
+    per-micro-batch state probe once the corpus dwarfs any batch."""
     if generation is None:
-        df = _read_state(spark, state_dir)
+        df = _read_state(spark, state_dir, buckets=buckets)
         if df is None:
             raise FileNotFoundError(
-                f"no committed generation in {state_dir}")
+                f"no committed generation in {state_dir}"
+                + ("" if buckets is None else
+                   f" covering buckets {sorted(buckets)}"))
     else:
         hist = os.path.join(state_dir, _MANIFESTS, f"{generation}.json")
         if not os.path.exists(hist):
@@ -322,7 +340,11 @@ def read_merged_state(spark: SparkSession, state_dir: str,
                 f"vacuum_state retention)")
         with open(hist) as fh:
             manifest = json.load(fh)
-        paths = _bucket_paths(state_dir, manifest)
+        paths = _bucket_paths(state_dir, manifest, buckets=buckets)
+        if not paths:
+            raise FileNotFoundError(
+                f"snapshot at generation {generation} holds none of "
+                f"buckets {sorted(buckets)}")
         missing = [p for p in paths if not os.path.isdir(p)]
         if missing:
             raise FileNotFoundError(
@@ -461,7 +483,8 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
                        num_buckets: int = 16,
                        key_cols=("id",),
                        lease_ttl_seconds: float = 3600,
-                       delete_flag: str | None = None) -> None:
+                       delete_flag: str | None = None,
+                       bucket_cols=None) -> None:
     """foreachBatch body: merge `batch` into the committed state and
     commit a new generation, rewriting ONLY the key-hash buckets the
     batch touches. Idempotent per batch_id (re-running a failed batch
@@ -483,6 +506,19 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
     no-op. Time travel still shows the key before the delete
     generation, and `state_changes` reports it as 'removed'.
 
+    ``bucket_cols`` (default: ``key_cols``) picks which key columns the
+    bucket hash covers. A PREFIX of the key (it must be a subset of
+    ``key_cols``, so one key never straddles two buckets) lets readers
+    that know only the prefix — e.g. the streaming near-dup probe,
+    which knows its batch's ``(band, bh)`` pairs but not which corpus
+    doc_ids share them — compute their touched buckets and read ONLY
+    those via :func:`read_merged_state`'s ``buckets=``. The layout
+    choice is recorded in the manifest (``bucket_cols``/``num_buckets``)
+    and enforced on every later batch: silently changing either would
+    strand existing rows in buckets the new hash never probes.
+    ``delete_flag`` with a proper-subset ``bucket_cols`` is fine — a
+    delete row carries the full key, hence its bucket.
+
     The whole merge+commit runs under the state dir's writer lease
     (:func:`acquire_writer_lease`): a second concurrent writer raises
     immediately instead of racing the manifest swap."""
@@ -491,7 +527,8 @@ def merge_upsert_batch(spark: SparkSession, batch: DataFrame,
         _merge_upsert_locked(spark, batch, state_dir, batch_id,
                              scalar_props, list_props, rank_col,
                              num_buckets, key_cols, lease_token=token,
-                             delete_flag=delete_flag)
+                             delete_flag=delete_flag,
+                             bucket_cols=bucket_cols)
     finally:
         release_writer_lease(state_dir, token)
 
@@ -500,14 +537,42 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
                          state_dir: str, batch_id: int, scalar_props,
                          list_props, rank_col, num_buckets,
                          key_cols, lease_token: str | None = None,
-                         delete_flag: str | None = None) -> None:
+                         delete_flag: str | None = None,
+                         bucket_cols=None) -> None:
     # foreachBatch is at-least-once: a crash between the _CURRENT swap and
     # the streaming checkpoint commit re-runs this batch_id on restart.
     # Without this guard the retry would read gen=<batch_id> and overwrite
     # the very directory the lazy plan is reading (Spark refuses -> stream
     # permanently wedged) — and a successful re-merge would double-count.
+    bucket_cols = tuple(bucket_cols) if bucket_cols else tuple(key_cols)
+    if not set(bucket_cols) <= set(key_cols):
+        raise ValueError(
+            f"bucket_cols {bucket_cols} must be a subset of key_cols "
+            f"{tuple(key_cols)}: a bucket hash over non-key columns "
+            "would let one key land in different buckets across batches "
+            "(duplicate rows after the per-bucket merge)")
     manifest = _read_manifest(state_dir)
     committed = None if manifest is None else manifest["gen"]
+    if manifest is not None:
+        # Layout consistency: the manifest records how existing buckets
+        # were assigned; a mismatched later batch would write keys to
+        # buckets no pruned read (or this merge's own touched-bucket
+        # state read) would ever look in. Legacy manifests (pre-field)
+        # were always bucketed by the full key with the caller's
+        # num_buckets — hold new batches to the same rule.
+        recorded = manifest.get("bucket_cols", list(key_cols))
+        if list(recorded) != list(bucket_cols):
+            raise RuntimeError(
+                f"state_dir {state_dir} is bucketed by {recorded}, but "
+                f"this batch asked for bucket_cols={list(bucket_cols)}; "
+                "changing the bucket layout of existing state would "
+                "corrupt pruned reads — rebuild the state or match the "
+                "recorded layout")
+        recorded_nb = manifest.get("num_buckets")
+        if recorded_nb is not None and recorded_nb != num_buckets:
+            raise RuntimeError(
+                f"state_dir {state_dir} was written with "
+                f"num_buckets={recorded_nb}, got {num_buckets}")
     # The replay guards compare against the BATCH WATERMARK (the last
     # merged batch_id), not the commit generation: maintenance commits
     # (compact_state) advance the generation without consuming a batch
@@ -538,11 +603,11 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
         flag = F.coalesce(F.col(delete_flag), F.lit(False))
         dels = (batch.filter(flag)
                 .select(*key_cols).distinct()
-                .withColumn(_BUCKET, _bucket_col(num_buckets, key_cols)))
+                .withColumn(_BUCKET, _bucket_col(num_buckets, bucket_cols)))
         batch = batch.filter(~flag).drop(delete_flag)
     incoming = _to_stateful(batch, scalar_props, list_props, rank_col,
                             key_cols) \
-        .withColumn(_BUCKET, _bucket_col(num_buckets, key_cols))
+        .withColumn(_BUCKET, _bucket_col(num_buckets, bucket_cols))
     # Touched-bucket discovery is a metadata-scale job: at most
     # num_buckets ints reach the driver regardless of batch size. A
     # delete touches its key's bucket even with no upsert beside it —
@@ -557,7 +622,7 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
         # it rewrites fully this batch and is bucketed thereafter.
         state = _read_state(spark, state_dir)
         incoming = state.withColumn(
-            _BUCKET, _bucket_col(num_buckets, key_cols)) \
+            _BUCKET, _bucket_col(num_buckets, bucket_cols)) \
             .unionByName(incoming, allowMissingColumns=True)
         touched = None  # everything rewrites
     elif touched:
@@ -570,7 +635,7 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
             # from any source claims the new prop exactly as a
             # from-scratch merge would (pytest-asserted).
             incoming = state.withColumn(
-                _BUCKET, _bucket_col(num_buckets, key_cols)) \
+                _BUCKET, _bucket_col(num_buckets, bucket_cols)) \
                 .unionByName(incoming, allowMissingColumns=True)
     if touched is None or touched:
         merged = _merge_stateful(incoming, scalar_props, list_props,
@@ -596,8 +661,18 @@ def _merge_upsert_locked(spark: SparkSession, batch: DataFrame,
                     new_buckets.pop(str(b), None)
     else:  # empty batch: nothing rewrites, just advance the generation
         new_buckets = old_buckets
+    # first_batch distinguishes "replaying the state's very first batch
+    # (pre-batch corpus empty by definition)" from "pre-batch snapshot
+    # aged out of retention" for at-least-once consumers. Legacy
+    # manifests lack the field; 0 matches every stream checkpoint's
+    # actual first delivery.
+    first_batch = batch_id if manifest is None \
+        else manifest.get("first_batch", 0)
     manifest_doc = {"gen": gen, "batch_watermark": batch_id,
-                    "buckets": new_buckets}
+                    "first_batch": first_batch,
+                    "buckets": new_buckets,
+                    "bucket_cols": list(bucket_cols),
+                    "num_buckets": num_buckets}
     _commit_manifest(state_dir, manifest_doc, lease_token)
 
 
@@ -611,12 +686,17 @@ def _commit_manifest(state_dir: str, manifest_doc: dict,
     manifest that was ever current is accounted for. A crash between
     archive and swap leaves a never-current archive entry — harmless (it
     only widens the retained set by one manifest until it ages out).
+    Both writes are tmp + ``os.replace`` (a crash mid-write can never
+    leave a torn JSON for vacuum/time-travel to choke on), and both
+    happen AFTER the lease re-check inside the critical section — a
+    TTL-usurper and the losing writer can no longer interleave writes
+    to the same generation's archive file (round-6 advisor).
 
     Commit-time lease re-check (round-5 advisor): the lease has a TTL
     but no renewal heartbeat, so a merge that outruns ttl_seconds lets
-    a second writer LEGITIMATELY take over mid-merge. Verify ownership
-    and swap _CURRENT inside ONE lease-mutex critical section — if the
-    token no longer matches, the commit fails loudly instead of
+    a second writer LEGITIMATELY take over mid-merge. Verify ownership,
+    archive, and swap _CURRENT inside ONE lease-mutex critical section —
+    if the token no longer matches, the commit fails loudly instead of
     silently racing the usurper's manifest swap (the exact corruption
     the lease exists to prevent). The usurper holds the lease and the
     prior committed generation; this writer's uncommitted gen=N
@@ -624,11 +704,7 @@ def _commit_manifest(state_dir: str, manifest_doc: dict,
     gen = manifest_doc["gen"]
     hist = os.path.join(state_dir, _MANIFESTS)
     os.makedirs(hist, exist_ok=True)
-    with open(os.path.join(hist, f"{gen}.json"), "w") as fh:
-        json.dump(manifest_doc, fh)
-    tmp = os.path.join(state_dir, f"{_CURRENT}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest_doc, fh)
+    payload = json.dumps(manifest_doc)
     with _lease_mutex(state_dir):
         if lease_token is not None:
             cur = None
@@ -638,10 +714,6 @@ def _commit_manifest(state_dir: str, manifest_doc: dict,
             except (FileNotFoundError, json.JSONDecodeError):
                 pass
             if cur is None or cur.get("token") != lease_token:
-                try:
-                    os.remove(tmp)
-                except FileNotFoundError:
-                    pass
                 raise RuntimeError(
                     f"writer lease on {state_dir} lost mid-merge (merge "
                     f"outran its TTL and "
@@ -650,6 +722,14 @@ def _commit_manifest(state_dir: str, manifest_doc: dict,
                     f"{gen} over the new writer's state. Re-run "
                     "the batch with a ttl_seconds sized above the "
                     "longest merge.")
+        arch = os.path.join(hist, f"{gen}.json")
+        arch_tmp = f"{arch}.tmp"
+        with open(arch_tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(arch_tmp, arch)
+        tmp = os.path.join(state_dir, f"{_CURRENT}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
         os.replace(tmp, os.path.join(state_dir, _CURRENT))
 
 
@@ -676,9 +756,22 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
     generation: an uncommitted higher generation is either a concurrent
     in-flight writer (deleting under it would corrupt the commit) or a
     crash orphan that the writer's own retry overwrites in place.
+
+    The whole sweep — pin scan, retained-set computation, deletions —
+    runs under the state dir's ``_lease_mutex``, paired with
+    :func:`pin_snapshot` (see its docstring): a pin can never land
+    between the scan and the sweep. Deletion time is bounded by the
+    aged-out generations' directory sizes; commits block on the mutex
+    only for their final manifest swap, so contention is one atomic
+    rename's worth, not a merge's.
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    with _lease_mutex(state_dir):
+        return _vacuum_locked(state_dir, keep_last)
+
+
+def _vacuum_locked(state_dir: str, keep_last: int) -> list[str]:
     current = _read_manifest(state_dir)
     if current is None:
         return []
@@ -689,15 +782,28 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
         for f in os.listdir(hist_dir):
             if f.endswith(".json"):
                 hist_files.append((int(f[:-5]), os.path.join(hist_dir, f)))
-        for _, path in sorted(hist_files, reverse=True)[:keep_last]:
+    # Retain the newest keep_last LOADABLE manifests. A torn archive
+    # (crash mid-write under the pre-round-7 non-atomic archive writer)
+    # is skipped without consuming a retention slot and aged out below —
+    # vacuum and time travel keep working instead of dying on
+    # JSONDecodeError forever (round-6 advisor).
+    retained_paths: set[str] = set()
+    for _, path in sorted(hist_files, reverse=True):
+        if len(retained_paths) >= keep_last:
+            break
+        try:
             with open(path) as fh:
-                manifests.append(json.load(fh))
+                m = json.load(fh)
+        except json.JSONDecodeError:
+            continue
+        retained_paths.add(path)
+        manifests.append(m)
     pinned_gens: set[int] = set()
     for pin in _live_pins(state_dir):
         try:
             manifests.append(_pinned_manifest(state_dir, pin["gen"]))
             pinned_gens.add(pin["gen"])
-        except FileNotFoundError:
+        except (FileNotFoundError, json.JSONDecodeError):
             # pin references history already gone (pinned after the
             # data was vacuumed under an older retention policy) — the
             # reader's own post-pin verification surfaced this to them
@@ -717,10 +823,11 @@ def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
         path = os.path.join(state_dir, d)
         shutil.rmtree(path)
         deleted.append(path)
-    # age out manifest history beyond the retention window — except
-    # manifests a live pin still resolves through
-    for gen, path in sorted(hist_files, reverse=True)[keep_last:]:
-        if gen not in pinned_gens:
+    # age out manifest history beyond the retention window (torn
+    # archives included) — except manifests a live pin still resolves
+    # through
+    for gen, path in hist_files:
+        if path not in retained_paths and gen not in pinned_gens:
             os.remove(path)
     return deleted
 
@@ -900,6 +1007,11 @@ def _compact_locked(spark: SparkSession, state_dir: str,
         "batch_watermark": manifest.get("batch_watermark", manifest["gen"]),
         "buckets": new_buckets,
     }
+    # compaction moves rows between files, never between buckets — the
+    # recorded bucket layout (and stream lineage) carries over verbatim
+    for k in ("bucket_cols", "num_buckets", "first_batch"):
+        if k in manifest:
+            manifest_doc[k] = manifest[k]
     _commit_manifest(state_dir, manifest_doc, lease_token)
     after = bucket_file_stats(state_dir)
     return {"gen": new_gen,

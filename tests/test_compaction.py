@@ -90,17 +90,19 @@ def test_compact_does_not_consume_batch_ids(spark, tmp_path):
     # not a double merge)
     before = _visible(read_merged_state(spark, str(state)))
     rows = [(f"X:{j}", f"n2-{j}", ["c2"], 3) for j in range(32)]
-    merge_upsert_batch(spark, _batch(spark, rows), str(state), batch_id=2)
+    merge_upsert_batch(spark, _batch(spark, rows), str(state), batch_id=2,
+                       num_buckets=4)
     assert _visible(read_merged_state(spark, str(state))) == before
 
     # a genuinely stale batch still fails loudly
     with pytest.raises(RuntimeError, match="out of sync"):
         merge_upsert_batch(spark, _batch(spark, rows), str(state),
-                           batch_id=1)
+                           batch_id=1, num_buckets=4)
 
     # and the next real batch merges to exactly the from-scratch answer
     new = [("X:0", "late-zero", ["z"], 1), ("Y:9", "nine", ["c9"], 1)]
-    merge_upsert_batch(spark, _batch(spark, new), str(state), batch_id=3)
+    merge_upsert_batch(spark, _batch(spark, new), str(state), batch_id=3,
+                       num_buckets=4)
     from data_services_spark.operators.merge import merge_nodes
     all_rows = [(f"X:{j}", f"n{i}-{j}", [f"c{i}"], i + 1)
                 for i in range(3) for j in range(32)] + new
@@ -188,7 +190,8 @@ def test_compact_legacy_manifest_without_watermark(spark, tmp_path):
     m = json.load(open(state / "_CURRENT"))
     assert m["batch_watermark"] == 1 and m["gen"] == res["gen"]
     rows = [("Z:1", "zed", ["c"], 1)]
-    merge_upsert_batch(spark, _batch(spark, rows), str(state), batch_id=2)
+    merge_upsert_batch(spark, _batch(spark, rows), str(state), batch_id=2,
+                       num_buckets=4)
     ids = {r.id for r in read_merged_state(spark, str(state)).collect()}
     assert "Z:1" in ids
 

@@ -107,3 +107,31 @@ def test_zorder_constant_column_degenerates(spark):
     out = zorder_key(df, ["a", "b"], bits=8)
     # constant column contributes zero bits; key is injective in `a`
     assert out.select("zkey").distinct().count() == 100
+
+
+def test_zorder_exact_on_full_int64_range(spark):
+    """Snowflake-scale / hash-derived id ranges (> 2^47) used to
+    overflow the int64 normalization multiply — ANSI runtime error, or
+    silently wrapped zkeys with ANSI off (round-6 advisor). The decimal
+    widening keeps the key exact over the whole int64 domain and
+    bit-identical to the int64 formula where that one was valid."""
+    big = 1 << 62
+    df = spark.createDataFrame(
+        [(-big, 0), (-1, 3), (0, 5), (big, 10)], "a long, b long")
+    got = {r.a: r.zkey for r in zorder_key(df, ["a", "b"], bits=16)
+           .collect()}
+    top = (1 << 16) - 1
+
+    def norm(v, mn, mx):
+        return ((v - mn) * top) // (mx - mn)
+
+    def inter(z1, z2):
+        r = 0
+        for p in range(16):
+            r |= (((z1 >> p) & 1) << (p * 2)) | (((z2 >> p) & 1)
+                                                 << (p * 2 + 1))
+        return r
+
+    rows = {-big: 0, -1: 3, 0: 5, big: 10}
+    for a, b in rows.items():
+        assert got[a] == inter(norm(a, -big, big), norm(b, 0, 10))

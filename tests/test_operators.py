@@ -1145,3 +1145,80 @@ def test_winnow_rows_equals_array_form(spark):
         got = {(r.doc_id, r.fp) for r in
                winnow_fingerprint_rows(d, k=k, window=w).collect()}
         assert got == want, (k, w)
+
+
+def test_ivf_incremental_append_probe_and_retrain(spark, tmp_path):
+    """Generational IVF maintenance (round-6 verdict ask #4): appends
+    assign to the nearest EXISTING centroid and rewrite only touched
+    cell buckets — no 17s full rebuild per append — while (a) the probe
+    sees appended vectors immediately (an appended exact duplicate of
+    the query ranks first), (b) recall after append stays within
+    tolerance of a from-scratch rebuild, and (c) the drift counter
+    triggers a retrain that swaps state dirs atomically."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from data_services_spark.catalog import load_table
+    from data_services_spark.operators import knn_topk
+    from data_services_spark.operators.similarity import (
+        _query_vector, ivf_append, ivf_build_index, ivf_load_meta,
+        ivf_maybe_retrain, ivf_probe_topk,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter("vec_id % 5 != 0 or vec_id = 0")
+    extra = emb.filter("vec_id % 5 = 0 and vec_id <> 0")
+    index_dir = str(tmp_path / "ivf")
+    ivf_build_index(base, index_dir, n_cells=8, seed=42,
+                    incremental=True)
+
+    res = ivf_append(spark, index_dir,
+                     extra.select("vec_id", "embedding"),
+                     drift_threshold=0.1)
+    assert res["appended_rows"] == extra.count()
+    assert res["retrain_recommended"]  # ~25% appended > 10% threshold
+
+    qv = _query_vector(emb, 0, "vec_id", "embedding")
+    got = [r.vec_id for r in
+           ivf_probe_topk(spark, index_dir, qv, k=10, nprobe=4,
+                          exclude_id=0).collect()]
+    want = [r.vec_id for r in knn_topk(emb, query_id=0, k=10).collect()]
+    # rebuild twin at identical params: append must not cost recall
+    # beyond tolerance
+    idx2 = str(tmp_path / "ivf2")
+    ivf_build_index(emb, idx2, n_cells=8, seed=42)
+    got_rebuild = [r.vec_id for r in
+                   ivf_probe_topk(spark, idx2, qv, k=10, nprobe=4,
+                                  exclude_id=0).collect()]
+    inc_recall = len(set(got) & set(want))
+    rebuild_recall = len(set(got_rebuild) & set(want))
+    assert inc_recall >= rebuild_recall - 2, (got, got_rebuild, want)
+    assert inc_recall >= 6
+
+    # appended rows are live: an exact duplicate of the query vector
+    # (appended AFTER the build) must rank first
+    dup = (emb.filter("vec_id = 0")
+           .select(F.lit(990001).cast("long").alias("vec_id"),
+                   "embedding"))
+    ivf_append(spark, index_dir, dup)
+    after = ivf_probe_topk(spark, index_dir, qv, k=3, nprobe=4,
+                           exclude_id=0).collect()
+    assert after[0].vec_id == 990001
+    assert abs(after[0].cosine_sim - 1.0) < 1e-12
+
+    # drift-triggered retrain: fresh centroids, swapped state subdir,
+    # old state removed, probe still correct
+    old_subdir = ivf_load_meta(index_dir)["state_subdir"]
+    rt = ivf_maybe_retrain(spark, index_dir, drift_threshold=0.1)
+    assert rt["retrained"]
+    meta = ivf_load_meta(index_dir)
+    assert meta["state_subdir"] != old_subdir
+    assert meta["appended"] == 0
+    assert not os.path.isdir(os.path.join(index_dir, old_subdir))
+    assert [d for d in os.listdir(index_dir)
+            if d.startswith("corpus_state-")] == [meta["state_subdir"]]
+    final = ivf_probe_topk(spark, index_dir, qv, k=3, nprobe=4,
+                           exclude_id=0).collect()
+    assert final[0].vec_id == 990001
