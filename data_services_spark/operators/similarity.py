@@ -88,6 +88,13 @@ def knn_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     Excludes the query vector itself. Deterministic total order:
     (similarity desc, id asc). Returns (rank, vec_id, cosine_sim).
 
+    **Always pass ``dim=`` when you know the embedding width** (any
+    production corpus does): without it the generic fallback plans a
+    BroadcastNestedLoopJoin whose stage runs fully interpreted —
+    measured ~5x slower per row than the literal-folded codegen path.
+    The fallback exists for ad-hoc exploration where the width is
+    unknown, not for pipelines.
+
     Two physical forms, identical values:
 
     - default: the query vector joins in via a 1-row broadcast (no

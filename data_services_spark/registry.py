@@ -1569,6 +1569,61 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_df=_WIN_MAXDF)
 
 
+@register("winnow_clone_clusters", f"""
+WITH RECURSIVE fps AS ({_WINNOW_FPS_SQL}
+), inv AS (
+    SELECT doc_id AS id, unnest(fps) AS fp FROM fps
+), kept AS (
+    SELECT * FROM inv WHERE fp IN (
+        SELECT fp FROM inv GROUP BY fp HAVING COUNT(*) <= {_WIN_MAXDF})
+), wpairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= 2
+), und AS (
+    SELECT id_a AS a, id_b AS b FROM wpairs
+    UNION ALL
+    SELECT id_b, id_a FROM wpairs
+), reach AS (
+    SELECT a AS src, b AS dst FROM und
+    UNION
+    SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+), labels AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(doc_id) AS BIGINT) AS max_member
+FROM labels GROUP BY cluster_id
+""")
+def winnow_clone_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing pipeline composed end-to-end (round-6 verdict ask):
+    fingerprint (Schleimer'03 minima) -> inverted-index shared-pair
+    proposal with the max-df stop-fingerprint cap -> connected
+    components -> clone-cluster roster (component id = canonical min
+    doc, member count, max member). Every stage is the scale-safe form
+    (HOF projection, bucket joins, O(log n) CC rounds), and the whole
+    composition — including the iterative closure — checks exactly
+    against one recursive-CTE oracle. Singleton documents are excluded
+    (the roster lists CLONE clusters; unlisted docs are their own
+    cluster by definition)."""
+    from data_services_spark.operators.components import dedup_clusters
+    d = load_table(spark, sf_dir, "documents")
+    pairs = winnow_shared_pairs(d, k=_WIN_K, window=_WIN_W,
+                                min_shared=2, max_df=_WIN_MAXDF) \
+        .select("id_a", "id_b")
+    lab = dedup_clusters(d, pairs)
+    return (lab.join(pairs.select(F.col("id_a").alias("doc_id"))
+                     .unionByName(pairs.select(F.col("id_b")
+                                               .alias("doc_id")))
+                     .distinct(), "doc_id", "left_semi")
+            .groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("doc_id").cast("long").alias("max_member")))
+
+
 @register("near_dup_jaccard", """
 WITH toks AS (
     SELECT lang, doc_id,
@@ -4626,90 +4681,86 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order is a correctness-coverage decision. The window ROTATES
 # each round so cumulative driver coverage approaches the full registry:
 # r1-r3 verified the original 50-name core, r4 rotated in 22 tail queries,
-# r5 rotated in the TPC-H shape set + window/sketch/graph/LLM families.
-# Cumulative driver-HASH-verified after r5: 110 of 142 (union of
-# hash_match=true across CORRECTNESS_r01-r05 — the round-5 notes' "~131"
-# counted window membership, not green hashes; corrected per the round-5
-# verdict). ROUND 6 window = the 27 oracle-bearing names never
-# hash-verified (23 never-windowed + the four round-5 reds, whose
-# oracles are now BIGINT-cast — kept in for the green re-check) + 10
-# pinned canonicals + 13 per-family representatives. After a green r6,
-# 137 of the 143 oracle-bearing queries are driver-hash-verified (the
-# six round-6 additions — source_mixture, embedding_quantize,
-# zorder_cluster, winnow_fingerprint, winnow_rows, winnow_pairs — are
-# sweep-verified and queue for the r7 window); the remaining 5
-# (approx_distinct, hll_distinct_merge, ivf_topk,
-# minhash_lsh_pairs, simhash_fingerprint) are rows-only BY DESIGN
-# (engine-specific sketch/hash families or trained clustering — no
-# DuckDB oracle can hash-match; each algorithm is exactly checked via an
-# md5-family twin or a recall pytest) and are deliberately NOT given
-# window slots the driver would always record as `no_oracle`.
+# r5 rotated in the TPC-H shape set + window/sketch/graph/LLM families,
+# r6 rotated in the 27 remaining never-hash-verified names (all green:
+# CORRECTNESS_r06 = 50/50). Cumulative driver-HASH-verified after r6:
+# 137 of 143 then-oracle-bearing queries (union of hash_match=true
+# across CORRECTNESS_r01-r06, recomputed per round).
 #
-# Families whose canonical rotated to the tail this round are covered
-# in-window by proxy (r6 edition — the TPC-H shape set was hash-verified
-# r5, so only q1/q3/q12 keep slots):
-#   P1/P2 -> corpus_report renames + text_redact rewrite projection
-#   P3    -> q12 (IN list) + event_funnel membership states
-#   P4/F3 -> q1_pricing_summary thresholds + stats_exact moments
-#   P5/F6 -> quality_report validity scoring + conditional_null
-#   P6    -> chunk_dedup (first-occurrence exact dedup at chunk grain)
-#   J1/J2 -> kgx_normalize
-#   J3/J6 -> kgx_connected_subset (semi) + graph_build_nodes admission
-#   J5    -> q1/q3/q12 in-window; full q2-q21 set hash-verified r5
-#   J7/J8 -> join_asof + join_asof_forward/_nearest (all three
-#            directions of the union+window composition, asof.py)
+# ROUND 7 window = the 7 oracle-bearing names never hash-verified (the
+# six round-6 additions — source_mixture, embedding_quantize,
+# zorder_cluster, winnow_fingerprint, winnow_rows, winnow_pairs — plus
+# the round-7 winnow_clone_clusters capstone) + 10 pinned canonicals +
+# the 33 STALEST re-checks: every name whose last green hash is from
+# r1 (7), r2 (2), or r3 (17), plus 7 round-4-era family capstones
+# (corpus_dedup, dedup_components, ivf_fixed_topk, minhash_lsh_md5,
+# udtf_tokenize, knn_cosine, multimodal_decode). A green r7 closes
+# coverage: 144 of 144 oracle-bearing queries driver-hash-verified.
+# The remaining 5 registry names (approx_distinct, hll_distinct_merge,
+# ivf_topk, minhash_lsh_pairs, simhash_fingerprint) are rows-only BY
+# DESIGN (engine-specific sketch/hash families or trained clustering —
+# no DuckDB oracle can hash-match; each algorithm is exactly checked
+# via an md5-family twin or a recall pytest) and are deliberately NOT
+# given window slots the driver would always record as `no_oracle`.
+#
+# Families whose canonical sits in the tail this round are covered
+# in-window by proxy (r7 edition; the ENTIRE r6 window was
+# hash-verified last round, so every family also has a <=1-round-old
+# green):
+#   P1/P2 -> proj_curie (the original projection+CURIE canonical)
+#   P3/P4/P5 -> filter_membership / filter_threshold / filter_validity
+#   P6    -> distinct_rows exact dedup + text_dedup_exact's r4 green
+#   J1/J2 -> kgx_normalize + kgx_edge_normalize + kgx_norm_failures
+#   J3/J6 -> kgx_connected_subset (semi) + join_semi/join_anti
+#   J5    -> q1/q3 in-window; full q2-q22 set hash-verified r5
+#   J7/J8 -> join_asof pinned (forward/nearest verified r6)
 #   A4/K3 -> record_counts
-#   A6/A7 -> corpus_report grouped collect (agg_hyperedge verified r4)
-#   A8    -> winsorize_qty/outlier_zscore/percentile_qty/stats_exact
-#   A9    -> pivot_status + unpivot_metrics (agg_cube verified r4)
-#   W1/W2 -> cohort_retention rank + resample_gapfill lag windows
-#   W3    -> window_range_frame + running_sum_scalable (two-pass twin)
-#   W4/O2 -> knn_per_label per-group top-k + q3 TakeOrderedAndProject
-#   O1    -> table_checksum global-order fold (sort_global verified r4)
-#   U1    -> kgx_node_merge fixture (three-source unionByName)
-#   U2    -> set_except/table_diff verified r4; dataset_split partitions
-#   F1    -> text_nfc/text_redact string kernels (q2/q14 verified r5)
-#   F2    -> event_funnel/stream_sliding time bucketing
-#   F4    -> knn_cosine_arrow/ann_lsh_topk array scoring + lm_logprob
-#   F5/P7 -> json_props
-#   T1/T4 -> stream_tumbling (real readStream twin)
-#   T2    -> stream_sliding in-window this round
-#   T3    -> stream_interval_join + event_funnel event-time composition
-#            (session forms verified r4/r5)
-#   T5    -> dedup_stateful verified r1-r4 + replay pytest
-#   D5    -> udtf_tokenize verified r4; token_count_regex in-window
-#   L1    -> chunk_dedup in-window (text_dedup_exact verified r4)
-#   L2    -> simhash_fingerprint + fuzzy_dedup in-window (minhash/
-#            near-dup capstones verified r4; simhash_md5 r5)
-#   L3/L4 -> knn_cosine_arrow + ann_lsh_topk + knn_per_label in-window
-#   L5    -> lm_logprob/quality_report/corpus_report + token families
-#   L6    -> multimodal_frames in-window (multimodal_decode r4)
+#   A6/A7 -> cluster_collect grouped agg (agg_hyperedge r4)
+#   A8    -> agg_stats moments (winsorize/percentile families r6)
+#   A9    -> agg_rollup + agg_grouping_sets (cube r4, pivot r6)
+#   W1-W4 -> window_analytics + window_running_sum + top_k
+#            (rank/lag/frame/top-k canonicals; r6 greens cover the rest)
+#   O1/O2 -> q3 TakeOrderedAndProject (order_export r4,
+#            table_checksum r6)
+#   U1/U2 -> union_merge + set_intersect
+#   F1-F6 -> string_functions-era kernels via proj_curie +
+#            array_functions + date_functions-era r4 greens; json_props
+#            pinned (F5/P7)
+#   T1-T5 -> tumbling_window + session_window + stream_tumbling pinned
+#            (sliding/interval/stateful r4-r6 greens)
+#   D5    -> udtf_tokenize re-checked this round
+#   L1    -> distinct_rows + chunk_dedup r6 green
+#   L2/L4 -> minhash_lsh_md5 + near_dup_jaccard + corpus_dedup +
+#            dedup_components (the propose->verify->cluster capstones)
+#   L3    -> knn_cosine + ivf_fixed_topk re-checked this round
+#   L5    -> lang_id + text_quality re-checked this round
+#   L6    -> multimodal_meta + multimodal_decode re-checked this round
+#   L7/L8 -> source_mixture + embedding_quantize (first window slots)
+#   M5    -> zorder_cluster (first window slot)
 PRIORITY = (
     # pinned per-family canonicals (every round)
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # the four round-5 reds: engine values verified exact, oracles now
-    # BIGINT-cast — kept in for the driver's green re-check
-    "running_sum_scalable", "q12_priority_lines", "winsorize_qty",
-    "corpus_report",
-    # the 23 oracle-bearing names never in any driver window (the
-    # round-5 verdict's 24-list minus simhash_fingerprint, which is
-    # rows-only — its algorithm is hash-checked via the md5-family twin
-    # simhash_md5, slotted here in its place)
-    "cond_agg_priority", "conditional_null", "dataset_split",
-    "event_funnel", "fuzzy_dedup", "graph_build_nodes", "hist_prices",
-    "join_asof_forward", "join_asof_nearest", "length_batching",
-    "length_batching_scalable", "percentile_qty", "pivot_status",
-    "sample_stratified", "simhash_md5", "stats_exact",
-    "stream_interval_join", "stream_sliding", "table_checksum",
-    "text_nfc", "text_redact", "token_count_regex", "token_packing",
-    "unpivot_metrics",
-    # per-family representatives re-checked this round
-    "window_range_frame", "resample_gapfill", "cohort_retention",
-    "outlier_zscore", "chunk_dedup", "knn_cosine_arrow", "ann_lsh_topk",
-    "knn_per_label", "lm_logprob", "quality_report", "multimodal_frames",
-    "pagerank_parts",
+    # never driver-hash-verified: the six round-6 additions + the
+    # round-7 winnowing capstone — a green here closes 144/144
+    "source_mixture", "embedding_quantize", "zorder_cluster",
+    "winnow_fingerprint", "winnow_rows", "winnow_pairs",
+    "winnow_clone_clusters",
+    # stalest re-checks: last green r1
+    "agg_grouping_sets", "distinct_rows", "join_anti", "join_semi",
+    "proj_curie", "union_merge", "window_analytics",
+    # last green r2
+    "doc_fingerprint", "near_dup_jaccard",
+    # last green r3
+    "agg_rollup", "agg_stats", "array_functions", "cluster_collect",
+    "filter_membership", "filter_threshold", "filter_validity",
+    "kgx_edge_normalize", "kgx_norm_failures", "lang_id",
+    "multimodal_meta", "session_window", "set_intersect", "text_quality",
+    "top_k", "tumbling_window", "window_running_sum",
+    # round-4-era family capstones
+    "corpus_dedup", "dedup_components", "ivf_fixed_topk",
+    "minhash_lsh_md5", "udtf_tokenize", "knn_cosine", "multimodal_decode",
 )
 
 
