@@ -56,10 +56,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Untimed warmup pass: JIT/codegen/Arrow init dominate the first
-    # executions in a fresh JVM; the baseline likewise reports warm runs.
-    for name in BENCH_QUERIES:
-        RAW_QUERIES[name](spark, sf_dir).toArrow()
+    # Untimed warmup: JIT/codegen/Arrow init dominate the first executions
+    # in a fresh JVM; the baseline likewise reports warm runs. TWO passes
+    # (was one): C2 keeps compiling the merge/fetch hot paths well past the
+    # first execution — measured on the r7 host, fresh kgx_edge_merge
+    # converges 7.6 -> 4.5 -> ... -> 2.6s over ~9 executions, so a single
+    # warmup pass left the timed min-of-5 sampling a still-compiling JVM
+    # (tools/bench_phases.py decomposes the same effect: plan-build totals
+    # 0.61s across all 7 queries, so the r3->r6 total drift was never
+    # engine plan-build growth).
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            RAW_QUERIES[name](spark, sf_dir).toArrow()
 
     # RAW_QUERIES builds a FRESH DataFrame per timed run, so every run pays
     # the full plan + shuffle + collect cost (a memoized handle would reuse
