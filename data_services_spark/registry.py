@@ -4776,15 +4776,18 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 137 of 143 then-oracle-bearing queries (union of hash_match=true
 # across CORRECTNESS_r01-r06, recomputed per round).
 #
-# ROUND 7 window = the 7 oracle-bearing names never hash-verified (the
+# ROUND 7 window = the 8 oracle-bearing names never hash-verified (the
 # six round-6 additions — source_mixture, embedding_quantize,
 # zorder_cluster, winnow_fingerprint, winnow_rows, winnow_pairs — plus
-# the round-7 winnow_clone_clusters capstone) + 10 pinned canonicals +
-# the 33 STALEST re-checks: every name whose last green hash is from
-# r1 (7), r2 (2), or r3 (17), plus 7 round-4-era family capstones
-# (corpus_dedup, dedup_components, ivf_fixed_topk, minhash_lsh_md5,
-# udtf_tokenize, knn_cosine, multimodal_decode). A green r7 closes
-# coverage: 144 of 144 oracle-bearing queries driver-hash-verified.
+# the round-7 winnow_clone_clusters and corpus_curate capstones) + 10
+# pinned canonicals + the 32 STALEST re-checks: every name whose last
+# green hash is from r1 (7), r2 (2), or r3 (16 — tumbling_window yields
+# its slot to corpus_curate; its T1 semantics stay in-window via the
+# pinned stream_tumbling, the REAL readStream form of the same
+# aggregate), plus 7 round-4-era family capstones (corpus_dedup,
+# dedup_components, ivf_fixed_topk, minhash_lsh_md5, udtf_tokenize,
+# knn_cosine, multimodal_decode). A green r7 closes coverage: 145 of
+# 145 oracle-bearing queries driver-hash-verified.
 # The remaining 5 registry names (approx_distinct, hll_distinct_merge,
 # ivf_topk, minhash_lsh_pairs, simhash_fingerprint) are rows-only BY
 # DESIGN (engine-specific sketch/hash families or trained clustering —
@@ -4835,7 +4838,7 @@ PRIORITY = (
     # round-7 winnowing capstone — a green here closes 144/144
     "source_mixture", "embedding_quantize", "zorder_cluster",
     "winnow_fingerprint", "winnow_rows", "winnow_pairs",
-    "winnow_clone_clusters",
+    "winnow_clone_clusters", "corpus_curate",
     # stalest re-checks: last green r1
     "agg_grouping_sets", "distinct_rows", "join_anti", "join_semi",
     "proj_curie", "union_merge", "window_analytics",
@@ -4846,7 +4849,7 @@ PRIORITY = (
     "filter_membership", "filter_threshold", "filter_validity",
     "kgx_edge_normalize", "kgx_norm_failures", "lang_id",
     "multimodal_meta", "session_window", "set_intersect", "text_quality",
-    "top_k", "tumbling_window", "window_running_sum",
+    "top_k", "window_running_sum",
     # round-4-era family capstones
     "corpus_dedup", "dedup_components", "ivf_fixed_topk",
     "minhash_lsh_md5", "udtf_tokenize", "knn_cosine", "multimodal_decode",
