@@ -436,6 +436,73 @@ def lsh_banded_near_dup(embeddings: DataFrame, dim: int,
             .select("id_a", "id_b"))
 
 
+def semdedup(embeddings: DataFrame, centroids: Sequence[Sequence[float]],
+             threshold: float = 0.9, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-local
+    semantic deduplication — the embedding-space complement of the
+    MinHash/winnowing text paths. Assign every vector to its nearest
+    centroid (argmax dot, first-index tie-break — the same rule as
+    :func:`ivf_fixed_topk`), then WITHIN each cluster drop any member
+    that has an earlier member (lower id) at cosine >= `threshold`.
+    The earlier-member rule is the public reference implementation's
+    upper-triangular mask, which makes the whole pass one equi-join +
+    one anti-join — no iterative greedy loop; we order by id rather
+    than centroid-distance so survivor choice never depends on a float
+    sort (deterministic under re-runs and exactly SQL-expressible).
+
+    Returns (id, cell, kept): every input row, its cluster id (1-based),
+    and whether it survives.
+
+    Scale shape: the pair proposal is an equi-join on `cell` — ONE
+    shuffle, candidates sum(|cell|^2). SemDeDup's own contract bounds
+    cell width: k grows with corpus size (the paper uses k=50k on
+    LAION-440M, ~9k vectors/cell), so per-cell work is constant as the
+    corpus scales out. Fixed literal centroids keep every stage
+    oracle-checkable; production swaps in the trained k-means
+    quantizer (:func:`ivf_build_index`) with identical downstream
+    algebra. Unlike :func:`lsh_banded_near_dup` (pair RECALL tuned by
+    planes-per-band), semdedup partitions the space totally, so
+    cross-cluster near-dups are invisible by design — that is the
+    paper's recall/cost trade, not an implementation gap.
+
+    `dim` feeds ONLY the pair-verify cosine (the O(sum |cell|^2) hot
+    stage, where the unrolled whole-stage-codegen form matters); the
+    k centroid dots deliberately stay on the `F.aggregate` fold —
+    unrolling k x dim literal products into one projection blows the
+    Catalyst tree to ~k*2*dim nodes (measured: 20s analysis + 35s
+    Janino compile at k=16, dim=64, vs ~1s folded; assignment is one
+    pass over n rows, never quadratic, so interpreted evaluation is
+    not the bottleneck). At production k (SemDeDup uses 50k cells)
+    literal centroids are off the table entirely — assignment becomes
+    the broadcast-join of :func:`ivf_build_index`."""
+    dots = F.array(*[
+        dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+        for c in centroids])
+    tagged = (embeddings
+              .select(F.col(id_col), F.col(vec_col))
+              .withColumn("__ds", dots)
+              .withColumn("cell",
+                          F.array_position(F.col("__ds"),
+                                           F.array_max("__ds"))
+                          .cast("long"))
+              .drop("__ds"))
+    a = tagged.select("cell", F.col(id_col).alias("__ida"),
+                      F.col(vec_col).alias("__va"))
+    b = tagged.select("cell", F.col(id_col).alias("__idb"),
+                      F.col(vec_col).alias("__vb"))
+    dropped = (a.join(b, "cell")
+               .filter(F.col("__ida") < F.col("__idb"))
+               .filter(cosine_similarity("__va", "__vb", dim) >= threshold)
+               .select(F.col("__idb").alias(id_col))
+               .distinct())
+    return (tagged
+            .join(dropped.withColumn("__dup", F.lit(True)), id_col, "left")
+            .select(id_col, "cell",
+                    F.col("__dup").isNull().alias("kept")))
+
+
 def nearest_within_group(embeddings: DataFrame, group_col: str = "label",
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:

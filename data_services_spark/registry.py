@@ -1914,6 +1914,58 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_bands=3, planes_per_band=6)
 
 
+def _semdedup_centroids():
+    from data_services_spark.operators.similarity import hyperplane_planes
+    return hyperplane_planes(64, 16, seed=7)
+
+
+def _semdedup_sql() -> str:
+    dots = "[" + ", ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), [%s])"
+        % ", ".join(repr(x) for x in c)
+        for c in _semdedup_centroids()) + "]"
+    return f"""
+WITH emb2 AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, list_transform(embedding, x -> x * 2)
+    FROM embeddings WHERE vec_id % 50 = 0
+), tagged AS (
+    SELECT vec_id, embedding,
+           CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cell
+    FROM (SELECT vec_id, embedding, {dots} AS ds FROM emb2)
+), dup AS (
+    SELECT DISTINCT b.vec_id
+    FROM tagged a JOIN tagged b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+)
+SELECT t.vec_id, t.cell, (d.vec_id IS NULL) AS kept
+FROM tagged t LEFT JOIN dup d ON t.vec_id = d.vec_id
+"""
+
+
+@register("semdedup", _semdedup_sql())
+def semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 cluster-local semantic dedup (SemDeDup, arXiv:2303.09540):
+    fixed literal centroids partition the corpus, and only same-cell
+    pairs are ever compared — the total-partition counterpart of the
+    LSH recall path in embedding_near_dup. Same injected scaled copies
+    (cosine(v, 2v) = 1, and doubling preserves the argmax-dot cell, so
+    every injected copy lands beside its source and is dropped). The
+    oracle replays cell assignment, the upper-triangular pair rule, and
+    the survivor flag from the same centroid literals."""
+    from data_services_spark.operators.similarity import semdedup
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = (e.filter(F.col("vec_id") % 50 == 0)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    F.transform("embedding", lambda x: x * 2)
+                     .alias("embedding")))
+    return semdedup(e.unionByName(dups), centroids=_semdedup_centroids(),
+                    threshold=0.9, dim=64)
+
+
 @register("ivf_topk")  # trained k-means cells -> rows-only (recall in pytest)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 IVF ANN, build-once-probe-many: the first call trains the

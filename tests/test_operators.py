@@ -166,6 +166,53 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs == {(1, 2)}
 
 
+def test_semdedup_matches_bruteforce(spark):
+    """Cluster-local semantic dedup vs a Python reference: identical
+    cell assignment (argmax dot, first-index tie-break) and identical
+    survivor set (drop iff an earlier same-cell member is >= tau)."""
+    import math
+    import random
+
+    from data_services_spark.operators.similarity import semdedup
+
+    rnd = random.Random(13)
+    dim, n = 8, 60
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    # inject exact scaled copies (cosine 1.0, same argmax-dot cell)
+    rows += [(i + 1000, [x * 3 for x in rows[i][1]]) for i in range(0, n, 10)]
+    cents = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    tau = 0.95
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    # float32 round-trip: Spark reads array<float>, computes in double
+    import numpy as np
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    cell = {}
+    for i, _ in rows:
+        ds = [sum(x * y for x, y in zip(f32[i], c)) for c in cents]
+        cell[i] = ds.index(max(ds)) + 1
+    expect_kept = {}
+    for i in sorted(f32):
+        expect_kept[i] = not any(
+            cell[j] == cell[i] and cos(f32[j], f32[i]) >= tau
+            for j in sorted(f32) if j < i)
+
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in semdedup(e, centroids=cents, threshold=tau,
+                             dim=dim).collect()}
+    assert len(got) == len(rows)
+    for i in f32:
+        assert got[i] == (cell[i], expect_kept[i]), i
+    # every injected copy was dropped, every copy source survived its copy
+    for i in range(0, n, 10):
+        assert got[i + 1000][1] is False
+
+
 def test_salted_agg_matches_plain(spark):
     from data_services_spark.operators.skew import salted_agg, salted_count
 
