@@ -317,3 +317,65 @@ def source_mixture_sample(df: DataFrame, source_col: str,
     return (df.join(F.broadcast(per_source), source_col)
             .filter(split_uniform(id_col, seed) < rate)
             .drop("__src_tokens", "__w", "__w_sum"))
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    n_buckets: int = 256, text_col: str = "text",
+                    id_col: str = "doc_id", seed: int = 9) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling over HASHED n-gram features. Every token
+    hashes into one of `n_buckets` feature buckets; a document's
+    log-importance is the sum over its tokens of the log-likelihood
+    ratio between a bucket unigram model of the TARGET domain (the
+    small corpus you want more of) and of the RAW pool (`docs`
+    itself), both add-one smoothed:
+
+        score(tok) = (ln(t_b + 1) - ln(T + B)) - (ln(r_b + 1) - ln(R + B))
+
+    Returns (doc_id, n_tokens, logweight) — rank or threshold on
+    `logweight` to select the target-like slice of the pool. Selection
+    here is deterministic top-by-weight; the paper's Gumbel-top-k
+    resampling adds -ln(-ln(u)) noise per doc, which production can
+    layer on via :func:`split_uniform`, but a noise term keeps exact
+    cross-engine checkability only while ln stays on integer-derived
+    arguments, so the checked form stays noise-free.
+
+    Exactness: bucket counts are integers, every ln argument is an
+    integer (count + 1, total + B — the established lm_logprob
+    contract: ln of integer counts is the identical double on both
+    engines), and the per-doc sum accumulates through the quantized
+    dsum, so `logweight` is bit-stable under any partitioning.
+
+    Scale shape: the feature space is FIXED at `n_buckets` rows — the
+    raw-side bucket table is one map-side-combined groupBy of 256
+    longs regardless of corpus size, the target side is small by
+    definition, and both ride back over the token stream as broadcast
+    joins; the only O(corpus) shuffle is the final per-doc aggregate.
+    Hashed features are the paper's own device for exactly this: the
+    model never materializes a vocabulary."""
+    from data_services_spark.functions.numeric import dsum
+
+    def bucket(tok):
+        return F.pmod(md5_long_hash(tok, seed), F.lit(n_buckets))
+
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokenize(text_col)).alias("__tok"))
+            .select(id_col, bucket(F.col("__tok")).alias("__b")))
+    ttoks = (target.select(F.explode(tokenize(text_col)).alias("__tok"))
+             .select(bucket(F.col("__tok")).alias("__b")))
+    raw = toks.groupBy("__b").agg(F.count(F.lit(1)).alias("__r"))
+    tgt = ttoks.groupBy("__b").agg(F.count(F.lit(1)).alias("__t"))
+    rtot = toks.agg(F.count(F.lit(1)).alias("__rtot"))
+    ttot = ttoks.agg(F.count(F.lit(1)).alias("__ttot"))
+    score = ((F.log(F.coalesce(F.col("__t"), F.lit(0)) + F.lit(1))
+              - F.log(F.col("__ttot") + F.lit(n_buckets)))
+             - (F.log(F.col("__r") + F.lit(1))
+                - F.log(F.col("__rtot") + F.lit(n_buckets))))
+    return (toks
+            .join(F.broadcast(raw), "__b")
+            .join(F.broadcast(tgt), "__b", "left")
+            .crossJoin(F.broadcast(rtot))
+            .crossJoin(F.broadcast(ttot))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 dsum(score, "logweight")))

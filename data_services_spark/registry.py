@@ -3677,6 +3677,50 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_sample(d, "source", token_budget=20000)
 
 
+_DSIR_SCORE = ("(ln(coalesce(__t, 0) + 1) - ln(__ttot + 256))"
+               " - (ln(__r + 1) - ln(__rtot + 256))")
+
+
+@register("dsir_weights", """
+WITH toks AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('9:' || tok), 1, 15))::BIGINT % 256 AS __b
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 AS tok
+          FROM documents)
+), ttoks AS (
+    SELECT ('0x' || substr(md5('9:' || tok), 1, 15))::BIGINT % 256 AS __b
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 AS tok
+          FROM documents WHERE source = 'src0')
+), raw AS (
+    SELECT __b, COUNT(*) AS __r FROM toks GROUP BY __b
+), tgt AS (
+    SELECT __b, COUNT(*) AS __t FROM ttoks GROUP BY __b
+), rt AS (SELECT COUNT(*) AS __rtot FROM toks),
+   tt AS (SELECT COUNT(*) AS __ttot FROM ttoks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       """ + sql_dsum_expr(_DSIR_SCORE) + """ AS logweight
+FROM toks JOIN raw USING (__b) LEFT JOIN tgt USING (__b), rt, tt
+GROUP BY doc_id
+""")
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 data selection via importance resampling (DSIR,
+    arXiv:2302.03169): hashed-token-bucket log-likelihood ratio of a
+    target domain (source = 'src0') against the raw pool, summed per
+    document — rank or threshold on logweight to pull the target-like
+    slice out of a crawl. Every ln argument is an integer count
+    (add-one smoothing over 256 fixed buckets) and the per-doc sum is
+    the quantized dsum, so the weights are bit-stable cross-engine.
+    The 256-row bucket tables broadcast; the only corpus shuffle is
+    the per-doc aggregate."""
+    from data_services_spark.operators.sampling import dsir_logweights
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(d, d.filter(F.col("source") == "src0"),
+                           n_buckets=256, seed=9)
+
+
 @register("embedding_quantize", """
 SELECT vec_id, scale,
        CASE WHEN scale > 0

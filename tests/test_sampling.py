@@ -243,3 +243,58 @@ def test_corpus_curate_stage_subsets(spark):
            qual.select("doc_id", n_tok.cast("long").alias("n")).collect()}
     for r in rows:
         assert tok[r["doc_id"]] == r["n_tokens"]
+
+
+def test_dsir_logweights_ranks_target_like_docs(spark):
+    """DSIR importance weights: docs drawn from the target domain's token
+    distribution must outweigh off-domain docs, values must match a
+    Python reference of the same smoothed log-likelihood-ratio formula,
+    and weights must be invariant to repartitioning (dsum contract)."""
+    import hashlib
+    import math
+
+    from data_services_spark.operators.sampling import dsir_logweights
+
+    med = "alpha beta gamma delta epsilon"
+    web = "spam click buy now free"
+    docs = [(1, f"{med} {med}"), (2, f"{med} alpha beta"),
+            (3, f"{web} {web}"), (4, f"{web} spam click"),
+            (5, f"{med} {web}")]
+    probes = [(100, med), (101, f"alpha beta gamma {med}")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    t = spark.createDataFrame(probes, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["logweight"])
+           for r in dsir_logweights(d, t, n_buckets=64, seed=9).collect()}
+
+    B = 64
+
+    def bucket(tok):
+        h = int(hashlib.md5(f"9:{tok}".encode()).hexdigest()[:15], 16)
+        return h % B
+
+    raw, tgt = {}, {}
+    rtoks = [tok for _, txt in docs for tok in txt.lower().split()]
+    ttoks = [tok for _, txt in probes for tok in txt.lower().split()]
+    for tok in rtoks:
+        raw[bucket(tok)] = raw.get(bucket(tok), 0) + 1
+    for tok in ttoks:
+        tgt[bucket(tok)] = tgt.get(bucket(tok), 0) + 1
+    R, T = len(rtoks), len(ttoks)
+    for doc_id, txt in docs:
+        toks = txt.lower().split()
+        w = sum((math.log(tgt.get(bucket(k), 0) + 1) - math.log(T + B))
+                - (math.log(raw[bucket(k)] + 1) - math.log(R + B))
+                for k in toks)
+        n, got_w = got[doc_id]
+        assert n == len(toks)
+        assert abs(got_w - w) < 1e-5, (doc_id, got_w, w)
+
+    # target-domain docs outrank off-domain ones; the mixed doc sits between
+    assert got[1][1] > got[5][1] > got[3][1]
+    assert got[2][1] > got[4][1]
+
+    # partitioning invariance: identical bits on a reshuffled input
+    got2 = {r["doc_id"]: r["logweight"]
+            for r in dsir_logweights(d.repartition(7), t.repartition(3),
+                                     n_buckets=64, seed=9).collect()}
+    assert {k: v[1] for k, v in got.items()} == got2
