@@ -488,6 +488,15 @@ def semdedup(embeddings: DataFrame, centroids: Sequence[Sequence[float]],
                                            F.array_max("__ds"))
                           .cast("long"))
               .drop("__ds"))
+    return _semdedup_survivors(tagged, threshold, id_col, vec_col, dim)
+
+
+def _semdedup_survivors(tagged: DataFrame, threshold: float, id_col: str,
+                        vec_col: str, dim: int | None) -> DataFrame:
+    """The cluster-local upper-triangular drop rule shared by the
+    literal-centroid twin and the trained-index path: `tagged` carries
+    (id, vec, cell); a row is dropped iff an earlier same-cell row sits
+    at cosine >= threshold."""
     a = tagged.select("cell", F.col(id_col).alias("__ida"),
                       F.col(vec_col).alias("__va"))
     b = tagged.select("cell", F.col(id_col).alias("__idb"),
@@ -501,6 +510,38 @@ def semdedup(embeddings: DataFrame, centroids: Sequence[Sequence[float]],
             .join(dropped.withColumn("__dup", F.lit(True)), id_col, "left")
             .select(id_col, "cell",
                     F.col("__dup").isNull().alias("kept")))
+
+
+def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
+                     dim: int | None = None) -> DataFrame:
+    """Production SemDeDup: the same upper-triangular cluster-local rule
+    as :func:`semdedup`, with cluster assignment read from a persisted
+    trained IVF index (:func:`ivf_build_index`) instead of literal
+    centroids. The paper's k ∝ corpus-size contract lives in the index
+    build (`n_cells`), which is what keeps per-cell pair work bounded
+    as the corpus grows — and because the index already stores the
+    corpus partitioned (static layout) or bucketed (generational
+    layout) BY cell, the assignment pass costs nothing at dedup time
+    and the cell self-join shuffles rows that are already co-located
+    on their join key. New vectors route through :func:`ivf_append`
+    and are deduped by the same call — no rebuild.
+
+    Returns (id, cell, kept) for every indexed vector."""
+    import os
+
+    meta = ivf_load_meta(index_dir)
+    if meta is None:
+        raise ValueError(f"no IVF index at {index_dir}")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if meta.get("layout") == "generational":
+        from data_services_spark.streaming.ingest import read_merged_state
+        corpus = read_merged_state(
+            spark, os.path.join(index_dir, meta["state_subdir"]))
+    else:
+        corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    tagged = corpus.select(F.col(id_col), F.col(vec_col),
+                           F.col("__cell").cast("long").alias("cell"))
+    return _semdedup_survivors(tagged, threshold, id_col, vec_col, dim)
 
 
 def nearest_within_group(embeddings: DataFrame, group_col: str = "label",

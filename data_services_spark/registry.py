@@ -1996,6 +1996,34 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           exclude_id=0)
 
 
+@register("semdedup_trained")  # trained quantizer -> rows-only (pytest parity)
+def semdedup_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup over the SAME persisted IVF index ivf_topk
+    builds (one artifact serves both ANN probes and semantic dedup —
+    the build-once contract): cluster assignment comes from the trained
+    k-means quantizer, so no DuckDB oracle can replay it -> rows-only
+    driver check. The algorithm itself is exactly checked twice over:
+    the literal-centroid twin `semdedup` is a full value-hash oracle,
+    and tests/test_operators.py::
+    test_semdedup_indexed_matches_reference_both_layouts proves
+    trained-index decisions equal a Python reference on both index
+    layouts, appends included."""
+    import os
+
+    from data_services_spark.operators.similarity import (
+        ivf_build_index, ivf_load_meta, semdedup_indexed,
+    )
+    n_cells, seed = 16, 42
+    index_dir = os.path.join(
+        "spark-warehouse",
+        f"ivf_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_c{n_cells}_s{seed}")
+    if ivf_load_meta(index_dir) is None:
+        ivf_build_index(load_table(spark, sf_dir, "embeddings"),
+                        index_dir, n_cells=n_cells, seed=seed)
+    return semdedup_indexed(spark, index_dir, threshold=0.9, dim=64)
+
+
 def _ivf_centroids():
     from data_services_spark.operators.similarity import hyperplane_planes
     return hyperplane_planes(64, 8, seed=11)
@@ -4884,12 +4912,13 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_components, ivf_fixed_topk, minhash_lsh_md5, udtf_tokenize,
 # knn_cosine, multimodal_decode). A green r7 closes coverage: 145 of
 # 145 oracle-bearing queries driver-hash-verified.
-# The remaining 5 registry names (approx_distinct, hll_distinct_merge,
-# ivf_topk, minhash_lsh_pairs, simhash_fingerprint) are rows-only BY
-# DESIGN (engine-specific sketch/hash families or trained clustering —
-# no DuckDB oracle can hash-match; each algorithm is exactly checked
-# via an md5-family twin or a recall pytest) and are deliberately NOT
-# given window slots the driver would always record as `no_oracle`.
+# The remaining 6 registry names (approx_distinct, hll_distinct_merge,
+# ivf_topk, minhash_lsh_pairs, simhash_fingerprint, semdedup_trained)
+# are rows-only BY DESIGN (engine-specific sketch/hash families or
+# trained clustering — no DuckDB oracle can hash-match; each algorithm
+# is exactly checked via an md5-family twin, a recall pytest, or a
+# literal-centroid oracle twin) and are deliberately NOT given window
+# slots the driver would always record as `no_oracle`.
 #
 # Families whose canonical sits in the tail this round are covered
 # in-window by proxy (r7 edition; the ENTIRE r6 window was

@@ -1269,3 +1269,66 @@ def test_ivf_incremental_append_probe_and_retrain(spark, tmp_path):
     final = ivf_probe_topk(spark, index_dir, qv, k=3, nprobe=4,
                            exclude_id=0).collect()
     assert final[0].vec_id == 990001
+
+
+def test_semdedup_indexed_matches_reference_both_layouts(spark, tmp_path):
+    """Production SemDeDup over a trained IVF index: decisions equal a
+    Python reference that replays the index's own assignment (k-means
+    cells = argmin squared L2 to the persisted centroids) and the
+    upper-triangular drop rule — on both the static partitioned layout
+    and the generational state, including vectors added via ivf_append."""
+    import math
+    import random
+
+    from data_services_spark.operators.similarity import (
+        ivf_append, ivf_build_index, ivf_load_meta, semdedup_indexed,
+    )
+
+    rnd = random.Random(29)
+    dim, n = 8, 80
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    rows += [(i + 1000, [x * 2 for x in rows[i][1]]) for i in range(0, n, 8)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tau = 0.95
+
+    def reference(index_dir, ids_vecs):
+        import numpy as np
+        meta = ivf_load_meta(index_dir)
+        cents = [np.array(c) for c in meta["centroids"]]
+        f32 = {i: np.array(v, dtype=np.float32).astype(float)
+               for i, v in ids_vecs}
+        cell = {i: int(np.argmin([((v - c) ** 2).sum() for c in cents]))
+                for i, v in f32.items()}
+        kept = {}
+        for i in sorted(f32):
+            kept[i] = not any(
+                cell[j] == cell[i]
+                and float(np.dot(f32[j], f32[i])
+                          / (np.linalg.norm(f32[j])
+                             * np.linalg.norm(f32[i]))) >= tau
+                for j in sorted(f32) if j < i)
+        return cell, kept
+
+    for layout, incremental in (("static", False), ("generational", True)):
+        index_dir = str(tmp_path / f"ivf_{layout}")
+        ivf_build_index(e, index_dir, n_cells=4, seed=5,
+                        incremental=incremental)
+        got = {r["vec_id"]: (r["cell"], r["kept"])
+               for r in semdedup_indexed(spark, index_dir, threshold=tau,
+                                         dim=dim).collect()}
+        cell, kept = reference(index_dir, rows)
+        assert len(got) == len(rows)
+        for i in cell:
+            assert got[i] == (cell[i], kept[i]), (layout, i, got[i])
+
+    # appended vectors join the dedup without a rebuild (generational)
+    index_dir = str(tmp_path / "ivf_generational")
+    extra = [(5000, rows[1][1]), (5001, [x * -1 for x in rows[2][1]])]
+    ivf_append(spark, index_dir,
+               spark.createDataFrame(extra,
+                                     "vec_id long, embedding array<float>"))
+    got = {r["vec_id"]: r["kept"]
+           for r in semdedup_indexed(spark, index_dir, threshold=tau,
+                                     dim=dim).collect()}
+    assert len(got) == len(rows) + 2
+    assert got[5000] is False  # exact copy of an earlier row -> dropped
