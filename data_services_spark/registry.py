@@ -1934,12 +1934,18 @@ WITH emb2 AS (
     SELECT vec_id, embedding,
            CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cell
     FROM (SELECT vec_id, embedding, {dots} AS ds FROM emb2)
+), normed AS (
+    SELECT vec_id, cell, embedding,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM tagged
 ), dup AS (
     SELECT DISTINCT b.vec_id
-    FROM tagged a JOIN tagged b
+    FROM normed a JOIN normed b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+          >= 0.9 * a.nrm * b.nrm
 )
 SELECT t.vec_id, t.cell, (d.vec_id IS NULL) AS kept
 FROM tagged t LEFT JOIN dup d ON t.vec_id = d.vec_id

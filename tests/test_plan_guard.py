@@ -167,16 +167,16 @@ EXPECTED = {
     # (tagged, both pair-join sides — a 100 TB run materializes the
     # assignment once instead); the cell self-join may plan as SMJ
     # (both sides derived, sizes unknown) and must never be a
-    # Cartesian. dsir's two single-partition exchanges are the 1-row
-    # token totals; the 256-row bucket models must BROADCAST back over
-    # the token stream, never shuffle it.
+    # Cartesian. dsir's scoring pass must stay JOIN-FREE: the bucket
+    # models enter as literal map lookups (the join formulation
+    # measured 10x slower at sf1 — nested-loop total attachments broke
+    # codegen over the exploded token stream), so the plan is one
+    # persisted token-stream scan feeding the per-doc aggregate.
     "semdedup": dict(scans=6, pushed_min=2,
                      joins={"BroadcastHashJoin", "SortMergeJoin"},
                      exchanges_max=2, single_max=0, py=0),
-    "dsir_weights": dict(
-        scans=5, pushed_min=2,
-        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
-        exchanges_max=5, single_max=2, py=0),
+    "dsir_weights": dict(scans=1, pushed_min=0, joins=set(),
+                         exchanges_max=1, single_max=0, py=0),
 }
 
 
