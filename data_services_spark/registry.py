@@ -1943,7 +1943,8 @@ WITH emb2 AS (
     SELECT DISTINCT b.vec_id
     FROM normed a JOIN normed b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+    WHERE a.nrm > 0 AND b.nrm > 0
+      AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
                            CAST(b.embedding AS DOUBLE[]))
           >= 0.9 * a.nrm * b.nrm
 )

@@ -1332,3 +1332,48 @@ def test_semdedup_indexed_matches_reference_both_layouts(spark, tmp_path):
                                      dim=dim).collect()}
     assert len(got) == len(rows) + 2
     assert got[5000] is False  # exact copy of an earlier row -> dropped
+
+
+def test_semdedup_blocked_triangle_join_parity(spark, tmp_path):
+    """The blocked triangle join (skew fix for heavy k-means cells) must
+    produce bit-identical decisions to the plain cell self-join: blocks
+    partition members by id rank, so every (earlier, later) pair lands
+    in exactly one block-pair. block_size=7 forces multi-block cells on
+    a corpus with heavy duplicate clusters (the skew shape that
+    serializes the plain join into one straggler task at scale)."""
+    import random
+
+    from data_services_spark.operators.similarity import (
+        ivf_build_index, semdedup_indexed,
+    )
+
+    rnd = random.Random(41)
+    dim = 8
+    # 3 heavy near-dup families (30 noisy copies each) + background noise
+    rows = []
+    fams = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    for i in range(90):
+        base = fams[i % 3]
+        rows.append((i, [x * (1 + 0.001 * (i % 7)) for x in base]))
+    rows += [(100 + i, [rnd.gauss(0, 1) for _ in range(dim)])
+             for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index_dir = str(tmp_path / "ivf_blocked")
+    ivf_build_index(e, index_dir, n_cells=3, seed=11)
+
+    plain = {r["vec_id"]: (r["cell"], r["kept"])
+             for r in semdedup_indexed(spark, index_dir, threshold=0.98,
+                                       dim=dim, kernel="sql",
+                                       block_size=None).collect()}
+    blocked = {r["vec_id"]: (r["cell"], r["kept"])
+               for r in semdedup_indexed(spark, index_dir, threshold=0.98,
+                                         dim=dim, kernel="sql",
+                                         block_size=7).collect()}
+    assert plain == blocked
+    # the numpy kernel (default) decides identically on margin-bearing
+    # data — the documented Arrow-kernel float contract
+    arrow = {r["vec_id"]: (r["cell"], r["kept"])
+             for r in semdedup_indexed(spark, index_dir, threshold=0.98,
+                                       dim=dim).collect()}
+    assert plain == arrow
+    assert sum(1 for c, k in plain.values() if not k) >= 80  # dups dropped
