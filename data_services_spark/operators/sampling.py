@@ -407,3 +407,38 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  dsum(score, "logweight")))
+
+
+def dsir_resample(docs: DataFrame, target: DataFrame, k: int,
+                  n_buckets: int = 256, text_col: str = "text",
+                  id_col: str = "doc_id", seed: int = 9,
+                  noise_seed: int = 17) -> DataFrame:
+    """The DSIR SELECTION step: Gumbel-top-k resampling over the
+    importance weights — sampling k documents WITHOUT replacement with
+    probability proportional to their importance is equivalent to
+    taking the top k of ``logweight + Gumbel(0,1)`` noise (the Gumbel
+    trick the paper uses). Noise is deterministic per id
+    (``-ln(-ln(u))`` with u the md5-uniform of :func:`split_uniform`),
+    so the selected set is stable across runs, cluster sizes, and row
+    order — the same leak-proofing contract as deterministic_split.
+
+    Returns the k selected rows as (doc_id, n_tokens, logweight,
+    gumbel_key), ordered by (gumbel_key desc, doc_id).
+
+    Not oracle-checked BY DESIGN: ln over non-integer rationals
+    (u = m/1e6) has no cross-engine bit guarantee (JVM Math.log is
+    1-ulp, libm is correctly rounded), unlike every ln-of-integer in
+    dsir_logweights — determinism and proportionality are
+    pytest-asserted instead (test_sampling.py). The top-k is a
+    TakeOrderedAndProject: per-partition heads then a driver merge of
+    k x partitions rows, never a global sort."""
+    w = dsir_logweights(docs, target, n_buckets=n_buckets,
+                        text_col=text_col, id_col=id_col, seed=seed)
+    u = split_uniform(id_col, noise_seed)
+    # u == 0 would send -ln(-ln(0)) to -inf; the md5-uniform's support
+    # is {0, 1/1e6, ...}, so nudge by half a quantum instead
+    safe_u = (u + F.lit(0.5 / _SPLIT_BUCKETS))
+    key = F.col("logweight") + -F.log(-F.log(safe_u))
+    return (w.withColumn("gumbel_key", key)
+            .orderBy(F.desc("gumbel_key"), F.col(id_col))
+            .limit(k))

@@ -298,3 +298,26 @@ def test_dsir_logweights_ranks_target_like_docs(spark):
             for r in dsir_logweights(d.repartition(7), t.repartition(3),
                                      n_buckets=64, seed=9).collect()}
     assert {k: v[1] for k, v in got.items()} == got2
+
+
+def test_dsir_resample_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k selection: stable across runs and repartitioning,
+    exactly k rows, and biased toward high-importance docs (target-like
+    docs selected at a higher rate than off-domain ones)."""
+    from data_services_spark.operators.sampling import dsir_resample
+
+    med = "alpha beta gamma delta epsilon zeta eta theta"
+    web = "spam click buy now free deal win cash"
+    docs = ([(i, med) for i in range(60)]
+            + [(100 + i, web) for i in range(60)])
+    probes = [(999, med)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    t = spark.createDataFrame(probes, "doc_id long, text string")
+
+    sel1 = [r["doc_id"] for r in dsir_resample(d, t, k=40).collect()]
+    sel2 = [r["doc_id"] for r in
+            dsir_resample(d.repartition(5), t, k=40).collect()]
+    assert sel1 == sel2
+    assert len(sel1) == 40 and len(set(sel1)) == 40
+    n_med = sum(1 for i in sel1 if i < 100)
+    assert n_med > 30  # weight bias dominates the noise
