@@ -1377,3 +1377,26 @@ def test_semdedup_blocked_triangle_join_parity(spark, tmp_path):
                                        dim=dim).collect()}
     assert plain == arrow
     assert sum(1 for c, k in plain.values() if not k) >= 80  # dups dropped
+
+
+def test_semdedup_arrow_kernel_single_python_boundary(spark, tmp_path):
+    """The numpy kernel is a DESIGNATED Arrow boundary: the plan must
+    contain exactly one FlatMapGroupsInPandas and no other Python
+    operator — the dedup math happens in one grouped kernel, not in
+    row-at-a-time UDFs sprinkled through the plan."""
+    from data_services_spark.operators.similarity import (
+        ivf_build_index, semdedup_indexed,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    index_dir = str(tmp_path / "ivf_boundary")
+    ivf_build_index(e, index_dir, n_cells=2, seed=3)
+    df = semdedup_indexed(spark, index_dir, threshold=0.99, dim=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    for op in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+               "PythonUDTF"):
+        assert op not in plan
+    assert df.count() == 40
