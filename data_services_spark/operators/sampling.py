@@ -319,6 +319,23 @@ def source_mixture_sample(df: DataFrame, source_col: str,
             .drop("__src_tokens", "__w", "__w_sum"))
 
 
+# One-slot registry for dsir_logweights' token-stream cache: the
+# returned DataFrame lazily re-reads the persisted stream, so the
+# unpersist point belongs to the NEXT call (or an explicit release),
+# keeping at most one cached stream alive per session.
+_DSIR_CACHE: list[DataFrame] = []
+
+
+def dsir_release() -> None:
+    """Unpersist the token-stream cache left by the most recent
+    :func:`dsir_logweights` call. Safe to call any time; a previously
+    returned weights DataFrame stays CORRECT afterwards (evicted cache
+    degrades to recomputation, the documented MEMORY_ONLY contract),
+    it just loses the single-materialization speedup."""
+    while _DSIR_CACHE:
+        _DSIR_CACHE.pop().unpersist()
+
+
 def dsir_logweights(docs: DataFrame, target: DataFrame,
                     n_buckets: int = 256, text_col: str = "text",
                     id_col: str = "doc_id", seed: int = 9) -> DataFrame:
@@ -377,8 +394,19 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
     # bench scale, while at 100 TB evicted partitions silently fall back
     # to recomputation — the correct degradation, never a disk spill of
     # the token stream.
+    #
+    # The cache must outlive this function (the returned lazy aggregate
+    # still reads it), so it cannot be unpersisted here without paying
+    # the full recompute the persist exists to avoid. Instead the leak
+    # is BOUNDED to one slot: each call releases the previous call's
+    # cache, and dsir_release() drops the last one — so a long-lived
+    # session holds at most one cached token stream, never one per call
+    # (round-7 ADVICE; the unbounded form is the exact class
+    # test_minhash_lsh_leaves_no_cached_rdds bans elsewhere).
     from pyspark import StorageLevel
+    dsir_release()
     toks = toks.persist(StorageLevel.MEMORY_ONLY)
+    _DSIR_CACHE.append(toks)
     ttoks = (target.select(F.explode(tokenize(text_col)).alias("__tok"))
              .select(bucket(F.col("__tok")).alias("__b")))
     raw = {r["__b"]: r["__r"] for r in
@@ -425,11 +453,16 @@ def dsir_resample(docs: DataFrame, target: DataFrame, k: int,
     Returns the k selected rows as (doc_id, n_tokens, logweight,
     gumbel_key), ordered by (gumbel_key desc, doc_id).
 
-    Not oracle-checked BY DESIGN: ln over non-integer rationals
-    (u = m/1e6) has no cross-engine bit guarantee (JVM Math.log is
-    1-ulp, libm is correctly rounded), unlike every ln-of-integer in
-    dsir_logweights — determinism and proportionality are
-    pytest-asserted instead (test_sampling.py). The top-k is a
+    Oracle posture: ln over non-integer rationals (u = m/1e6) has no
+    cross-engine bit guarantee (JVM Math.log is 1-ulp, libm is
+    correctly rounded), unlike every ln-of-integer in dsir_logweights
+    — so the gumbel_key column itself is never value-compared. The
+    registry's `dsir_resample` oracle instead checks the SELECTED SET
+    through the bit-stable columns only (doc_id, n_tokens, logweight),
+    valid while no key sits within ~1 ulp of the k-boundary — a margin
+    test_sampling.py::test_dsir_resample_boundary_margin measures and
+    pins at the sweep scale factors. Determinism and proportionality
+    are pytest-asserted as before. The top-k is a
     TakeOrderedAndProject: per-partition heads then a driver merge of
     k x partitions rows, never a global sort."""
     w = dsir_logweights(docs, target, n_buckets=n_buckets,

@@ -563,8 +563,15 @@ def _semdedup_survivors(tagged: DataFrame, threshold: float, id_col: str,
         # into 5 partitions, recreating the straggler this
         # decomposition exists to kill. REPARTITION_BY_NUM exchanges
         # are exempt from coalescing.
-        nparts = int(tagged.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"))
+        # conf may be non-numeric on managed platforms ("auto" under
+        # Databricks AQE) — fall back to the cluster's default
+        # parallelism rather than dying in the only environments the
+        # blocked path targets.
+        try:
+            nparts = int(tagged.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nparts = tagged.sparkSession.sparkContext.defaultParallelism
         a = a.repartition(nparts, "cell", "__p", "__q")
         b = b.repartition(nparts, "cell", "__p", "__q")
         pairs = (a.join(b, ["cell", "__p", "__q"])
@@ -641,7 +648,8 @@ def _semdedup_survivors_arrow(tagged: DataFrame, threshold: float,
 def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
                      dim: int | None = None,
                      kernel: str = "arrow",
-                     block_size: int | None = 1024) -> DataFrame:
+                     block_size: int | None = None,
+                     max_cell_warn: int = 100_000) -> DataFrame:
     """Production SemDeDup: the same upper-triangular cluster-local rule
     as :func:`semdedup`, with cluster assignment read from a persisted
     trained IVF index (:func:`ivf_build_index`) instead of literal
@@ -670,6 +678,22 @@ def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
     meta = ivf_load_meta(index_dir)
     if meta is None:
         raise ValueError(f"no IVF index at {index_dir}")
+    # slab-budget guard: the arrow kernel holds one whole cell's
+    # normalized matrix (m x dim float64) plus a (row_block x m) slab
+    # per task, so a cell far above the build's target size is the
+    # quadratic straggler the k∝N sizing exists to prevent. max_cell
+    # is maintained in the index artifact (build exact, appends as an
+    # upper bound) — checking it costs zero jobs here.
+    max_cell = meta.get("max_cell")
+    if max_cell is not None and max_cell > max_cell_warn:
+        import warnings
+        warnings.warn(
+            f"IVF index at {index_dir} has a cell with ~{max_cell} "
+            f"vectors (> max_cell_warn={max_cell_warn}); per-cell "
+            "dedup work is quadratic in cell size — retrain with "
+            "auto-sized n_cells (ivf_build_index(n_cells=None) sizes "
+            "cells ~ target_cell_size) or raise n_cells",
+            stacklevel=2)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     if meta.get("layout") == "generational":
         from data_services_spark.streaming.ingest import read_merged_state
@@ -680,11 +704,23 @@ def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
     tagged = corpus.select(F.col(id_col), F.col(vec_col),
                            F.col("__cell").cast("long").alias("cell"))
     if kernel == "arrow":
+        # dim/block_size are SQL-kernel tuning knobs (join-side slab
+        # width); the arrow kernel batches per cell and ignores both.
+        # Raising here (rather than a silent no-op) is what tells a
+        # caller tuning block_size that they are tuning the wrong
+        # kernel — the r7 default of block_size=1024 made exactly that
+        # mistake invisible (ADVICE round 7).
+        if dim is not None or block_size is not None:
+            raise ValueError(
+                "dim/block_size only apply to kernel='sql'; the arrow "
+                "kernel batches whole cells (pass kernel='sql' to tune "
+                "the blocked triangle join)")
         return _semdedup_survivors_arrow(tagged, threshold, id_col, vec_col)
     if kernel != "sql":
         raise ValueError(f"unknown kernel {kernel!r} (arrow|sql)")
     return _semdedup_survivors(tagged, threshold, id_col, vec_col, dim,
-                               block_size=block_size)
+                               block_size=1024 if block_size is None
+                               else block_size)
 
 
 def nearest_within_group(embeddings: DataFrame, group_col: str = "label",
@@ -816,11 +852,12 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 
 
 def ivf_build_index(embeddings: DataFrame, index_dir: str,
-                    n_cells: int = 16,
+                    n_cells: int | None = None,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42,
                     sample_fraction: float | None = None,
-                    incremental: bool = False) -> dict:
+                    incremental: bool = False,
+                    target_cell_size: int = 200) -> dict:
     """Materialize an IVF index: the corpus written PARTITIONED BY its
     k-means cell id, plus a tiny ``centroids.json`` artifact (the trained
     coarse quantizer + build params). Build once, probe many — the
@@ -845,13 +882,35 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
     drift counter in the artifact recommends re-training
     (:func:`ivf_maybe_retrain`) once appends outgrow the trained
     quantizer.
+
+    ``n_cells=None`` (default) AUTO-SIZES the quantizer to the corpus:
+    ``cells = clamp(ceil(N / target_cell_size), 2, 65536)`` — the
+    SemDeDup paper's k ∝ N contract made structural instead of a knob.
+    The round-7 sf1 skew wall (448 manually-chosen cells -> one
+    2600-vector hot cell serializing the SQL kernel at 594s, vs 32s at
+    the k∝N sizing) cannot be configured by accident anymore; passing
+    an explicit `n_cells` remains the escape hatch for oracle-pinned
+    twins that need a literal cell count. The build also records the
+    realized cell histogram's ceiling (``max_cell``, maintained as an
+    upper bound across appends) so :func:`semdedup_indexed` can warn
+    when a cell outgrows the arrow kernel's slab budget.
     """
     import json
+    import math
     import os
     import uuid
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    auto_sized = n_cells is None
+    if auto_sized:
+        # one count job at build time buys the paper's k∝N sizing; the
+        # clamp floor keeps k-means meaningful on toy corpora and the
+        # ceiling bounds the driver-side centroid artifact (65536 cells
+        # x dim floats)
+        n_total = embeddings.count()
+        n_cells = max(2, min(65536, math.ceil(n_total / target_cell_size)))
 
     vecs = embeddings.select(
         F.col(id_col), F.col(vec_col),
@@ -862,10 +921,20 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
                    predictionCol="__cell").fit(train)
     assigned = model.transform(vecs).select(
         id_col, vec_col, F.col("__cell").cast("int").alias("__cell"))
+    # realized cell histogram: n_cells rows — a driver artifact (the
+    # centroids.json contract), used by semdedup_indexed's slab-budget
+    # warning and kept an UPPER BOUND by ivf_append
+    cell_counts = {int(r["__cell"]): int(r["cnt"]) for r in
+                   assigned.groupBy("__cell")
+                           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
 
     meta = {
         "n_cells": n_cells, "seed": seed,
         "id_col": id_col, "vec_col": vec_col,
+        "auto_sized": auto_sized,
+        "target_cell_size": target_cell_size,
+        "max_cell": max(cell_counts.values(), default=0),
+        "cell_counts": {str(c): n for c, n in cell_counts.items()},
         "centroids": [[float(x) for x in c]
                       for c in model.clusterCenters()],
     }
@@ -995,6 +1064,20 @@ def ivf_append(spark, index_dir: str, new_vectors: DataFrame,
     manifest = _read_manifest(state_dir)
     batch_id = 1 if manifest is None else \
         manifest.get("batch_watermark", manifest["gen"]) + 1
+    # maintain the build-time cell histogram (an UPPER BOUND: an
+    # idempotent re-append of an existing id counts twice here while
+    # the state upserts it once — fine for the slab-budget warning,
+    # which only needs a ceiling). n_cells rows collected: the same
+    # driver-artifact scale as the centroid list itself.
+    batch_counts = {int(r["__cell"]): int(r["cnt"]) for r in
+                    assigned.groupBy("__cell")
+                            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    counts = {int(c): int(v)
+              for c, v in meta.get("cell_counts", {}).items()}
+    for c, v in batch_counts.items():
+        counts[c] = counts.get(c, 0) + v
+    meta["cell_counts"] = {str(c): v for c, v in counts.items()}
+    meta["max_cell"] = max(counts.values(), default=0)
     n = _ivf_state_write(assigned, index_dir, meta["state_subdir"],
                          batch_id=batch_id, id_col=id_col,
                          vec_col=vec_col, n_cells=meta["n_cells"])
@@ -1034,10 +1117,17 @@ def ivf_maybe_retrain(spark, index_dir: str,
     corpus = read_merged_state(
         spark, os.path.join(index_dir, old_subdir)) \
         .select(meta["id_col"], meta["vec_col"])
-    ivf_build_index(corpus, index_dir, n_cells=meta["n_cells"],
+    # an auto-sized index stays k∝N ACROSS retrains: the post-append
+    # corpus is larger, so re-sizing (n_cells=None) is the point of the
+    # drift retrain; an explicitly-sized index keeps its literal count
+    # (oracle-pinned twins depend on it)
+    ivf_build_index(corpus, index_dir,
+                    n_cells=None if meta.get("auto_sized")
+                    else meta["n_cells"],
                     id_col=meta["id_col"], vec_col=meta["vec_col"],
                     seed=meta["seed"], sample_fraction=sample_fraction,
-                    incremental=True)
+                    incremental=True,
+                    target_cell_size=meta.get("target_cell_size", 200))
     shutil.rmtree(os.path.join(index_dir, old_subdir), ignore_errors=True)
     return {"retrained": True, "appended_fraction": frac}
 

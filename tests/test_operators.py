@@ -1314,8 +1314,8 @@ def test_semdedup_indexed_matches_reference_both_layouts(spark, tmp_path):
         ivf_build_index(e, index_dir, n_cells=4, seed=5,
                         incremental=incremental)
         got = {r["vec_id"]: (r["cell"], r["kept"])
-               for r in semdedup_indexed(spark, index_dir, threshold=tau,
-                                         dim=dim).collect()}
+               for r in semdedup_indexed(spark, index_dir,
+                                         threshold=tau).collect()}
         cell, kept = reference(index_dir, rows)
         assert len(got) == len(rows)
         for i in cell:
@@ -1328,8 +1328,8 @@ def test_semdedup_indexed_matches_reference_both_layouts(spark, tmp_path):
                spark.createDataFrame(extra,
                                      "vec_id long, embedding array<float>"))
     got = {r["vec_id"]: r["kept"]
-           for r in semdedup_indexed(spark, index_dir, threshold=tau,
-                                     dim=dim).collect()}
+           for r in semdedup_indexed(spark, index_dir,
+                                     threshold=tau).collect()}
     assert len(got) == len(rows) + 2
     assert got[5000] is False  # exact copy of an earlier row -> dropped
 
@@ -1361,6 +1361,22 @@ def test_semdedup_blocked_triangle_join_parity(spark, tmp_path):
     index_dir = str(tmp_path / "ivf_blocked")
     ivf_build_index(e, index_dir, n_cells=3, seed=11)
 
+    # The SQL-vs-numpy exact-equality assert below leans on a fixture
+    # property: the numpy kernel's SIMD/pairwise summation can diverge
+    # from the JVM's left-to-right sum within ~1 ulp, so no pair's
+    # cosine may sit close to the 0.98 threshold. Make that margin
+    # EXPLICIT (round-7 ADVICE): every within-family pair is a scalar
+    # multiple (cosine ~ 1 after float32 rounding) and cross/noise
+    # pairs are far below — assert nothing lands within 1e-4.
+    import numpy as np
+    arr = np.array([np.array(v, dtype=np.float32) for _, v in rows],
+                   dtype=np.float64)
+    nrm = arr / np.linalg.norm(arr, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    off_diag = sims[~np.eye(len(rows), dtype=bool)]
+    margin = np.abs(off_diag - 0.98).min()
+    assert margin > 1e-4, f"fixture pair within {margin} of threshold"
+
     plain = {r["vec_id"]: (r["cell"], r["kept"])
              for r in semdedup_indexed(spark, index_dir, threshold=0.98,
                                        dim=dim, kernel="sql",
@@ -1373,8 +1389,8 @@ def test_semdedup_blocked_triangle_join_parity(spark, tmp_path):
     # the numpy kernel (default) decides identically on margin-bearing
     # data — the documented Arrow-kernel float contract
     arrow = {r["vec_id"]: (r["cell"], r["kept"])
-             for r in semdedup_indexed(spark, index_dir, threshold=0.98,
-                                       dim=dim).collect()}
+             for r in semdedup_indexed(spark, index_dir,
+                                       threshold=0.98).collect()}
     assert plain == arrow
     assert sum(1 for c, k in plain.values() if not k) >= 80  # dups dropped
 
@@ -1393,10 +1409,103 @@ def test_semdedup_arrow_kernel_single_python_boundary(spark, tmp_path):
         "vec_id long, embedding array<float>")
     index_dir = str(tmp_path / "ivf_boundary")
     ivf_build_index(e, index_dir, n_cells=2, seed=3)
-    df = semdedup_indexed(spark, index_dir, threshold=0.99, dim=2)
+    df = semdedup_indexed(spark, index_dir, threshold=0.99)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
     for op in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                "PythonUDTF"):
         assert op not in plan
     assert df.count() == 40
+
+
+def test_semdedup_indexed_rejects_sql_knobs_on_arrow_kernel(spark, tmp_path):
+    """dim/block_size tune the SQL blocked-triangle join only; the
+    arrow kernel batches whole cells and ignores both.  Passing them
+    with kernel='arrow' must raise, not silently no-op (round-7
+    ADVICE: block_size looked tunable but did nothing on the default
+    path)."""
+    import pytest as _pytest
+
+    from data_services_spark.operators.similarity import (
+        ivf_build_index, semdedup_indexed,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    index_dir = str(tmp_path / "ivf_knobs")
+    ivf_build_index(e, index_dir, n_cells=2, seed=3)
+    with _pytest.raises(ValueError, match="kernel='sql'"):
+        semdedup_indexed(spark, index_dir, threshold=0.9, block_size=64)
+    with _pytest.raises(ValueError, match="kernel='sql'"):
+        semdedup_indexed(spark, index_dir, threshold=0.9, dim=2)
+    # the sql kernel still accepts them
+    assert semdedup_indexed(spark, index_dir, threshold=0.9,
+                            kernel="sql", dim=2,
+                            block_size=64).count() == 20
+
+
+def test_ivf_auto_sizes_cells_and_warns_on_hot_cells(spark, tmp_path):
+    """k ∝ N made structural (round-7 verdict ask #4): n_cells=None
+    derives the cell count from the corpus (ceil(N/target_cell_size),
+    clamped), records the realized cell histogram ceiling in the
+    artifact, keeps it an upper bound across appends, and
+    semdedup_indexed warns — zero extra jobs — when a cell exceeds the
+    arrow kernel's slab budget. Retrain RE-sizes an auto-sized index
+    for the grown corpus."""
+    import warnings as _warnings
+
+    from data_services_spark.operators.similarity import (
+        ivf_build_index, ivf_load_meta, ivf_append, ivf_maybe_retrain,
+        semdedup_indexed,
+    )
+
+    rnd_rows = [(i, [float((i * 7 + j * 3) % 11) + 0.1, float(i % 5)])
+                for i, j in ((i, i) for i in range(120))]
+    e = spark.createDataFrame(rnd_rows,
+                              "vec_id long, embedding array<float>")
+
+    index_dir = str(tmp_path / "ivf_auto")
+    meta = ivf_build_index(e, index_dir, target_cell_size=30,
+                           incremental=True)
+    assert meta["auto_sized"] is True
+    assert meta["n_cells"] == 4  # ceil(120 / 30)
+    assert sum(meta["cell_counts"].values()) == 120
+    assert meta["max_cell"] == max(meta["cell_counts"].values())
+
+    # append maintains the histogram as an upper bound
+    extra = spark.createDataFrame(
+        [(1000 + i, [0.1, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    ivf_append(spark, index_dir, extra)
+    meta2 = ivf_load_meta(index_dir)
+    assert sum(meta2["cell_counts"].values()) == 160
+    assert meta2["max_cell"] >= meta["max_cell"]
+
+    # the slab-budget warning fires from the artifact alone
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        df = semdedup_indexed(spark, index_dir, threshold=0.99,
+                              max_cell_warn=10)
+        assert any("quadratic" in str(w.message) for w in caught)
+    assert df.count() == 160
+    # and stays silent under the default budget
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        semdedup_indexed(spark, index_dir, threshold=0.99)
+        assert not [w for w in caught if "quadratic" in str(w.message)]
+
+    # drift retrain re-sizes: 160 rows / 30 -> 6 cells
+    out = ivf_maybe_retrain(spark, index_dir, force=True)
+    assert out["retrained"]
+    meta3 = ivf_load_meta(index_dir)
+    assert meta3["n_cells"] == 6
+    assert meta3["auto_sized"] is True
+
+    # an explicit n_cells build is NOT auto-sized and retrains at its
+    # literal count (oracle-pinned twins depend on it)
+    fixed_dir = str(tmp_path / "ivf_fixed")
+    m = ivf_build_index(e, fixed_dir, n_cells=3, incremental=True)
+    assert m["auto_sized"] is False and m["n_cells"] == 3
+    ivf_maybe_retrain(spark, fixed_dir, force=True)
+    assert ivf_load_meta(fixed_dir)["n_cells"] == 3

@@ -321,3 +321,77 @@ def test_dsir_resample_deterministic_and_weight_biased(spark):
     assert len(sel1) == 40 and len(set(sel1)) == 40
     n_med = sum(1 for i in sel1 if i < 100)
     assert n_med > 30  # weight bias dominates the noise
+
+
+def test_dsir_resample_boundary_margin():
+    """The dsir_resample registry oracle compares the SELECTED SET
+    through bit-stable columns only; the float gumbel key orders the
+    selection but is never emitted. That is sound iff no key sits
+    within float-noise of the k-boundary — JVM Math.log is 1-ulp, libm
+    correctly rounded, so keys can differ cross-engine by ~1e-15
+    relative. Measure the actual k-boundary gap in DuckDB at the two
+    sweep scale factors and pin it ORDERS OF MAGNITUDE wider, making
+    the margin assumption explicit instead of hoped-for (the same
+    fixture-margin discipline round-7 ADVICE asked of the semdedup
+    parity test)."""
+    import os
+
+    import duckdb
+
+    from data_services_spark.registry import ORACLES, _DSIR_RESAMPLE_K
+
+    sql = ORACLES["dsir_resample"]
+    # rebuild the oracle's gkey CTE but keep ALL rows, ordered
+    inner = sql[: sql.rindex("SELECT doc_id, n_tokens, logweight FROM g")]
+    probe = (inner + "SELECT gkey FROM g ORDER BY gkey DESC, doc_id")
+    for sf in ("sf0.001", "sf0.01"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+        keys = [r[0] for r in con.execute(probe).fetchall()]
+        con.close()
+        k = _DSIR_RESAMPLE_K
+        assert len(keys) > k, f"{sf}: corpus smaller than k"
+        gap = keys[k - 1] - keys[k]
+        scale = max(abs(keys[k - 1]), abs(keys[k]), 1.0)
+        # 1e-9 relative is ~1e6 ulps of headroom over the 1-ulp engine
+        # divergence; measured gaps on the synthetic corpus are ~1e-2
+        assert gap / scale > 1e-9, (
+            f"{sf}: k-boundary gap {gap} too narrow for a cross-engine "
+            "set guarantee — reseed noise_seed or change k")
+
+
+def test_dsir_cache_bounded_and_releasable(spark):
+    """dsir_logweights persists the bucketed token stream for the
+    scoring pass; the unpersist point is the NEXT call (one-slot
+    bound) or an explicit dsir_release().  Round-7 ADVICE: the
+    unbounded form leaked one registered cached DataFrame per call —
+    the exact class test_minhash_lsh_leaves_no_cached_rdds bans."""
+    from data_services_spark.operators.sampling import (
+        dsir_logweights, dsir_release,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    dsir_release()
+    base = n_cached()
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(30)],
+        "doc_id long, text string")
+    t = spark.createDataFrame([(99, "alpha beta")],
+                              "doc_id long, text string")
+    w1 = dsir_logweights(d, t, n_buckets=16)
+    assert w1.count() == 30
+    assert n_cached() == base + 1
+    w2 = dsir_logweights(d, t, n_buckets=16)  # releases w1's stream
+    assert w2.count() == 30
+    assert n_cached() == base + 1, "second call must not stack a leak"
+    # a result built on a released cache stays CORRECT (recompute path)
+    assert w1.count() == 30
+    dsir_release()
+    assert n_cached() == base
+    assert w2.count() == 30

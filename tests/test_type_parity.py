@@ -101,3 +101,46 @@ def test_type_class_equivalences():
     assert _type_class(pa.int64()) != _type_class(pa.decimal128(38, 0))
     assert _type_class(pa.int64()) != _type_class(pa.int32())
     assert _type_class(pa.float64()) != _type_class(pa.decimal128(38, 2))
+
+
+# Nested (array/map/struct) cells are a second class the driver cannot
+# canonicalize AT ALL: its `_canon` is a pandas sort_values over every
+# result column, and pandas cannot sort/hash numpy.ndarray or dict
+# cells.  Round 7 proved it the hard way — `embedding_quantize`
+# (array<int> qvec) and `winnow_fingerprint` (array<bigint> fps) were
+# sweep-exact at two scale factors yet recorded `err: unhashable type:
+# 'numpy.ndarray'` in CORRECTNESS_r07, burning their window slots.
+# The constraint was already documented at kgx_node_merge (which
+# '|'-joins its arrays for exactly this reason); this test makes it
+# structural: NO oracle-bearing query may expose a nested top-level
+# column.  Array-valued operators stay available through the operators
+# API or rows-only registry twins; their driver-facing forms must
+# array_join (lossless for ints) or unnest.
+_NESTED_PREFIXES = ("MAP(", "STRUCT(", "UNION(")
+
+
+def test_no_nested_toplevel_columns_in_oracle_output(duck):
+    bad = []
+    for name, cols in _oracle_output_types(duck):
+        for col, typ in cols:
+            tu = typ.upper()
+            if tu.endswith("[]") or tu.startswith(_NESTED_PREFIXES):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        "oracle-bearing queries with nested top-level columns — the "
+        "driver's pandas canonicalizer cannot sort these cells and "
+        "records `err` (see CORRECTNESS_r07 embedding_quantize / "
+        "winnow_fingerprint). array_join('|') or unnest them:\n  "
+        + "\n  ".join(bad))
+
+
+def test_nested_detector_sees_the_class(duck):
+    """Sanity twin: DESCRIBE really does report list/map types for the
+    r7 failure pattern, so the test above is not vacuously green."""
+    desc = duck.execute(
+        "DESCRIBE SELECT [1, 2] AS a, MAP([1],[2]) AS m, {'x': 1} AS s"
+    ).fetchall()
+    types = [t.upper() for _, t, *_ in desc]
+    assert types[0].endswith("[]")
+    assert types[1].startswith("MAP(")
+    assert types[2].startswith("STRUCT(")

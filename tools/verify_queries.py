@@ -119,6 +119,21 @@ def canon(tbl: pa.Table):
     )
 
 
+def driver_canon_check(tbl: pa.Table) -> str | None:
+    """Reproduce the DRIVER's canonicalization, not ours: the driver
+    sorts the pandas frame by every column before hashing, and pandas
+    `sort_values` raises `TypeError: unhashable type: 'numpy.ndarray'`
+    on array cells (CORRECTNESS_r07: embedding_quantize,
+    winnow_fingerprint — both sweep-exact here, both `err` there,
+    because this tool's own canon() happily tuples arrays). Returns
+    an error string if the driver would choke, else None."""
+    try:
+        tbl.to_pandas().sort_values(by=sorted(tbl.column_names))
+    except Exception as exc:  # noqa: BLE001 - mirror the driver verbatim
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
 def main() -> int:
     from data_services_spark.registry import ORACLES, QUERIES
     from data_services_spark.session import get_spark
@@ -199,6 +214,13 @@ def main() -> int:
                    f"rowcount {stbl.num_rows} vs {dtbl.num_rows}")
             print(f"FAIL  {name}: rowcount {stbl.num_rows} "
                   f"vs {dtbl.num_rows}")
+            continue
+        canon_err = driver_canon_check(stbl)
+        if canon_err:
+            failures.append(name)
+            record(name, "fail", stbl.num_rows, t0,
+                   f"driver canon would err: {canon_err}")
+            print(f"FAIL  {name}: driver canon would err: {canon_err}")
             continue
         cs, cd = canon(stbl), canon(dtbl)
         if cs != cd:
