@@ -74,6 +74,82 @@ def tfidf(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 relevance of every document against a literal query —
+    the retrieval primitive a training-data pipeline uses to pull
+    eval-adjacent documents (decontamination sweeps, targeted sampling,
+    nearest-prose audits) without an external search engine.
+
+    Spark-first shape (the knn_cosine literal-fold + winsorize
+    tiny-agg-broadcast pattern):
+
+    - per-doc term frequencies come from ``size(filter(tokens, t =
+      term))`` unrolled over the literal query — a ZERO-SHUFFLE map
+      pass, no token explode, no (doc, term) shuffle;
+    - corpus stats (N, total length, per-term document frequencies) are
+      ONE 1-row aggregate broadcast back via crossJoin — the scoring
+      pass stays a map-only projection over the corpus;
+    - the final ranking is orderBy+limit => TakeOrderedAndProject
+      (per-partition heads, driver merge), never a global sort.
+
+    Exactness contract with the DuckDB oracle: idf uses the
+    half-integer-free form ``ln(2N - 2df + 1) - ln(2df + 1)`` — equal to
+    the classic ``ln((N - df + .5)/(df + .5))`` because the halves
+    scale out — so every ln argument is an INTEGER (the established
+    lm_logprob/dsir contract: ln of integer counts is the identical
+    double on both engines). The tf saturation term is plain IEEE
+    double arithmetic over integer-derived operands with the SAME
+    expression tree both sides, and the per-doc sum is a fixed-order
+    literal fold, not a shuffle-order-dependent aggregate — bit-stable
+    without dsum.
+
+    Returns (id, score) for every document; compose with
+    ``.orderBy(desc("score"), id).limit(k)`` for top-k retrieval.
+    """
+    toks = F.col("__toks")
+
+    def term_count(term: str) -> Column:
+        # a dedicated factory, NOT a default-arg lambda: F.filter
+        # dispatches on the lambda's arity, and a second parameter —
+        # even a defaulted one — makes it pass the ARRAY INDEX there
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    per_doc = docs.select(
+        F.col(id_col),
+        tokenize(text_col).alias("__toks")).select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__dl"),
+        *[term_count(term).cast("long").alias(f"__tf{i}")
+          for i, term in enumerate(query_terms)])
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("__dl").alias("__total"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+          for i in range(len(query_terms))])
+    j = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = (F.col("__total").cast("double")
+             / F.col("__N").cast("double"))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = (F.log((F.lit(2) * F.col("__N")
+                      - F.lit(2) * F.col(f"__df{i}") + F.lit(1))
+                     .cast("double"))
+               - F.log((F.lit(2) * F.col(f"__df{i}") + F.lit(1))
+                       .cast("double")))
+        sat = (tf * F.lit(k1 + 1.0)
+               / (tf + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b)
+                                    * (F.col("__dl").cast("double")
+                                       / avgdl))))
+        score = score + F.when(F.col(f"__tf{i}") > 0,
+                               idf * sat).otherwise(F.lit(0.0))
+    return j.select(F.col(id_col), score.alias("score"))
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality features + composite score.
 

@@ -2292,6 +2292,69 @@ def lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d)
 
 
+_BM25_TERMS = ("spark", "merge", "vector", "window")
+_BM25_K = 20
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{term}')) AS BIGINT)"
+        f" AS tf{i}" for i, term in enumerate(_BM25_TERMS))
+    df_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}" for i in range(len(_BM25_TERMS)))
+    # literal fold in the SAME left-assoc order as the Spark column
+    # expression; k1=1.2, b=0.75 => k1+1=2.2, 1-b=0.25 (bit-identical
+    # literals both sides, verified: Python 1.2+1.0 == float('2.2') ==
+    # DuckDB CAST(2.2 AS DOUBLE))
+    terms = "CAST(0 AS DOUBLE)"
+    for i in range(len(_BM25_TERMS)):
+        idf = (f"(ln(CAST(2 * N - 2 * df{i} + 1 AS DOUBLE))"
+               f" - ln(CAST(2 * df{i} + 1 AS DOUBLE)))")
+        sat = (f"(CAST(tf{i} AS DOUBLE) * 2.2"
+               f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+               f" (CAST(dl AS DOUBLE)"
+               f" / (CAST(total AS DOUBLE) / CAST(N AS DOUBLE))))))")
+        terms = (f"({terms} + CASE WHEN tf{i} > 0 THEN {idf} * {sat}"
+                 f" ELSE CAST(0 AS DOUBLE) END)")
+    return f"""
+WITH per AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS dl,
+           {tf_cols}
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+          FROM documents)
+), st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS N,
+           CAST(SUM(dl) AS BIGINT) AS total,
+           {df_cols}
+    FROM per
+)
+SELECT doc_id, {terms} AS score
+FROM per, st
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@register("bm25_topk", _bm25_sql())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/retrieval: Okapi BM25 top-k against a literal query — the
+    search primitive behind decontamination sweeps and eval-adjacent
+    sampling. Zero-shuffle per-doc tf via the literal fold (no token
+    explode), ONE 1-row stats broadcast, TakeOrderedAndProject top-k.
+    idf is the half-free integer form ln(2N-2df+1) - ln(2df+1), so
+    every ln argument is an integer (the lm_logprob/dsir contract) and
+    the saturation arithmetic is the same IEEE expression tree both
+    sides — bit-stable doubles, no dsum needed (fixed-order fold, not
+    a shuffle-order aggregate)."""
+    from data_services_spark.operators.text import bm25_scores
+    d = load_table(spark, sf_dir, "documents")
+    return (bm25_scores(d, _BM25_TERMS)
+            .orderBy(F.desc("score"), "doc_id").limit(_BM25_K))
+
+
 @register("text_repetition", """
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -4987,12 +5050,13 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash: embedding_quantize + winnow_fingerprint (r7 slots burned on the
 # driver's array-canonicalization err — both re-registered scalar-only
 # this round), semdedup + dsir_weights (added after the r7 rotation),
-# and the new dsir_resample oracle — plus 10 pinned canonicals and the
-# 35 STALEST re-checks (the single r3 name, all 32 r4 names, and the
-# alphabetical head of r5). A green r8 closes the cumulative union at
-# 148/148 oracle-bearing queries (the recomputed post-r7 union is
-# 143/147 — COVERAGE.md carries the corrected accounting; the
-# previously claimed 145/145 did not survive the actual driver run).
+# the new dsir_resample and bm25_topk oracles — plus 10 pinned
+# canonicals and the 34 STALEST re-checks (the single r3 name, all 32
+# r4 names, and the alphabetical head of r5). A green r8 closes the
+# cumulative union at 149/149 oracle-bearing queries (the recomputed
+# post-r7 union is 143/147 — COVERAGE.md carries the corrected
+# accounting; the previously claimed 145/145 did not survive the
+# actual driver run).
 # The rows-only registry names (approx_distinct, hll_distinct_merge,
 # ivf_topk, minhash_lsh_pairs, simhash_fingerprint, semdedup_trained)
 # are rows-only BY DESIGN (engine-specific sketch/hash families or
@@ -5047,9 +5111,10 @@ PRIORITY = (
     # class is now banned statically by test_type_parity.py::
     # test_no_nested_toplevel_columns_in_oracle_output) — plus the two
     # post-rotation round-7 additions and the round-8 dsir_resample
-    # oracle. A green here closes the cumulative driver-hash union at
-    # 148 of 148 oracle-bearing queries (recomputed union after r7
-    # was 143 of 147 — see COVERAGE.md correction).
+    # and bm25_topk oracles. A green here closes the cumulative
+    # driver-hash union at 149 of 149 oracle-bearing queries
+    # (recomputed union after r7 was 143 of 147 — see COVERAGE.md
+    # correction).
     "embedding_quantize", "winnow_fingerprint", "semdedup",
     "dsir_weights", "dsir_resample",
     # stalest re-checks: last green r3
@@ -5064,8 +5129,10 @@ PRIORITY = (
     "stream_session", "string_functions", "table_diff", "text_dedup_exact",
     "text_tfidf", "text_token_stats", "vocab_topk", "window_lag_delta",
     "window_rank",
+    # round-8 addition, never verified
+    "bm25_topk",
     # last green r5 (alphabetical head)
-    "graph_bfs", "interval_concurrency",
+    "graph_bfs",
 )
 
 

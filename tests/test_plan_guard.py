@@ -177,6 +177,20 @@ EXPECTED = {
                      exchanges_max=2, single_max=0, py=0),
     "dsir_weights": dict(scans=1, pushed_min=0, joins=set(),
                          exchanges_max=1, single_max=0, py=0),
+    # round-8: the selection step inherits the join-free scoring pass;
+    # the top-k must plan as TakeOrderedAndProject (per-partition heads
+    # + driver merge of k x partitions rows — asserted separately
+    # below), never a global sort exchange.
+    "dsir_resample": dict(scans=1, pushed_min=0, joins=set(),
+                          exchanges_max=1, single_max=0, py=0),
+    # round-8: BM25 — two map-only corpus passes (per-doc tf fold +
+    # the same branch under the 1-row stats agg), the stats broadcast
+    # is the documented tiny-agg BNLJ crossJoin, the only exchange is
+    # the 1-row SinglePartition agg, and the ranking is
+    # TakeOrderedAndProject (pinned below with dsir_resample's).
+    "bm25_topk": dict(scans=2, pushed_min=0,
+                      joins={"BroadcastNestedLoopJoin"},
+                      exchanges_max=1, single_max=1, py=0),
 }
 
 
@@ -252,3 +266,20 @@ def test_scalable_forms_never_funnel_the_table(spark, name):
     finally:
         spark.conf.set(key, saved)
     assert max(sizes) < total, (max(sizes), total)
+
+
+@pytest.mark.parametrize("name", ["dsir_resample", "bm25_topk"])
+def test_dsir_resample_topk_never_global_sorts(spark, name):
+    """The top-k selections must execute as TakeOrderedAndProject
+    (per-partition k-heads merged on the driver) — a global sort of the
+    whole scored corpus for a k-row answer is the shape that stops
+    scaling first. Pinned on the executed plan, not the optimized text:
+    AQE cannot rewrite TakeOrderedAndProject into a sort+limit."""
+    from data_services_spark.registry import RAW_QUERIES
+
+    df = RAW_QUERIES[name](spark, SF_DIR)
+    df.toArrow()
+    executed = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in executed, executed[:2000]
+    assert "Exchange rangepartitioning" not in executed, executed[:2000]

@@ -80,3 +80,53 @@ def test_nfc_normalization_composes_and_is_idempotent(spark):
     twice = {r.id: r.n for r in
              df.select("id", nfc(nfc(F.col("t"))).alias("n")).collect()}
     assert twice == out
+
+
+def test_bm25_matches_python_reference_and_ranks_relevance(spark):
+    """bm25_scores must equal a plain-Python Okapi BM25 (k1=1.2,
+    b=0.75, idf = ln((N-df+.5)/(df+.5)) in its half-free integer form)
+    to float tolerance, and rank a query-dense doc above a diluted one
+    above a non-matching one."""
+    import math
+
+    from data_services_spark.operators.text import bm25_scores
+
+    # enough non-matching docs that df < N/2 (BM25's idf goes
+    # NEGATIVE for terms in more than half the corpus — correct
+    # behavior, but it would invert the ranking expectations below)
+    docs = [
+        (1, "spark merge spark merge spark"),          # dense match
+        (2, "spark merge " + "filler " * 20),          # diluted match
+        (3, "row scan table value hash"),              # no match
+        (4, "merge"),                                  # short, partial
+    ] + [(10 + i, "row scan table value hash column data")
+         for i in range(8)]
+    q = ("spark", "merge")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(
+               spark.createDataFrame(docs, "doc_id long, text string"),
+               q).collect()}
+
+    toks = {i: t.lower().split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    k1, b = 1.2, 0.75
+
+    def ref(i):
+        s = 0.0
+        for term in q:
+            tf = toks[i].count(term)
+            if not tf:
+                continue
+            df = sum(1 for t in toks.values() if term in t)
+            idf = math.log(2 * N - 2 * df + 1) - math.log(2 * df + 1)
+            s += idf * (tf * (k1 + 1)
+                        / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl)))
+        return s
+
+    assert set(got) == set(toks)
+    for i in toks:
+        assert abs(got[i] - ref(i)) < 1e-12, (i, got[i], ref(i))
+    assert got[1] > got[2] > got[3]
+    assert got[4] > got[3]
+    assert got[3] == 0.0

@@ -15,6 +15,13 @@ Usage:
     python tools/neardup_scale_bench.py [--docs 100000,1000000]
         [--nb 1024] [--batch 50] [--reps 3]
 
+`--batch` and `--nb` accept comma lists: every (docs, nb) state is
+built once and probed by every batch size (the round-8 batch-
+amortization and num_buckets-sizing tables — a fixed tiny batch grows
+with the corpus, so the production story is batches of 10^4-10^5 docs
+amortizing the touched fraction, and num_buckets sized so touched ~
+batch band keys).
+
 Prints one markdown table + one JSON line.
 """
 
@@ -74,11 +81,13 @@ def probe_only(spark, state_dir: str, surv_bands, prune: bool) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", default="100000,1000000")
-    ap.add_argument("--nb", type=int, default=1024)
-    ap.add_argument("--batch", type=int, default=50)
+    ap.add_argument("--nb", default="1024")
+    ap.add_argument("--batch", default="50")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
     sizes = [int(x) for x in args.docs.split(",")]
+    nbs = [int(x) for x in str(args.nb).split(",")]
+    batches = [int(x) for x in str(args.batch).split(",")]
 
     from data_services_spark.catalog import load_table
     from data_services_spark.operators.dedup import band_hashes
@@ -87,55 +96,79 @@ def main() -> None:
     import pyspark.sql.functions as F
 
     spark = get_spark("neardup_scale_bench")
-    batch = (load_table(spark, SF_DIR, "documents")
-             .orderBy("doc_id").limit(args.batch)
-             .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
-    surv_bands = (band_hashes(batch, "text", "doc_id", 16, BANDS, 3,
-                              "xxhash64")
-                  .select(F.col("id").alias("doc_id"), "band", "bh")
-                  .persist())
-    n_keys = surv_bands.select("band", "bh").distinct().count()
+    docs = load_table(spark, SF_DIR, "documents")
+
+    n_real = docs.count()
+
+    def make_batch(n: int):
+        if n <= n_real:
+            batch = (docs.orderBy("doc_id").limit(n)
+                     .select("doc_id",
+                             F.coalesce("text", F.lit("")).alias("text")))
+        else:
+            # production-size batches outgrow the sf0.1 corpus; the
+            # probe's cost depends on the batch's BAND KEYS, not prose
+            # quality, so synthesize 20-token docs whose shingles vary
+            # by id (hash-derived token ids over a 5000-word vocab)
+            batch = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(" ", F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda j: F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id") * 31 + j),
+                               F.lit(5000))))).alias("text"))
+        sb = (band_hashes(batch, "text", "doc_id", 16, BANDS, 3,
+                          "xxhash64")
+              .select(F.col("id").alias("doc_id"), "band", "bh")
+              .persist())
+        return batch, sb, sb.select("band", "bh").distinct().count()
 
     results = []
     for n_docs in sizes:
-        tmp = tempfile.mkdtemp(prefix="ndscale_")
-        state_dir = f"{tmp}/state"
-        build_s = build_state(spark, state_dir, n_docs, args.nb)
-        m = neardup._read_manifest(state_dir)
-        touched = neardup._probe_buckets(surv_bands, m)
-        row = {"n_docs": n_docs, "band_rows": n_docs * BANDS,
-               "nb": args.nb, "batch_docs": args.batch,
-               "batch_band_keys": n_keys,
-               "touched_buckets": len(touched),
-               "build_s": round(build_s, 2)}
-        for prune in (True, False):
-            ts = [probe_only(spark, state_dir, surv_bands, prune)
-                  for _ in range(args.reps)]
-            row[f"probe_{'pruned' if prune else 'full'}_s"] = round(
-                min(ts), 3)
-        # full batch call, pruned vs full (fresh decisions dirs each rep)
-        for prune in (True, False):
-            ts = []
-            for _ in range(args.reps):
-                shutil.rmtree(f"{state_dir}/_decisions",
-                              ignore_errors=True)
-                t0 = time.perf_counter()
-                # batch_id=1 replays against the same gen-0 snapshot each
-                # rep (watermark guard skips the re-merge after rep 1 —
-                # isolate by replaying batch 1 against an unchanged state:
-                # rep 1 includes the merge, reps 2+ skip it; min-of-reps
-                # therefore reports the probe+decide floor)
-                neardup.dedup_batch_against_state(
-                    spark, batch, state_dir, 1, num_buckets=args.nb,
-                    prune_state_read=prune)
-                ts.append(time.perf_counter() - t0)
-            row[f"batch_{'pruned' if prune else 'full'}_s"] = round(
-                min(ts), 2)
-        results.append(row)
-        shutil.rmtree(tmp, ignore_errors=True)
-        print(f"## {row}", flush=True)
-
-    surv_bands.unpersist()
+        for nb in nbs:
+            tmp = tempfile.mkdtemp(prefix="ndscale_")
+            state_dir = f"{tmp}/state"
+            build_s = build_state(spark, state_dir, n_docs, nb)
+            m = neardup._read_manifest(state_dir)
+            for n_batch in batches:
+                batch, surv_bands, n_keys = make_batch(n_batch)
+                touched = neardup._probe_buckets(surv_bands, m)
+                row = {"n_docs": n_docs, "band_rows": n_docs * BANDS,
+                       "nb": nb, "batch_docs": n_batch,
+                       "batch_band_keys": n_keys,
+                       "touched_buckets": len(touched),
+                       "build_s": round(build_s, 2)}
+                for prune in (True, False):
+                    ts = [probe_only(spark, state_dir, surv_bands, prune)
+                          for _ in range(args.reps)]
+                    row[f"probe_{'pruned' if prune else 'full'}_s"] = \
+                        round(min(ts), 3)
+                # full batch call, pruned vs full (fresh decisions dirs
+                # each rep)
+                for prune in (True, False):
+                    ts = []
+                    for _ in range(args.reps):
+                        shutil.rmtree(f"{state_dir}/_decisions",
+                                      ignore_errors=True)
+                        t0 = time.perf_counter()
+                        # batch_id=1 replays against the same gen-0
+                        # snapshot each rep (watermark guard skips the
+                        # re-merge after rep 1 — isolate by replaying
+                        # batch 1 against an unchanged state: rep 1
+                        # includes the merge, reps 2+ skip it;
+                        # min-of-reps therefore reports the probe+decide
+                        # floor)
+                        neardup.dedup_batch_against_state(
+                            spark, batch, state_dir, 1, num_buckets=nb,
+                            prune_state_read=prune)
+                        ts.append(time.perf_counter() - t0)
+                    row[f"batch_{'pruned' if prune else 'full'}_s"] = \
+                        round(min(ts), 2)
+                surv_bands.unpersist()
+                results.append(row)
+                print(f"## {row}", flush=True)
+            shutil.rmtree(tmp, ignore_errors=True)
     cols = list(results[0])
     print("| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
