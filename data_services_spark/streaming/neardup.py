@@ -77,6 +77,16 @@ def _probe_buckets(surv_bands: DataFrame, manifest: dict | None):
             .select(F.pmod(F.xxhash64(*BUCKET_COLS), F.lit(nb))
                     .cast("int").alias("__b"))
             .distinct().collect())
+    if len(rows) >= nb:
+        # production-size batches touch EVERY bucket (measured round 8,
+        # tools/neardup_scale_bench.py: a 10k-doc batch's 40k band keys
+        # saturate 1024 buckets), at which point a bucket list is pure
+        # overhead — per-path filtering of the state listing plus this
+        # job's own cost — for a read identical to the full one. None
+        # tells the state reader to take the plain full-scan path; the
+        # pruning win belongs to the small-batch/low-latency regime
+        # (and to num_buckets sized well above the batch's key count).
+        return None
     return sorted(r[0] for r in rows)
 
 

@@ -249,3 +249,24 @@ def test_neardup_replay_aged_out_raises(spark, tmp_path):
     vacuum_state(state_dir, keep_last=1)  # ages out batch 1's snapshot
     with pytest.raises(RuntimeError, match="aged out"):
         dedup_batch_against_state(spark, b1, state_dir, 1)
+
+
+def test_probe_bucket_list_saturates_to_full_read(spark, tmp_path):
+    """When a batch's band keys touch every bucket, _probe_buckets
+    returns None (the full-read path) instead of an all-buckets list —
+    measured round 8: a saturated list is pure bookkeeping overhead
+    over an identical read. A small-key batch still returns a real
+    subset."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.streaming import neardup
+
+    manifest = {"bucket_cols": list(neardup.BUCKET_COLS), "num_buckets": 8}
+    wide = spark.range(4000).select(
+        (F.col("id") % 4).cast("int").alias("band"),
+        F.xxhash64("id").alias("bh"))
+    assert neardup._probe_buckets(wide, manifest) is None
+    narrow = spark.range(2).select(
+        F.lit(0).cast("int").alias("band"), F.xxhash64("id").alias("bh"))
+    got = neardup._probe_buckets(narrow, manifest)
+    assert got is not None and 0 < len(got) <= 2

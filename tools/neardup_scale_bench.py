@@ -133,11 +133,14 @@ def main() -> None:
             m = neardup._read_manifest(state_dir)
             for n_batch in batches:
                 batch, surv_bands, n_keys = make_batch(n_batch)
+                # None = the saturation guard fired (every bucket
+                # touched -> probe takes the plain full-read path)
                 touched = neardup._probe_buckets(surv_bands, m)
                 row = {"n_docs": n_docs, "band_rows": n_docs * BANDS,
                        "nb": nb, "batch_docs": n_batch,
                        "batch_band_keys": n_keys,
-                       "touched_buckets": len(touched),
+                       "touched_buckets": ("saturated" if touched is None
+                                           else len(touched)),
                        "build_s": round(build_s, 2)}
                 for prune in (True, False):
                     ts = [probe_only(spark, state_dir, surv_bands, prune)
