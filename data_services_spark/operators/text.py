@@ -273,6 +273,69 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                  (dsum_expr(lp) / F.count(F.lit(1))).alias("avg_logprob")))
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n_buckets: int = 256,
+                   seed: int = 11) -> DataFrame:
+    """CCNet-style n-gram LM quality score: each document's mean BIGRAM
+    log-probability under a self-trained hashed bigram model — the
+    standard perplexity filter for web-crawl curation, one order above
+    :func:`unigram_logprob` (which cannot see word-salad built from
+    common tokens; a bigram model can).
+
+    The model is HASHED (the DSIR device, arXiv:2302.03169 §hashing):
+    contexts bucket to ``n_buckets`` and (context, token) pairs to
+    ``n_buckets²`` via the portable md5 family, so the model size is
+    fixed whatever the corpus — it never materializes a vocabulary.
+    Add-one smoothing over the token buckets:
+
+        score(w_{i-1}, w_i) = ln(c12[b12] + 1) - ln(c1[b1] + n_buckets)
+
+    Returns (doc_id, n_bigrams, avg_logprob) for every document with at
+    least one bigram (single-token and empty documents have no bigram
+    distribution and are dropped — rank them with the unigram score).
+
+    Scale shape: ONE tokenize+explode pass over the corpus feeds both
+    model fits (map-side-combined groupBys of <= n_buckets² longs) and
+    the scoring join; the bucket tables re-enter via broadcast hash
+    joins (bounded: n_buckets² rows max — a literal map would blow the
+    plan at 65k entries, and dsir's measured codegen breaker was the
+    1-row BNLJ totals, not broadcast hash joins). Every ln argument is
+    an integer count and the per-doc mean accumulates via the exact
+    quantized dsum — bit-stable vs the DuckDB oracle.
+    """
+    from data_services_spark.functions.numeric import dsum_expr
+    from data_services_spark.operators.dedup import md5_long_hash
+
+    t = F.col("__t")
+    prev = F.element_at(t, F.col("__i") - 1)
+    cur = F.element_at(t, F.col("__i"))
+    empty = F.array().cast("array<int>")
+    bg = (docs
+          .select(F.col(id_col), tokenize(text_col).alias("__t"))
+          # sequence(2, size) DESCENDS when size < 2 — guard to empty
+          .select(F.col(id_col), t,
+                  F.explode(F.when(F.size(t) >= 2,
+                                   F.sequence(F.lit(2), F.size(t)))
+                            .otherwise(empty)).alias("__i"))
+          .select(
+              F.col(id_col),
+              F.pmod(md5_long_hash(prev, seed),
+                     F.lit(n_buckets)).alias("__b1"),
+              F.pmod(md5_long_hash(
+                  F.concat(prev, F.lit("|"), cur), seed),
+                  F.lit(n_buckets * n_buckets)).alias("__b12")))
+    c1 = bg.groupBy("__b1").agg(F.count(F.lit(1)).alias("__n1"))
+    c12 = bg.groupBy("__b12").agg(F.count(F.lit(1)).alias("__n12"))
+    lp = (F.log(F.col("__n12") + F.lit(1))
+          - F.log(F.col("__n1") + F.lit(n_buckets)))
+    return (bg.join(F.broadcast(c1), "__b1")
+            .join(F.broadcast(c12), "__b12")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (dsum_expr(lp) / F.count(F.lit(1)))
+                 .alias("avg_logprob")))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count per-language marker-token hits; argmax
     with ties going to the alphabetically-first language code (a CASE

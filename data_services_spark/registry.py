@@ -2355,6 +2355,43 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "doc_id").limit(_BM25_K))
 
 
+@register("lm_bigram_logprob", f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(2, len(tk)),
+               i -> ('0x' || substr(md5('11:' || tk[i-1]), 1, 15))::BIGINT
+                    % 256)) AS __b1,
+           unnest(list_transform(generate_series(2, len(tk)),
+               i -> ('0x' || substr(md5('11:' || tk[i-1] || '|' || tk[i]),
+                     1, 15))::BIGINT % 65536)) AS __b12
+    FROM t
+), c1 AS (
+    SELECT __b1, COUNT(*) AS __n1 FROM bg GROUP BY __b1
+), c12 AS (
+    SELECT __b12, COUNT(*) AS __n12 FROM bg GROUP BY __b12
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {sql_dsum_expr('ln(__n12 + 1) - ln(__n1 + 256)')} / COUNT(*)
+       AS avg_logprob
+FROM bg JOIN c1 USING (__b1) JOIN c12 USING (__b12)
+GROUP BY doc_id
+""")
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 quality, one order above lm_logprob: mean BIGRAM
+    log-probability under a self-trained hashed bigram model (the
+    CCNet-style perplexity filter — unigram scores cannot see
+    word-salad assembled from common tokens, a bigram model can).
+    Hashed contexts (256) and pairs (65536) keep the model fixed-size
+    whatever the corpus; every ln argument is an integer count and the
+    per-doc mean runs through the exact dsum."""
+    from data_services_spark.operators.text import bigram_logprob
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(d, n_buckets=256, seed=11)
+
+
 @register("text_repetition", """
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -5050,13 +5087,12 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash: embedding_quantize + winnow_fingerprint (r7 slots burned on the
 # driver's array-canonicalization err — both re-registered scalar-only
 # this round), semdedup + dsir_weights (added after the r7 rotation),
-# the new dsir_resample and bm25_topk oracles — plus 10 pinned
-# canonicals and the 34 STALEST re-checks (the single r3 name, all 32
-# r4 names, and the alphabetical head of r5). A green r8 closes the
-# cumulative union at 149/149 oracle-bearing queries (the recomputed
-# post-r7 union is 143/147 — COVERAGE.md carries the corrected
-# accounting; the previously claimed 145/145 did not survive the
-# actual driver run).
+# the new dsir_resample, bm25_topk and lm_bigram_logprob oracles —
+# plus 10 pinned canonicals and the 33 STALEST re-checks (the single
+# r3 name and all 32 r4 names). A green r8 closes the cumulative union
+# at 150/150 oracle-bearing queries (the recomputed post-r7 union is
+# 143/147 — COVERAGE.md carries the corrected accounting; the
+# previously claimed 145/145 did not survive the actual driver run).
 # The rows-only registry names (approx_distinct, hll_distinct_merge,
 # ivf_topk, minhash_lsh_pairs, simhash_fingerprint, semdedup_trained)
 # are rows-only BY DESIGN (engine-specific sketch/hash families or
@@ -5110,11 +5146,11 @@ PRIORITY = (
     # (their r7 slots recorded `err: unhashable numpy.ndarray`; the
     # class is now banned statically by test_type_parity.py::
     # test_no_nested_toplevel_columns_in_oracle_output) — plus the two
-    # post-rotation round-7 additions and the round-8 dsir_resample
-    # and bm25_topk oracles. A green here closes the cumulative
-    # driver-hash union at 149 of 149 oracle-bearing queries
-    # (recomputed union after r7 was 143 of 147 — see COVERAGE.md
-    # correction).
+    # post-rotation round-7 additions and the round-8 dsir_resample,
+    # bm25_topk and lm_bigram_logprob oracles. A green here closes the
+    # cumulative driver-hash union at 150 of 150 oracle-bearing
+    # queries (recomputed union after r7 was 143 of 147 — see
+    # COVERAGE.md correction).
     "embedding_quantize", "winnow_fingerprint", "semdedup",
     "dsir_weights", "dsir_resample",
     # stalest re-checks: last green r3
@@ -5129,10 +5165,8 @@ PRIORITY = (
     "stream_session", "string_functions", "table_diff", "text_dedup_exact",
     "text_tfidf", "text_token_stats", "vocab_topk", "window_lag_delta",
     "window_rank",
-    # round-8 addition, never verified
-    "bm25_topk",
-    # last green r5 (alphabetical head)
-    "graph_bfs",
+    # round-8 additions, never verified
+    "bm25_topk", "lm_bigram_logprob",
 )
 
 

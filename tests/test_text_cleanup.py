@@ -130,3 +130,70 @@ def test_bm25_matches_python_reference_and_ranks_relevance(spark):
     assert got[1] > got[2] > got[3]
     assert got[4] > got[3]
     assert got[3] == 0.0
+
+
+def test_bigram_logprob_matches_reference_and_flags_word_salad(spark):
+    """bigram_logprob must equal a plain-Python hashed bigram LM
+    (md5-bucketed contexts/pairs, add-one over token buckets), must be
+    repartition-invariant (dsum contract), and must do the thing the
+    unigram score cannot: rank word-salad built from COMMON tokens
+    below fluent text that repeats the corpus's dominant bigrams."""
+    import hashlib
+    import math
+
+    from data_services_spark.operators.text import (
+        bigram_logprob, unigram_logprob,
+    )
+
+    fluent = "the quick fox jumps over the quick fox"
+    # same unigram distribution as `fluent`, scrambled transitions
+    salad = "fox the jumps quick over fox the quick"
+    docs = [(i, fluent) for i in range(8)] + [(100, salad), (101, "one")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in bigram_logprob(d, n_buckets=64, seed=11).collect()}
+
+    B = 64
+
+    def h(s):
+        return int(hashlib.md5(f"11:{s}".encode()).hexdigest()[:15], 16)
+
+    c1, c12, perdoc = {}, {}, {}
+    for i, txt in docs:
+        tk = txt.lower().split()
+        pairs = list(zip(tk, tk[1:]))
+        perdoc[i] = pairs
+        for p, c in pairs:
+            c1[h(p) % B] = c1.get(h(p) % B, 0) + 1
+            k = h(f"{p}|{c}") % (B * B)
+            c12[k] = c12.get(k, 0) + 1
+
+    for i, pairs in perdoc.items():
+        if not pairs:
+            assert i not in got  # single-token doc: no bigram, dropped
+            continue
+        # mirror the engine's dsum: per-term 1e-6 quantization of the
+        # fractional part (integer part + round(frac * 1e6) summed)
+        ip = fp = 0
+        for p, c in pairs:
+            v = (math.log(c12[h(f"{p}|{c}") % (B * B)] + 1)
+                 - math.log(c1[h(p) % B] + B))
+            ip += math.floor(v)
+            fp += math.floor((v - math.floor(v)) * 1_000_000 + 0.5)
+        ref = (ip + fp / 1_000_000) / len(pairs)
+        n, lp = got[i]
+        assert n == len(pairs)
+        assert abs(lp - ref) < 1e-12, (i, lp, ref)
+
+    # the bigram filter separates salad from fluency...
+    assert got[100][1] < got[0][1]
+    # ...which the unigram score structurally cannot (same tokens)
+    uni = {r["doc_id"]: r["avg_logprob"]
+           for r in unigram_logprob(d).collect()}
+    assert abs(uni[100] - uni[0]) < 1e-9
+
+    # repartition invariance (dsum contract)
+    again = {r["doc_id"]: r["avg_logprob"]
+             for r in bigram_logprob(d.repartition(7), n_buckets=64,
+                                     seed=11).collect()}
+    assert again == {k: v[1] for k, v in got.items()}
