@@ -1223,3 +1223,154 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return embeddings.select(F.col(id_col), scale.alias("scale"),
                              q.alias("qvec"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN compression step past int8 scalar
+# quantization: dim splits into m subvectors, each encoded as the index of
+# its nearest per-subspace centroid (m bytes per vector at k<=256), and
+# queries score against codes via an asymmetric-distance LUT without ever
+# reconstructing vectors (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011). Composes with the IVF index (IVF-PQ is
+# the canonical billion-scale layout: coarse cells prune, codes score).
+# ---------------------------------------------------------------------------
+
+def pq_fixed_codebooks(dim: int, m: int = 8, k: int = 16,
+                       seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic literal codebooks (m x k x dim/m, rounded to 6
+    decimals) — the hyperplane_planes device: fixed literals make every
+    PQ stage exactly expressible in both Spark SQL and the DuckDB
+    oracle, turning PQ from a rows-only check into a value-hash one.
+    Production trains real codebooks with :func:`pq_train`."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rs = np.random.RandomState(seed)
+    dsub = dim // m
+    return [[[float(x) for x in np.round(row, 6)]
+             for row in rs.uniform(-1.0, 1.0, size=(k, dsub))]
+            for _ in range(m)]
+
+
+def _pq_code_sql(vec: str, j: int, codebook, dsub: int,
+                 engine: str) -> str:
+    """0-based nearest-centroid code for subspace j as ONE SQL string,
+    generated for either engine from the same literal fold so the
+    argmin keys are bit-identical doubles: dk_c = |c|^2 - 2*(c . x_j)
+    (|x_j|^2 is constant under the argmin). Ties take the FIRST
+    position in both engines (array_position/list_position return the
+    first match of the min)."""
+    base = j * dsub
+    one = "CAST({v}[{i}] AS DOUBLE)"
+    # Spark SQL arrays index 0-based, DuckDB lists 1-based; float
+    # literals ride as CAST('repr' AS DOUBLE) — the _bucket_expr
+    # device, valid in BOTH dialects and exactly the Python repr
+    # round-trip (a bare decimal literal would parse as DECIMAL in
+    # both engines and poison the arithmetic)
+    off = 0 if engine == "spark" else 1
+    amin, apos = (("array_min", "array_position") if engine == "spark"
+                  else ("list_min", "list_position"))
+
+    def lit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    dks = []
+    for c in codebook:
+        c_sq = float(sum(x * x for x in c))
+        dot = " + ".join(
+            f"{one.format(v=vec, i=base + i + off)} * {lit(c[i])}"
+            for i in range(dsub))
+        dks.append(f"{lit(c_sq)} - 2.0 * ({dot})")
+    arr = "[" + ", ".join(dks) + "]" if engine != "spark" \
+        else "array(" + ", ".join(dks) + ")"
+    return f"CAST({apos}({arr}, {amin}({arr})) - 1 AS INT)"
+
+
+def pq_encode_expr(vec_col: str, codebooks, engine: str = "spark"):
+    """Per-subspace code expressions (list of SQL strings)."""
+    dsub = len(codebooks[0][0])
+    return [_pq_code_sql(vec_col, j, cb, dsub, engine)
+            for j, cb in enumerate(codebooks)]
+
+
+def pq_encode(embeddings: DataFrame, codebooks,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as its m PQ codes — a map-only projection
+    (the literal-fold device: each subspace's k distance keys unroll
+    into one flat SQL expression inside whole-stage codegen; no
+    shuffle, no Python). Returns (id, code0..code{m-1} int columns) —
+    scalar columns by design: the driver canonicalizer cannot sort
+    array cells, and m is small and fixed."""
+    exprs = pq_encode_expr(vec_col, codebooks, "spark")
+    return embeddings.select(
+        F.col(id_col),
+        *[F.expr(e).alias(f"code{j}") for j, e in enumerate(exprs)])
+
+
+def pq_adc_topk(embeddings: DataFrame, query: Sequence[float],
+                codebooks, k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: the query stays a full-precision
+    literal, the corpus is scored through its codes via a per-subspace
+    lookup table LUT[j][c] = |q_j - C[j][c]|^2 computed DRIVER-side
+    (m*k doubles — metadata scale) and folded into the plan as
+    literals; distance(x) = sum_j LUT[j][code_j(x)]. One map-only
+    scoring pass + TakeOrderedAndProject — at 100 TB this is the probe
+    shape that reads m bytes per vector instead of 4*dim.
+
+    Returns (rank, vec_id, adist) ordered by (adist asc, id)."""
+    m, kk = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(f"query dim {len(query)} != {m * dsub}")
+    codes = pq_encode_expr(vec_col, codebooks, "spark")
+    terms = []
+    for j, cb in enumerate(codebooks):
+        lut = [float(sum((query[j * dsub + i] - c[i]) ** 2
+                         for i in range(dsub))) for c in cb]
+        arr = "array(" + ", ".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in lut) + ")"
+        terms.append(f"element_at({arr}, ({codes[j]}) + 1)")
+    dist = " + ".join(terms)
+    w = Window.orderBy(F.col("adist").asc(), F.col(id_col))
+    scored = (embeddings
+              .select(F.col(id_col), F.expr(dist).alias("adist"))
+              .orderBy(F.col("adist").asc(), F.col(id_col)).limit(k))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col, "adist")
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
+             vec_col: str = "embedding", seed: int = 42,
+             sample_fraction: float | None = None):
+    """Train real PQ codebooks: an independent k-means per subspace
+    (the paper's construction). Training reads a sample; the returned
+    codebooks are a driver artifact (m*k*dsub floats — the centroid
+    contract) that feeds :func:`pq_encode`/:func:`pq_adc_topk` as
+    literals, so ENCODING and PROBING never touch Python or re-fit.
+    m fits run sequentially — build-time cost, not probe-time."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    base = embeddings.select(F.col(vec_col).cast("array<double>")
+                             .alias("__v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    books = []
+    for j in range(m):
+        sub = base.select(array_to_vector(
+            F.slice("__v", j * dsub + 1, dsub)).alias("__fv"))
+        model = KMeans(k=k, seed=seed + j, featuresCol="__fv",
+                       predictionCol="__c").fit(sub)
+        books.append([[float(x) for x in c]
+                      for c in model.clusterCenters()])
+    return books

@@ -200,6 +200,15 @@ EXPECTED = {
     "lm_bigram_logprob": dict(scans=3, pushed_min=0,
                               joins={"BroadcastHashJoin"},
                               exchanges_max=3, single_max=0, py=0),
+    # round-8 PQ: encoding is a pure map-only projection (codes unroll
+    # as literal-fold argmins in one scan, zero exchanges); the ADC
+    # probe scores codes against a literal LUT and TakeOrderedAndProject
+    # merges k rows driver-side (the row_number over the k-row result
+    # is post-AQE windowing of 10 rows, not an exchange).
+    "pq_encode": dict(scans=1, pushed_min=0, joins=set(),
+                      exchanges_max=0, single_max=0, py=0),
+    "pq_adc_topk": dict(scans=1, pushed_min=0, joins=set(),
+                        exchanges_max=0, single_max=0, py=0),
 }
 
 
