@@ -1374,3 +1374,58 @@ def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
         books.append([[float(x) for x in c]
                       for c in model.clusterCenters()])
     return books
+
+
+def ivf_pq_topk(embeddings: DataFrame, query: Sequence[float],
+                centroids: Sequence[Sequence[float]], codebooks,
+                k: int = 10, nprobe: int = 2,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ probe — the canonical billion-scale ANN composition
+    (Jegou et al. TPAMI'11 §IVFADC): the coarse quantizer prunes the
+    corpus to `nprobe` cells, PQ codes score the survivors against the
+    full-precision query via the ADC LUT. With literal centroids AND
+    literal codebooks the WHOLE probe is one map-only pass inside
+    whole-stage codegen: cell assignment (literal-fold argmax dot),
+    cell membership test against nprobe LITERAL cell ids (ranked
+    driver-side from the literal query — pure metadata arithmetic,
+    embedded identically in the oracle), ADC scoring, and
+    TakeOrderedAndProject. Zero joins, zero shuffles; with the trained
+    partitioned index the cell filter becomes directory pruning
+    (ivf_build_index) — this literal twin is the exactly-checkable
+    form of that probe, distances included.
+    """
+    qd = [float(sum(float(q) * float(c) for q, c in zip(query, cen)))
+          for cen in centroids]
+    order = sorted(range(len(centroids)), key=lambda i: (-qd[i], i))
+    probed = [i + 1 for i in order[:nprobe]]  # 1-based cell ids
+
+    dots = F.array(*[
+        dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+        for c in centroids])
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(f"query dim {len(query)} != {m * dsub}")
+    codes = pq_encode_expr(vec_col, codebooks, "spark")
+    terms = []
+    for j, cb in enumerate(codebooks):
+        lut = [float(sum((query[j * dsub + i] - c[i]) ** 2
+                         for i in range(dsub))) for c in cb]
+        arr = "array(" + ", ".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in lut) + ")"
+        terms.append(f"element_at({arr}, ({codes[j]}) + 1)")
+    dist = " + ".join(terms)
+
+    scored = (embeddings
+              .withColumn("__ds", dots)
+              .withColumn("__cell",
+                          F.array_position(F.col("__ds"),
+                                           F.array_max("__ds"))
+                          .cast("long"))
+              .filter(F.col("__cell").isin([int(c) for c in probed]))
+              .select(F.col(id_col), F.expr(dist).alias("adist")))
+    top = scored.orderBy(F.col("adist").asc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("adist").asc(), F.col(id_col))
+    return top.select(F.row_number().over(w).cast("long").alias("rank"),
+                      F.col(id_col), F.col("adist"))

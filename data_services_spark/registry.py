@@ -2174,6 +2174,56 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(e, _pq_query(), _pq_books(), k=10)
 
 
+def _ivf_pq_sql(k: int = 10, nprobe: int = 3) -> str:
+    from data_services_spark.operators.similarity import pq_encode_expr
+    books, q, cents = _pq_books(), _pq_query(), _ivf_centroids()
+    dsub = len(books[0][0])
+    # nprobe cells ranked DRIVER-side from the literal query — pure
+    # metadata arithmetic embedded identically in both engines
+    qd = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    order = sorted(range(len(cents)), key=lambda i: (-qd[i], i))
+    probed = ", ".join(str(i + 1) for i in order[:nprobe])
+    codes = pq_encode_expr("embedding", books, "duckdb")
+    terms = []
+    for j, cb in enumerate(books):
+        lut = ", ".join(
+            f"CAST('{float(sum((q[j * dsub + i] - c[i]) ** 2 for i in range(dsub)))!r}' AS DOUBLE)"
+            for c in cb)
+        terms.append(f"list_element([{lut}], ({codes[j]}) + 1)")
+    dist = " + ".join(terms)
+    return f"""
+WITH tagged AS (
+    SELECT vec_id, embedding,
+           list_position(ds, list_max(ds)) AS cell
+    FROM (SELECT vec_id, embedding, {_ivf_dots_sql('embedding')} AS ds
+          FROM embeddings)
+), scored AS (
+    SELECT vec_id, {dist} AS adist
+    FROM tagged WHERE cell IN ({probed})
+)
+SELECT CAST(row_number() OVER (ORDER BY adist, vec_id) AS BIGINT) AS rank,
+       vec_id, adist
+FROM scored ORDER BY adist, vec_id LIMIT {k}
+"""
+
+
+@register("ivf_pq_topk", _ivf_pq_sql())
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/ANN capstone: the IVF-PQ probe (Jegou et al. TPAMI'11
+    IVFADC) — coarse cells prune the corpus to nprobe partitions, PQ
+    codes score the survivors against the full-precision query via the
+    ADC LUT. Literal centroids + literal codebooks + literal query
+    make the WHOLE probe one map-only codegen pass (zero joins, zero
+    shuffles, TakeOrderedAndProject) and a full value-hash oracle
+    including the float distances; the trained/partitioned production
+    path is the same shape with the cell filter as directory pruning
+    (ivf_build_index + pq_train)."""
+    from data_services_spark.operators.similarity import ivf_pq_topk
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(e, _pq_query(), _ivf_centroids(), _pq_books(),
+                       k=10, nprobe=3)
+
+
 @register("knn_per_label", """
 WITH pairs AS (
     SELECT a.vec_id, b.vec_id AS nn_id,
@@ -5161,15 +5211,15 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash: embedding_quantize + winnow_fingerprint (r7 slots burned on the
 # driver's array-canonicalization err — both re-registered scalar-only
 # this round), semdedup + dsir_weights (added after the r7 rotation),
-# the new dsir_resample, bm25_topk, lm_bigram_logprob, pq_encode and
-# pq_adc_topk oracles — plus 10 pinned canonicals and the 31 STALEST
-# re-checks (the single r3 name and 30 of the 32 r4 names —
-# window_lag_delta/window_rank yield to the never-verified PQ pair and
-# keep their r4 greens + sweep coverage). A green r8 closes the
-# cumulative union at 152/152 oracle-bearing queries (the recomputed
-# post-r7 union is 143/147 — COVERAGE.md carries the corrected
-# accounting; the previously claimed 145/145 did not survive the
-# actual driver run).
+# the new dsir_resample, bm25_topk, lm_bigram_logprob, pq_encode,
+# pq_adc_topk and ivf_pq_topk oracles — plus 10 pinned canonicals and
+# the 30 STALEST re-checks (the single r3 name and 29 of the 32 r4
+# names — window_lag_delta/window_rank/vocab_topk yield to the
+# never-verified round-8 ANN queries and keep their r4 greens + sweep
+# coverage). A green r8 closes the cumulative union at 153/153
+# oracle-bearing queries (the recomputed post-r7 union is 143/147 —
+# COVERAGE.md carries the corrected accounting; the previously claimed
+# 145/145 did not survive the actual driver run).
 # The rows-only registry names (approx_distinct, hll_distinct_merge,
 # ivf_topk, minhash_lsh_pairs, simhash_fingerprint, semdedup_trained)
 # are rows-only BY DESIGN (engine-specific sketch/hash families or
@@ -5223,11 +5273,12 @@ PRIORITY = (
     # (their r7 slots recorded `err: unhashable numpy.ndarray`; the
     # class is now banned statically by test_type_parity.py::
     # test_no_nested_toplevel_columns_in_oracle_output) — plus the two
-    # post-rotation round-7 additions and the round-8 dsir_resample,
-    # bm25_topk, lm_bigram_logprob, pq_encode and pq_adc_topk oracles.
-    # A green here closes the cumulative driver-hash union at 152 of
-    # 152 oracle-bearing queries (recomputed union after r7 was 143 of
-    # 147 — see COVERAGE.md correction).
+    # post-rotation round-7 additions and the six round-8 oracles
+    # (dsir_resample, bm25_topk, lm_bigram_logprob, pq_encode,
+    # pq_adc_topk, ivf_pq_topk). A green here closes the cumulative
+    # driver-hash union at 153 of 153 oracle-bearing queries
+    # (recomputed union after r7 was 143 of 147 — see COVERAGE.md
+    # correction).
     "embedding_quantize", "winnow_fingerprint", "semdedup",
     "dsir_weights", "dsir_resample",
     # stalest re-checks: last green r3
@@ -5240,11 +5291,13 @@ PRIORITY = (
     "q22_lost_customers", "q5_region_revenue", "quality_fk", "scd2_apply",
     "set_except", "sliding_window", "stats_corr", "stream_enrich",
     "stream_session", "string_functions", "table_diff", "text_dedup_exact",
-    "text_tfidf", "text_token_stats", "vocab_topk",
-    # round-8 additions, never verified (window_lag_delta/window_rank
-    # yield their stale-re-check slots — both hold r4 greens and stay
-    # in the per-round strict sweep; never-verified beats stale)
+    "text_tfidf", "text_token_stats",
+    # round-8 additions, never verified (window_lag_delta/window_rank/
+    # vocab_topk yield their stale-re-check slots — all hold r4 greens
+    # and stay in the per-round strict sweep; never-verified beats
+    # stale)
     "bm25_topk", "lm_bigram_logprob", "pq_encode", "pq_adc_topk",
+    "ivf_pq_topk",
 )
 
 

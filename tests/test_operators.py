@@ -1578,3 +1578,37 @@ def test_pq_roundtrip_reference_and_trained_recall(spark):
                            k=10).collect()]
     assert all(i % 6 == 7 % 6 for i in got_top), got_top
     assert 7 in got_top or exact[0] in got_top
+
+
+def test_ivf_pq_probe_consistent_with_full_adc(spark):
+    """The IVF-PQ probe must (a) return EXACTLY the full-corpus ADC
+    ranking restricted to the probed cells (pruning changes which rows
+    are scored, never a survivor's distance), and (b) at nprobe = all
+    cells, equal the full ADC top-k outright."""
+    import random
+
+    from data_services_spark.operators.similarity import (
+        hyperplane_planes, ivf_pq_topk, pq_adc_topk, pq_fixed_codebooks,
+    )
+
+    dim = 16
+    rnd = random.Random(9)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = hyperplane_planes(dim, 4, seed=3)
+    books = pq_fixed_codebooks(dim, m=4, k=8, seed=7)
+    q = [0.3 * ((x % 5) - 2) for x in range(dim)]
+
+    full = {r["vec_id"]: r["adist"]
+            for r in pq_adc_topk(e, q, books, k=200).collect()}
+    probed = ivf_pq_topk(e, q, cents, books, k=10, nprobe=2).collect()
+    assert len(probed) == 10
+    for r in probed:
+        assert abs(r["adist"] - full[r["vec_id"]]) < 1e-12
+
+    # nprobe = all cells -> identical to the unpruned ADC top-k
+    allcells = [(r["vec_id"], r["adist"]) for r in
+                ivf_pq_topk(e, q, cents, books, k=10,
+                            nprobe=len(cents)).collect()]
+    ref = sorted(full.items(), key=lambda t: (t[1], t[0]))[:10]
+    assert allcells == ref

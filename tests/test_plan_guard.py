@@ -209,6 +209,11 @@ EXPECTED = {
                       exchanges_max=0, single_max=0, py=0),
     "pq_adc_topk": dict(scans=1, pushed_min=0, joins=set(),
                         exchanges_max=0, single_max=0, py=0),
+    # the IVF-PQ probe composes cell pruning + ADC scoring in the SAME
+    # single map-only pass: still one scan, no joins, no exchanges —
+    # the nprobe cells are literal ints chosen driver-side.
+    "ivf_pq_topk": dict(scans=1, pushed_min=0, joins=set(),
+                        exchanges_max=0, single_max=0, py=0),
 }
 
 
