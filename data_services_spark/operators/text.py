@@ -336,6 +336,47 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
                  .alias("avg_logprob")))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    stride: int = 96, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """RAG/embedding chunking with overlap: token windows of
+    ``chunk_tokens``, each window starting ``stride`` tokens after the
+    previous (overlap = chunk_tokens - stride) — the standard
+    long-document preparation before embedding or retrieval indexing.
+
+    Contract: chunk ``j`` covers tokens [j*stride, j*stride +
+    chunk_tokens) (0-based), for every j with j*stride < n_tokens, so
+    the tail of a document always lands in at least one chunk and the
+    chunking is a pure per-row function of the text (stable under
+    repartitioning and rebuilds — membership never leaks).
+
+    Zero-shuffle map-side explode: tokenize once, transform over the
+    start sequence, slice per window — all higher-order array
+    functions, no Python, no join; at 100 TB this is a map-only pass
+    whose output partitioning follows the input's.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = F.col("__t")
+    n = F.size(t)
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    chunk = F.explode(F.transform(
+        starts,
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_id"),
+            F.slice(t, j * stride + 1, chunk_tokens).alias("__ck"))))
+    return (docs
+            .select(F.col(id_col), tokenize(text_col).alias("__t"))
+            .select(F.col(id_col), chunk.alias("__c"))
+            .select(F.col(id_col),
+                    F.col("__c.chunk_id").alias("chunk_id"),
+                    F.size("__c.__ck").cast("long")
+                    .alias("n_chunk_tokens"),
+                    F.array_join("__c.__ck", " ").alias("chunk_text")))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count per-language marker-token hits; argmax
     with ties going to the alphabetically-first language code (a CASE

@@ -2516,6 +2516,34 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, n_buckets=256, seed=11)
 
 
+@register("doc_chunks", """
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+    FROM documents
+), s AS (
+    SELECT doc_id, tk,
+           unnest(generate_series(0, (len(tk) - 1) // 48)) AS chunk_id
+    FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+           AS chunk_text
+FROM s
+""")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/RAG preparation: overlapping token-window chunking (64-token
+    chunks, stride 48 => 16-token overlap) — the standard long-document
+    split before embedding or retrieval indexing. Chunk membership is a
+    pure per-row function of the text (stable under repartitioning and
+    corpus rebuilds); the whole operator is one zero-shuffle map-side
+    explode of higher-order array slices."""
+    from data_services_spark.operators.text import chunk_documents
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, stride=48)
+
+
 @register("text_repetition", """
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -5211,15 +5239,16 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash: embedding_quantize + winnow_fingerprint (r7 slots burned on the
 # driver's array-canonicalization err — both re-registered scalar-only
 # this round), semdedup + dsir_weights (added after the r7 rotation),
-# the new dsir_resample, bm25_topk, lm_bigram_logprob, pq_encode,
-# pq_adc_topk and ivf_pq_topk oracles — plus 10 pinned canonicals and
-# the 30 STALEST re-checks (the single r3 name and 29 of the 32 r4
-# names — window_lag_delta/window_rank/vocab_topk yield to the
-# never-verified round-8 ANN queries and keep their r4 greens + sweep
-# coverage). A green r8 closes the cumulative union at 153/153
-# oracle-bearing queries (the recomputed post-r7 union is 143/147 —
-# COVERAGE.md carries the corrected accounting; the previously claimed
-# 145/145 did not survive the actual driver run).
+# the seven new round-8 oracles (dsir_resample, bm25_topk,
+# lm_bigram_logprob, pq_encode, pq_adc_topk, ivf_pq_topk, doc_chunks)
+# — plus 10 pinned canonicals and the 29 STALEST re-checks (the single
+# r3 name and 28 of the 32 r4 names — window_lag_delta/window_rank/
+# vocab_topk/text_token_stats yield to the never-verified round-8
+# queries and keep their r4 greens + sweep coverage). A green r8
+# closes the cumulative union at 154/154 oracle-bearing queries (the
+# recomputed post-r7 union is 143/147 — COVERAGE.md carries the
+# corrected accounting; the previously claimed 145/145 did not survive
+# the actual driver run).
 # The rows-only registry names (approx_distinct, hll_distinct_merge,
 # ivf_topk, minhash_lsh_pairs, simhash_fingerprint, semdedup_trained)
 # are rows-only BY DESIGN (engine-specific sketch/hash families or
@@ -5273,12 +5302,12 @@ PRIORITY = (
     # (their r7 slots recorded `err: unhashable numpy.ndarray`; the
     # class is now banned statically by test_type_parity.py::
     # test_no_nested_toplevel_columns_in_oracle_output) — plus the two
-    # post-rotation round-7 additions and the six round-8 oracles
+    # post-rotation round-7 additions and the seven round-8 oracles
     # (dsir_resample, bm25_topk, lm_bigram_logprob, pq_encode,
-    # pq_adc_topk, ivf_pq_topk). A green here closes the cumulative
-    # driver-hash union at 153 of 153 oracle-bearing queries
-    # (recomputed union after r7 was 143 of 147 — see COVERAGE.md
-    # correction).
+    # pq_adc_topk, ivf_pq_topk, doc_chunks). A green here closes the
+    # cumulative driver-hash union at 154 of 154 oracle-bearing
+    # queries (recomputed union after r7 was 143 of 147 — see
+    # COVERAGE.md correction).
     "embedding_quantize", "winnow_fingerprint", "semdedup",
     "dsir_weights", "dsir_resample",
     # stalest re-checks: last green r3
@@ -5291,13 +5320,13 @@ PRIORITY = (
     "q22_lost_customers", "q5_region_revenue", "quality_fk", "scd2_apply",
     "set_except", "sliding_window", "stats_corr", "stream_enrich",
     "stream_session", "string_functions", "table_diff", "text_dedup_exact",
-    "text_tfidf", "text_token_stats",
+    "text_tfidf",
     # round-8 additions, never verified (window_lag_delta/window_rank/
-    # vocab_topk yield their stale-re-check slots — all hold r4 greens
-    # and stay in the per-round strict sweep; never-verified beats
-    # stale)
+    # vocab_topk/text_token_stats yield their stale-re-check slots —
+    # all hold r4 greens and stay in the per-round strict sweep;
+    # never-verified beats stale)
     "bm25_topk", "lm_bigram_logprob", "pq_encode", "pq_adc_topk",
-    "ivf_pq_topk",
+    "ivf_pq_topk", "doc_chunks",
 )
 
 

@@ -197,3 +197,40 @@ def test_bigram_logprob_matches_reference_and_flags_word_salad(spark):
              for r in bigram_logprob(d.repartition(7), n_buckets=64,
                                      seed=11).collect()}
     assert again == {k: v[1] for k, v in got.items()}
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunking contract: chunk j covers tokens [j*stride, j*stride+
+    chunk); every token lands in >= 1 chunk; consecutive chunks overlap
+    by chunk - stride; short docs yield exactly one chunk; the split is
+    a pure function of the text (repartition-stable)."""
+    from data_services_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = [(1, text), (2, "a b c"), (3, "solo")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["n_chunk_tokens"], r["chunk_text"])
+
+    # doc 1: 10 tokens, starts 0,3,6,9 -> 4 chunks
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0] == (4, "w0 w1 w2 w3")
+    assert by_doc[1][1] == (4, "w3 w4 w5 w6")      # 1-token overlap
+    assert by_doc[1][3] == (1, "w9")               # tail chunk
+    toks = set()
+    for _, txt in by_doc[1].values():
+        toks.update(txt.split())
+    assert toks == {f"w{i}" for i in range(10)}    # full coverage
+    assert by_doc[2] == {0: (3, "a b c")}
+    assert by_doc[3] == {0: (1, "solo")}
+
+    again = chunk_documents(d.repartition(5), chunk_tokens=4,
+                            stride=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=0)
