@@ -331,9 +331,19 @@ def dsir_release() -> None:
     :func:`dsir_logweights` call. Safe to call any time; a previously
     returned weights DataFrame stays CORRECT afterwards (evicted cache
     degrades to recomputation, the documented MEMORY_ONLY contract),
-    it just loses the single-materialization speedup."""
+    it just loses the single-materialization speedup.
+
+    'Any time' includes AFTER the owning SparkSession stopped: the
+    cached blocks died with that session's BlockManager, so a failing
+    JVM-side unpersist (NullPointerException from the dead driver
+    endpoint) means there is nothing left to release — swallow it
+    rather than fail a valid call on a fresh session (round-8 review)."""
     while _DSIR_CACHE:
-        _DSIR_CACHE.pop().unpersist()
+        df = _DSIR_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - dead-session cache is gone
+            pass
 
 
 def dsir_logweights(docs: DataFrame, target: DataFrame,

@@ -919,41 +919,56 @@ def ivf_build_index(embeddings: DataFrame, index_dir: str,
         vecs.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="__fv",
                    predictionCol="__cell").fit(train)
+    from pyspark import StorageLevel
+    # persist bounds the build to ONE assignment pass: the histogram
+    # collect below and the corpus write both consume `assigned`, and
+    # without a cache each action re-runs the full model.transform
+    # lineage over the corpus (round-8 review). Build-scoped: the
+    # function is eager end-to-end, so the unpersist in `finally`
+    # leaves no cache behind. MEMORY_AND_DISK, not MEMORY_ONLY: an
+    # evicted partition here would recompute the k-means transform,
+    # which is exactly the pass being saved.
     assigned = model.transform(vecs).select(
-        id_col, vec_col, F.col("__cell").cast("int").alias("__cell"))
-    # realized cell histogram: n_cells rows — a driver artifact (the
-    # centroids.json contract), used by semdedup_indexed's slab-budget
-    # warning and kept an UPPER BOUND by ivf_append
-    cell_counts = {int(r["__cell"]): int(r["cnt"]) for r in
-                   assigned.groupBy("__cell")
-                           .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        id_col, vec_col, F.col("__cell").cast("int").alias("__cell")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # realized cell histogram: n_cells rows — a driver artifact
+        # (the centroids.json contract), used by semdedup_indexed's
+        # slab-budget warning and kept an UPPER BOUND by ivf_append
+        cell_counts = {int(r["__cell"]): int(r["cnt"]) for r in
+                       assigned.groupBy("__cell")
+                               .agg(F.count(F.lit(1)).alias("cnt"))
+                               .collect()}
 
-    meta = {
-        "n_cells": n_cells, "seed": seed,
-        "id_col": id_col, "vec_col": vec_col,
-        "auto_sized": auto_sized,
-        "target_cell_size": target_cell_size,
-        "max_cell": max(cell_counts.values(), default=0),
-        "cell_counts": {str(c): n for c, n in cell_counts.items()},
-        "centroids": [[float(x) for x in c]
-                      for c in model.clusterCenters()],
-    }
-    if incremental:
-        from data_services_spark.streaming.ingest import merge_upsert_batch
-        # versioned subdir: a retrain builds a sibling state and swaps
-        # the artifact pointer, so probes against the old quantizer
-        # stay consistent until the swap
-        subdir = f"corpus_state-{uuid.uuid4().hex[:8]}"
-        n_indexed = _ivf_state_write(assigned, index_dir, subdir,
-                                     batch_id=0, id_col=id_col,
-                                     vec_col=vec_col, n_cells=n_cells)
-        meta.update({"layout": "generational", "state_subdir": subdir,
-                     "n_indexed": n_indexed, "appended": 0})
-    else:
-        corpus_dir = os.path.join(index_dir, "corpus")
-        assigned.write.mode("overwrite").partitionBy("__cell") \
-            .parquet(corpus_dir)
-        meta["layout"] = "static"
+        meta = {
+            "n_cells": n_cells, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+            "auto_sized": auto_sized,
+            "target_cell_size": target_cell_size,
+            "max_cell": max(cell_counts.values(), default=0),
+            "cell_counts": {str(c): n for c, n in cell_counts.items()},
+            "centroids": [[float(x) for x in c]
+                          for c in model.clusterCenters()],
+        }
+        if incremental:
+            # versioned subdir: a retrain builds a sibling state and
+            # swaps the artifact pointer, so probes against the old
+            # quantizer stay consistent until the swap
+            subdir = f"corpus_state-{uuid.uuid4().hex[:8]}"
+            n_indexed = _ivf_state_write(assigned, index_dir, subdir,
+                                         batch_id=0, id_col=id_col,
+                                         vec_col=vec_col,
+                                         n_cells=n_cells)
+            meta.update({"layout": "generational",
+                         "state_subdir": subdir,
+                         "n_indexed": n_indexed, "appended": 0})
+        else:
+            corpus_dir = os.path.join(index_dir, "corpus")
+            assigned.write.mode("overwrite").partitionBy("__cell") \
+                .parquet(corpus_dir)
+            meta["layout"] = "static"
+    finally:
+        assigned.unpersist()
     # artifact lands atomically AFTER the corpus: a crash mid-build
     # leaves no centroids.json, and the builder simply rebuilds
     _ivf_write_meta(index_dir, meta)
@@ -1068,16 +1083,24 @@ def ivf_append(spark, index_dir: str, new_vectors: DataFrame,
     # idempotent re-append of an existing id counts twice here while
     # the state upserts it once — fine for the slab-budget warning,
     # which only needs a ceiling). n_cells rows collected: the same
-    # driver-artifact scale as the centroid list itself.
-    batch_counts = {int(r["__cell"]): int(r["cnt"]) for r in
-                    assigned.groupBy("__cell")
-                            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    counts = {int(c): int(v)
-              for c, v in meta.get("cell_counts", {}).items()}
-    for c, v in batch_counts.items():
-        counts[c] = counts.get(c, 0) + v
-    meta["cell_counts"] = {str(c): v for c, v in counts.items()}
-    meta["max_cell"] = max(counts.values(), default=0)
+    # driver-artifact scale as the centroid list itself. A LEGACY
+    # index (built before histograms existed) has no cell_counts —
+    # skip maintenance rather than fabricate a max_cell from the
+    # append batch alone, which would be an UNDER-count that silently
+    # suppresses semdedup_indexed's slab-budget warning (round-8
+    # review); absent stays absent, and the artifact makes no false
+    # claim until a retrain rebuilds the true histogram.
+    if "cell_counts" in meta:
+        batch_counts = {int(r["__cell"]): int(r["cnt"]) for r in
+                        assigned.groupBy("__cell")
+                                .agg(F.count(F.lit(1)).alias("cnt"))
+                                .collect()}
+        counts = {int(c): int(v)
+                  for c, v in meta["cell_counts"].items()}
+        for c, v in batch_counts.items():
+            counts[c] = counts.get(c, 0) + v
+        meta["cell_counts"] = {str(c): v for c, v in counts.items()}
+        meta["max_cell"] = max(counts.values(), default=0)
     n = _ivf_state_write(assigned, index_dir, meta["state_subdir"],
                          batch_id=batch_id, id_col=id_col,
                          vec_col=vec_col, n_cells=meta["n_cells"])
@@ -1294,6 +1317,33 @@ def pq_encode_expr(vec_col: str, codebooks, engine: str = "spark"):
             for j, cb in enumerate(codebooks)]
 
 
+def pq_adc_dist_sql(vec_col: str, query: Sequence[float], codebooks,
+                    engine: str = "spark") -> str:
+    """The ADC distance as ONE SQL string for either engine: per
+    subspace, LUT[j][c] = |q_j - C[j][c]|^2 is computed driver-side
+    and folded in as literals; distance = sum_j LUT[j][code_j(x)].
+    Single source of truth for the bit-exactness-critical expression —
+    pq_adc_topk, ivf_pq_topk, and both registry oracle builders all
+    render from here, so the Spark plan and the DuckDB oracle cannot
+    drift apart (round-8 review: this fold was previously copy-pasted
+    four times)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(query) != m * dsub:
+        raise ValueError(f"query dim {len(query)} != {m * dsub}")
+    codes = pq_encode_expr(vec_col, codebooks, engine)
+    terms = []
+    for j, cb in enumerate(codebooks):
+        lut = [float(sum((query[j * dsub + i] - c[i]) ** 2
+                         for i in range(dsub))) for c in cb]
+        lits = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in lut)
+        if engine == "spark":
+            terms.append(f"element_at(array({lits}), ({codes[j]}) + 1)")
+        else:
+            terms.append(f"list_element([{lits}], ({codes[j]}) + 1)")
+    return " + ".join(terms)
+
+
 def pq_encode(embeddings: DataFrame, codebooks,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -1322,19 +1372,7 @@ def pq_adc_topk(embeddings: DataFrame, query: Sequence[float],
     shape that reads m bytes per vector instead of 4*dim.
 
     Returns (rank, vec_id, adist) ordered by (adist asc, id)."""
-    m, kk = len(codebooks), len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    if len(query) != m * dsub:
-        raise ValueError(f"query dim {len(query)} != {m * dsub}")
-    codes = pq_encode_expr(vec_col, codebooks, "spark")
-    terms = []
-    for j, cb in enumerate(codebooks):
-        lut = [float(sum((query[j * dsub + i] - c[i]) ** 2
-                         for i in range(dsub))) for c in cb]
-        arr = "array(" + ", ".join(
-            f"CAST('{x!r}' AS DOUBLE)" for x in lut) + ")"
-        terms.append(f"element_at({arr}, ({codes[j]}) + 1)")
-    dist = " + ".join(terms)
+    dist = pq_adc_dist_sql(vec_col, query, codebooks, "spark")
     w = Window.orderBy(F.col("adist").asc(), F.col(id_col))
     scored = (embeddings
               .select(F.col(id_col), F.expr(dist).alias("adist"))
@@ -1403,19 +1441,7 @@ def ivf_pq_topk(embeddings: DataFrame, query: Sequence[float],
     dots = F.array(*[
         dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
         for c in centroids])
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    if len(query) != m * dsub:
-        raise ValueError(f"query dim {len(query)} != {m * dsub}")
-    codes = pq_encode_expr(vec_col, codebooks, "spark")
-    terms = []
-    for j, cb in enumerate(codebooks):
-        lut = [float(sum((query[j * dsub + i] - c[i]) ** 2
-                         for i in range(dsub))) for c in cb]
-        arr = "array(" + ", ".join(
-            f"CAST('{x!r}' AS DOUBLE)" for x in lut) + ")"
-        terms.append(f"element_at({arr}, ({codes[j]}) + 1)")
-    dist = " + ".join(terms)
+    dist = pq_adc_dist_sql(vec_col, query, codebooks, "spark")
 
     scored = (embeddings
               .withColumn("__ds", dots)

@@ -273,6 +273,27 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                  (dsum_expr(lp) / F.count(F.lit(1))).alias("avg_logprob")))
 
 
+# One-slot registry for bigram_logprob's bigram-stream cache — the
+# dsir_logweights device: the returned DataFrame lazily re-reads the
+# persisted stream, so the unpersist point is the NEXT call or an
+# explicit release; at most one cached stream alive per session.
+_BIGRAM_CACHE: list[DataFrame] = []
+
+
+def bigram_release() -> None:
+    """Unpersist the bigram-stream cache left by the most recent
+    :func:`bigram_logprob` call. Safe any time, including after the
+    owning SparkSession stopped (the blocks died with it — a failing
+    JVM-side unpersist is swallowed); previously returned results stay
+    correct, they just recompute instead of reading cache."""
+    while _BIGRAM_CACHE:
+        df = _BIGRAM_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - dead-session cache is gone
+            pass
+
+
 def bigram_logprob(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n_buckets: int = 256,
                    seed: int = 11) -> DataFrame:
@@ -294,13 +315,18 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     least one bigram (single-token and empty documents have no bigram
     distribution and are dropped — rank them with the unigram score).
 
-    Scale shape: ONE tokenize+explode pass over the corpus feeds both
-    model fits (map-side-combined groupBys of <= n_buckets² longs) and
-    the scoring join; the bucket tables re-enter via broadcast hash
-    joins (bounded: n_buckets² rows max — a literal map would blow the
-    plan at 65k entries, and dsir's measured codegen breaker was the
-    1-row BNLJ totals, not broadcast hash joins). Every ln argument is
-    an integer count and the per-doc mean accumulates via the exact
+    Scale shape: the bigram stream is derived once and PERSISTED
+    (MEMORY_ONLY, one-slot bound — the dsir_logweights device: each
+    call releases the previous call's cache, :func:`bigram_release`
+    drops the last; eviction degrades to recomputation, never a disk
+    spill of the stream), so the two model fits (map-side-combined
+    groupBys of <= n_buckets² longs) and the scoring join all read one
+    materialization of the tokenize+explode+double-md5 work instead of
+    re-deriving it per branch. The bucket tables re-enter via broadcast
+    hash joins (bounded: n_buckets² rows max — a literal map would blow
+    the plan at 65k entries, and dsir's measured codegen breaker was
+    the 1-row BNLJ totals, not broadcast hash joins). Every ln argument
+    is an integer count and the per-doc mean accumulates via the exact
     quantized dsum — bit-stable vs the DuckDB oracle.
     """
     from data_services_spark.functions.numeric import dsum_expr
@@ -324,6 +350,10 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
               F.pmod(md5_long_hash(
                   F.concat(prev, F.lit("|"), cur), seed),
                   F.lit(n_buckets * n_buckets)).alias("__b12")))
+    from pyspark import StorageLevel
+    bigram_release()
+    bg = bg.persist(StorageLevel.MEMORY_ONLY)
+    _BIGRAM_CACHE.append(bg)
     c1 = bg.groupBy("__b1").agg(F.count(F.lit(1)).alias("__n1"))
     c12 = bg.groupBy("__b12").agg(F.count(F.lit(1)).alias("__n12"))
     lp = (F.log(F.col("__n12") + F.lit(1))
@@ -359,6 +389,13 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # a gap, not an overlap: tokens between consecutive windows
+        # would appear in NO chunk, silently violating the coverage
+        # contract above (round-8 review)
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) leaves "
+            "uncovered token gaps; use stride <= chunk_tokens")
     t = F.col("__t")
     n = F.size(t)
     starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))

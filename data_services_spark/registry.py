@@ -2138,17 +2138,9 @@ def pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_sql(k: int = 10) -> str:
-    from data_services_spark.operators.similarity import pq_encode_expr
-    books, q = _pq_books(), _pq_query()
-    dsub = len(books[0][0])
-    codes = pq_encode_expr("embedding", books, "duckdb")
-    terms = []
-    for j, cb in enumerate(books):
-        lut = ", ".join(
-            f"CAST('{float(sum((q[j * dsub + i] - c[i]) ** 2 for i in range(dsub)))!r}' AS DOUBLE)"
-            for c in cb)
-        terms.append(f"list_element([{lut}], ({codes[j]}) + 1)")
-    dist = " + ".join(terms)
+    from data_services_spark.operators.similarity import pq_adc_dist_sql
+    dist = pq_adc_dist_sql("embedding", _pq_query(), _pq_books(),
+                           "duckdb")
     return f"""
 WITH scored AS (
     SELECT vec_id, {dist} AS adist FROM embeddings
@@ -2175,22 +2167,14 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_pq_sql(k: int = 10, nprobe: int = 3) -> str:
-    from data_services_spark.operators.similarity import pq_encode_expr
+    from data_services_spark.operators.similarity import pq_adc_dist_sql
     books, q, cents = _pq_books(), _pq_query(), _ivf_centroids()
-    dsub = len(books[0][0])
     # nprobe cells ranked DRIVER-side from the literal query — pure
     # metadata arithmetic embedded identically in both engines
     qd = [sum(a * b for a, b in zip(q, c)) for c in cents]
     order = sorted(range(len(cents)), key=lambda i: (-qd[i], i))
     probed = ", ".join(str(i + 1) for i in order[:nprobe])
-    codes = pq_encode_expr("embedding", books, "duckdb")
-    terms = []
-    for j, cb in enumerate(books):
-        lut = ", ".join(
-            f"CAST('{float(sum((q[j * dsub + i] - c[i]) ** 2 for i in range(dsub)))!r}' AS DOUBLE)"
-            for c in cb)
-        terms.append(f"list_element([{lut}], ({codes[j]}) + 1)")
-    dist = " + ".join(terms)
+    dist = pq_adc_dist_sql("embedding", q, books, "duckdb")
     return f"""
 WITH tagged AS (
     SELECT vec_id, embedding,

@@ -191,13 +191,15 @@ EXPECTED = {
     "bm25_topk": dict(scans=2, pushed_min=0,
                       joins={"BroadcastNestedLoopJoin"},
                       exchanges_max=1, single_max=1, py=0),
-    # round-8: hashed bigram LM — one bigram-explode pass re-derived
-    # for the two bounded model fits (<= 256 / 65536 rows, map-side
-    # combined) plus the scoring branch; both models re-enter via
+    # round-8: hashed bigram LM — ONE parquet scan: the bigram stream
+    # persists (one-slot MEMORY_ONLY, bigram_release device) and the
+    # two bounded model fits (<= 256 / 65536 rows, map-side combined)
+    # plus the scoring branch all read the cached materialization
+    # (3 InMemoryTableScans, 1 Scan parquet). Both models re-enter via
     # broadcast HASH joins (never a literal 65k-entry map, never a
     # 1-row BNLJ); exchanges are the two tiny model aggs + the per-doc
     # aggregate, nothing single-partition, nothing Python.
-    "lm_bigram_logprob": dict(scans=3, pushed_min=0,
+    "lm_bigram_logprob": dict(scans=1, pushed_min=0,
                               joins={"BroadcastHashJoin"},
                               exchanges_max=3, single_max=0, py=0),
     # round-8 PQ: encoding is a pure map-only projection (codes unroll

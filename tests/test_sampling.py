@@ -344,10 +344,15 @@ def test_dsir_resample_boundary_margin():
     # rebuild the oracle's gkey CTE but keep ALL rows, ordered
     inner = sql[: sql.rindex("SELECT doc_id, n_tokens, logweight FROM g")]
     probe = (inner + "SELECT gkey FROM g ORDER BY gkey DESC, doc_id")
-    for sf in ("sf0.001", "sf0.01"):
+    sf_dirs = [d for d in ("sf0.001", "sf0.01")
+               if os.path.isdir(f"/root/testdata/{d}")]
+    # a missing-fixture pass here would be VACUOUS — the dsir_resample
+    # oracle's set-equality soundness rests on this margin being
+    # measured, so the absence of any measurable directory must be a
+    # loud failure, not a silent green (round-8 review)
+    assert sf_dirs, "no testdata scale-factor directory found"
+    for sf in sf_dirs:
         sf_dir = f"/root/testdata/{sf}"
-        if not os.path.isdir(sf_dir):
-            continue
         con = duckdb.connect()
         con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/documents.parquet')")

@@ -198,6 +198,24 @@ def test_bigram_logprob_matches_reference_and_flags_word_salad(spark):
                                      seed=11).collect()}
     assert again == {k: v[1] for k, v in got.items()}
 
+    # the bigram-stream persist is one-slot bounded and releasable
+    # (the dsir_logweights contract)
+    from data_services_spark.operators.text import bigram_release
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_cached()
+    bigram_release()
+    assert n_cached() <= before
+    base = n_cached()
+    bigram_logprob(d, n_buckets=64, seed=11).count()
+    assert n_cached() == base + 1
+    bigram_logprob(d, n_buckets=64, seed=11).count()
+    assert n_cached() == base + 1, "second call must not stack a leak"
+    bigram_release()
+    assert n_cached() == base
+
 
 def test_chunk_documents_overlap_and_coverage(spark):
     """Chunking contract: chunk j covers tokens [j*stride, j*stride+
@@ -234,3 +252,6 @@ def test_chunk_documents_overlap_and_coverage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(d, chunk_tokens=0)
+    # stride > chunk would leave uncovered token gaps (round-8 review)
+    with _pytest.raises(ValueError, match="uncovered"):
+        chunk_documents(d, chunk_tokens=4, stride=10)
