@@ -645,10 +645,13 @@ def _semdedup_survivors_arrow(tagged: DataFrame, threshold: float,
             .applyInPandas(_dedup_cell, schema=out_schema))
 
 
+_UNSET = object()  # distinguishes "knob not passed" from an explicit None
+
+
 def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
                      dim: int | None = None,
                      kernel: str = "arrow",
-                     block_size: int | None = None,
+                     block_size=_UNSET,
                      max_cell_warn: int = 100_000) -> DataFrame:
     """Production SemDeDup: the same upper-triangular cluster-local rule
     as :func:`semdedup`, with cluster assignment read from a persisted
@@ -670,7 +673,10 @@ def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
     `block_size` to spread a hot cell's quadratic across the executor
     pool (blocked triangle join: 594s -> 256s on the same case — the
     join's 12.8 µs/pair row-materialization floor remains, which is
-    why the matmul kernel is the default).
+    why the matmul kernel is the default). Left unset it defaults to
+    1024; an EXPLICIT ``block_size=None`` selects the plain unblocked
+    cell equi-join (the sentinel default keeps "not passed" and
+    "None" distinguishable — round-8 advice).
 
     Returns (id, cell, kept) for every indexed vector."""
     import os
@@ -710,7 +716,7 @@ def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
         # caller tuning block_size that they are tuning the wrong
         # kernel — the r7 default of block_size=1024 made exactly that
         # mistake invisible (ADVICE round 7).
-        if dim is not None or block_size is not None:
+        if dim is not None or block_size is not _UNSET:
             raise ValueError(
                 "dim/block_size only apply to kernel='sql'; the arrow "
                 "kernel batches whole cells (pass kernel='sql' to tune "
@@ -718,8 +724,12 @@ def semdedup_indexed(spark, index_dir: str, threshold: float = 0.9,
         return _semdedup_survivors_arrow(tagged, threshold, id_col, vec_col)
     if kernel != "sql":
         raise ValueError(f"unknown kernel {kernel!r} (arrow|sql)")
+    # _UNSET -> the blocked default (1024: the measured skew-spreading
+    # operating point); an EXPLICIT block_size=None selects the plain
+    # cell equi-join — previously unreachable through this API because
+    # None doubled as "unset" (round-8 advice: sentinel, not None).
     return _semdedup_survivors(tagged, threshold, id_col, vec_col, dim,
-                               block_size=1024 if block_size is None
+                               block_size=1024 if block_size is _UNSET
                                else block_size)
 
 
@@ -1090,20 +1100,37 @@ def ivf_append(spark, index_dir: str, new_vectors: DataFrame,
     # suppresses semdedup_indexed's slab-budget warning (round-8
     # review); absent stays absent, and the artifact makes no false
     # claim until a retrain rebuilds the true histogram.
-    if "cell_counts" in meta:
-        batch_counts = {int(r["__cell"]): int(r["cnt"]) for r in
-                        assigned.groupBy("__cell")
-                                .agg(F.count(F.lit(1)).alias("cnt"))
-                                .collect()}
-        counts = {int(c): int(v)
-                  for c, v in meta["cell_counts"].items()}
-        for c, v in batch_counts.items():
-            counts[c] = counts.get(c, 0) + v
-        meta["cell_counts"] = {str(c): v for c, v in counts.items()}
-        meta["max_cell"] = max(counts.values(), default=0)
-    n = _ivf_state_write(assigned, index_dir, meta["state_subdir"],
-                         batch_id=batch_id, id_col=id_col,
-                         vec_col=vec_col, n_cells=meta["n_cells"])
+    # Persist across the two consumers (histogram collect + state
+    # write) so the centroid-assignment fold over the batch runs ONCE
+    # — the exact re-computation class the build-side persist exists
+    # to prevent (round-8 advice). MEMORY_AND_DISK, mirroring
+    # ivf_build_index; unpersist in finally so a failed write never
+    # leaks the cached batch.
+    from pyspark import StorageLevel
+    persisted = "cell_counts" in meta
+    if persisted:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if "cell_counts" in meta:
+            batch_counts = {int(r["__cell"]): int(r["cnt"]) for r in
+                            assigned.groupBy("__cell")
+                                    .agg(F.count(F.lit(1)).alias("cnt"))
+                                    .collect()}
+            counts = {int(c): int(v)
+                      for c, v in meta["cell_counts"].items()}
+            for c, v in batch_counts.items():
+                counts[c] = counts.get(c, 0) + v
+            meta["cell_counts"] = {str(c): v for c, v in counts.items()}
+            meta["max_cell"] = max(counts.values(), default=0)
+        n = _ivf_state_write(assigned, index_dir, meta["state_subdir"],
+                             batch_id=batch_id, id_col=id_col,
+                             vec_col=vec_col, n_cells=meta["n_cells"])
+    finally:
+        if persisted:
+            try:
+                assigned.unpersist()
+            except Exception:  # noqa: BLE001 - dead-session cache
+                pass
     meta["appended"] = meta.get("appended", 0) + n
     frac = meta["appended"] / max(1, meta.get("n_indexed", 1))
     _ivf_write_meta(index_dir, meta)
@@ -1395,6 +1422,10 @@ def pq_train(embeddings: DataFrame, m: int = 8, k: int = 16,
     from pyspark.ml.functions import array_to_vector
 
     first = embeddings.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        # .first() on an empty corpus returns None; subscripting it
+        # raised an opaque TypeError (round-8 advice)
+        raise ValueError("pq_train: empty corpus — no embedding rows")
     dim = first["d"]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -781,6 +781,46 @@ def test_prepared_handle_is_memoized_per_session(spark):
     assert a.count() == 6  # and the handle still executes
 
 
+def test_prepared_cache_is_bounded_lru_and_releasable(spark):
+    """_PREPARED must not grow without bound in a long-lived service
+    session (round-8 verdict ask #7): LRU-bounded at _PREPARED_CAP,
+    recency refreshed on hit, and prepared_release() empties it.
+    Eviction only ever costs a plan rebuild — pinned by checking a
+    re-requested evicted handle is a NEW object that still executes."""
+    from data_services_spark import registry
+
+    registry.prepared_release()
+    assert len(registry._PREPARED) == 0
+    saved_cap = registry._PREPARED_CAP
+    registry._PREPARED_CAP = 3
+    try:
+        dirs = [f"/root/testdata/sf0.001#{i}" for i in range(3)]
+        # distinct keys via distinct sf_dir strings would break the
+        # read; use distinct NAMES against one real dir instead
+        names = ["q1_pricing_summary", "q6_forecast_revenue",
+                 "record_counts", "string_functions"]
+        sf = "/root/testdata/sf0.001"
+        del dirs
+        h0 = registry.prepared(names[0], spark, sf)
+        registry.prepared(names[1], spark, sf)
+        registry.prepared(names[2], spark, sf)
+        # touch names[0] -> it becomes most-recent
+        assert registry.prepared(names[0], spark, sf) is h0
+        # 4th distinct key evicts the LRU entry (names[1], not names[0])
+        registry.prepared(names[3], spark, sf)
+        assert len(registry._PREPARED) == 3
+        keys = {k[0] for k in registry._PREPARED}
+        assert names[1] not in keys and names[0] in keys
+        # evicted handle rebuilds fresh and still executes
+        h1b = registry.prepared(names[1], spark, sf)
+        assert h1b.count() >= 0
+        registry.prepared_release()
+        assert len(registry._PREPARED) == 0
+    finally:
+        registry._PREPARED_CAP = saved_cap
+        registry.prepared_release()
+
+
 def _encode_png(pixels, color_type, filters):
     """Minimal in-test PNG encoder (stdlib): forward-filters each row
     with the given per-row filter type so the decoder's unfilter paths
@@ -1439,10 +1479,25 @@ def test_semdedup_indexed_rejects_sql_knobs_on_arrow_kernel(spark, tmp_path):
         semdedup_indexed(spark, index_dir, threshold=0.9, block_size=64)
     with _pytest.raises(ValueError, match="kernel='sql'"):
         semdedup_indexed(spark, index_dir, threshold=0.9, dim=2)
+    # an EXPLICIT block_size=None is a knob too (it selects the plain
+    # equi-join below) — the arrow kernel must reject it just as
+    # loudly, not silently conflate it with "unset" (round-8 advice)
+    with _pytest.raises(ValueError, match="kernel='sql'"):
+        semdedup_indexed(spark, index_dir, threshold=0.9, block_size=None)
     # the sql kernel still accepts them
     assert semdedup_indexed(spark, index_dir, threshold=0.9,
                             kernel="sql", dim=2,
                             block_size=64).count() == 20
+    # explicit None reaches the UNBLOCKED triangle join (no __blk rank
+    # window in the plan) and decides identically to the blocked form
+    plain = semdedup_indexed(spark, index_dir, threshold=0.9,
+                             kernel="sql", block_size=None)
+    assert "__blk" not in plain._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    blocked = semdedup_indexed(spark, index_dir, threshold=0.9,
+                               kernel="sql", block_size=64)
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, blocked.collect()))
 
 
 def test_ivf_auto_sizes_cells_and_warns_on_hot_cells(spark, tmp_path):
@@ -1509,6 +1564,20 @@ def test_ivf_auto_sizes_cells_and_warns_on_hot_cells(spark, tmp_path):
     assert m["auto_sized"] is False and m["n_cells"] == 3
     ivf_maybe_retrain(spark, fixed_dir, force=True)
     assert ivf_load_meta(fixed_dir)["n_cells"] == 3
+
+
+def test_pq_train_empty_corpus_raises_clearly(spark):
+    """pq_train on an empty corpus must raise a clear ValueError, not
+    the opaque 'NoneType is not subscriptable' from .first() returning
+    None (round-8 advice)."""
+    import pytest as _pytest
+
+    from data_services_spark.operators.similarity import pq_train
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pq_train(empty, m=2, k=2)
 
 
 def test_pq_roundtrip_reference_and_trained_recall(spark):

@@ -109,7 +109,12 @@ EXPECTED = {
                            exchanges_max=1, single_max=0, py=0),
     "window_running_sum": dict(scans=1, pushed_min=0, joins=set(),
                                exchanges_max=1, single_max=0, py=0),
-    "tumbling_window": dict(scans=1, pushed_min=1, joins=set(),
+    # tumbling_window (round-9): the single-SQL date_trunc form has NO
+    # pushed filter — the old F.window() form pushed an isnotnull(ts)
+    # the QUERY never asked for (it silently dropped NULL-ts rows,
+    # diverging from the oracle's NULL-keeping GROUP BY; green only
+    # because the fixture has no NULL ts). No filter is correct here.
+    "tumbling_window": dict(scans=1, pushed_min=0, joins=set(),
                             exchanges_max=1, single_max=0, py=0),
     "knn_cosine": dict(scans=1, pushed_min=1, joins=set(),
                        exchanges_max=0, single_max=0, py=0),
@@ -183,12 +188,15 @@ EXPECTED = {
     # below), never a global sort exchange.
     "dsir_resample": dict(scans=1, pushed_min=0, joins=set(),
                           exchanges_max=1, single_max=0, py=0),
-    # round-8: BM25 — two map-only corpus passes (per-doc tf fold +
-    # the same branch under the 1-row stats agg), the stats broadcast
-    # is the documented tiny-agg BNLJ crossJoin, the only exchange is
-    # the 1-row SinglePartition agg, and the ranking is
+    # round-8/9: BM25 — ONE parquet scan: the per-doc tf/length fold
+    # persists (one-slot MEMORY_ONLY, bm25_release device, round-9 —
+    # the r8 form re-tokenized the corpus for the stats branch), so
+    # the stats aggregate and the scoring branch are both
+    # InMemoryTableScans of the same materialization. The stats
+    # broadcast is the documented tiny-agg BNLJ crossJoin, the only
+    # exchange is the 1-row SinglePartition agg, and the ranking is
     # TakeOrderedAndProject (pinned below with dsir_resample's).
-    "bm25_topk": dict(scans=2, pushed_min=0,
+    "bm25_topk": dict(scans=1, pushed_min=0,
                       joins={"BroadcastNestedLoopJoin"},
                       exchanges_max=1, single_max=1, py=0),
     # round-8: hashed bigram LM — ONE parquet scan: the bigram stream
@@ -291,6 +299,31 @@ def test_scalable_forms_never_funnel_the_table(spark, name):
     finally:
         spark.conf.set(key, saved)
     assert max(sizes) < total, (max(sizes), total)
+
+
+def test_knn_codegen_stage_barrier_survives(spark):
+    """knn_topk's float bit-stability vs the oracle rests on a
+    CodegenFallback leaf — `aggregate(array(x), 1.0, (a,x) -> a)` —
+    that keeps the scoring Project OUT of whole-stage codegen (the
+    summation shape changes if the Project inlines into the codegen'd
+    Filter stage). That barrier is version-fragile: a future Spark
+    that codegens `aggregate` re-inlines the Project and silently
+    changes the arithmetic (round-8 verdict What's-wrong #3). Pin the
+    physical fact so an upgrade fails LOUDLY: the executed plan must
+    contain the fallback expression, and the Project carrying it must
+    NOT have a `*(n)` whole-stage-codegen marker."""
+    from data_services_spark.registry import RAW_QUERIES
+
+    df = RAW_QUERIES["knn_cosine"](spark, SF_DIR)
+    df.toArrow()
+    executed = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    scoring = [ln for ln in executed.splitlines()
+               if "aggregate(" in ln and "Project" in ln]
+    assert scoring, f"fallback leaf gone from plan:\n{executed[:2000]}"
+    for ln in scoring:
+        marker = ln.split("Project")[0]
+        assert "*(" not in marker, f"scoring Project was codegen'd: {ln[:120]}"
 
 
 @pytest.mark.parametrize("name", ["dsir_resample", "bm25_topk"])

@@ -217,6 +217,35 @@ def test_bigram_logprob_matches_reference_and_flags_word_salad(spark):
     assert n_cached() == base
 
 
+def test_bm25_cache_is_one_slot_bounded_and_releasable(spark):
+    """bm25_scores persists its per-doc tf pass (round-9: the r8 form
+    tokenized the corpus twice); the cache must follow the repo's
+    one-slot discipline — a second call releases the first, and
+    bm25_release() drops the last (the bigram_release contract)."""
+    from data_services_spark.operators.text import bm25_release, bm25_scores
+
+    d = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "duck walks"), (3, "spark spark"),
+         (4, "geese honk"), (5, "rivers flow")],
+        "doc_id long, text string")
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    bm25_release()
+    base = n_cached()
+    s1 = {r["doc_id"]: r["score"]
+          for r in bm25_scores(d, ("spark",)).collect()}
+    assert n_cached() == base + 1
+    s2 = {r["doc_id"]: r["score"]
+          for r in bm25_scores(d, ("spark",)).collect()}
+    assert n_cached() == base + 1, "second call must not stack a leak"
+    assert s1 == s2
+    assert s1[3] > s1[1] > 0.0 and s1[2] == 0.0
+    bm25_release()
+    assert n_cached() == base
+
+
 def test_chunk_documents_overlap_and_coverage(spark):
     """Chunking contract: chunk j covers tokens [j*stride, j*stride+
     chunk); every token lands in >= 1 chunk; consecutive chunks overlap
@@ -255,3 +284,30 @@ def test_chunk_documents_overlap_and_coverage(spark):
     # stride > chunk would leave uncovered token gaps (round-8 review)
     with _pytest.raises(ValueError, match="uncovered"):
         chunk_documents(d, chunk_tokens=4, stride=10)
+
+
+def test_chunk_documents_null_and_empty_token_guard(spark):
+    """The descending-sequence guard (round-8 verdict What's-wrong #2):
+    sequence(0, stop) DESCENDS for stop < 0, so an n=0 token array —
+    or size(NULL) = -1 under spark.sql.legacy.sizeOfNull=true — would
+    fabricate chunk ids [0, -1] without the explicit n >= 1 gate. A
+    NULL-text doc must produce ZERO chunk rows (matching the oracle's
+    generate_series semantics), and the guard must hold even when the
+    start expression is evaluated with a negative stop."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.text import chunk_documents
+
+    d = spark.createDataFrame([(1, None), (2, "a b c")],
+                              "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens=2, stride=2).collect()
+    assert sorted(r["doc_id"] for r in out) == [2, 2]
+    assert all(r["chunk_id"] >= 0 for r in out)
+    # the guard expression itself: n = 0 must yield an EMPTY start
+    # sequence, not sequence(0, -1) = [0, -1]. Evaluated directly so
+    # the pin survives even if tokenize() semantics change.
+    probe = spark.range(1).select(
+        F.when(F.size(F.array().cast("array<string>")) >= 1,
+               F.sequence(F.lit(0), F.lit(-1)))
+        .otherwise(F.array().cast("array<int>")).alias("s")).first()
+    assert list(probe["s"]) == []
