@@ -466,3 +466,90 @@ def winnow_shared_pairs(docs: DataFrame, text_col: str = "text",
                      F.col("b.id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
+
+
+def substring_dedup(docs: DataFrame, k: int = 50,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr substring-level exact dedup (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", §ExactSubstr): remove every token span of length
+    >= ``k`` that appears verbatim more than once in the corpus —
+    keeping only the canonical FIRST occurrence (lowest (doc_id, pos))
+    — and splice each document back together from its surviving
+    tokens. This is span-accurate, unlike chunk-level dedup (fixed
+    chunk boundaries miss straddling spans) or winnowing (finds clone
+    DOCUMENTS, doesn't splice).
+
+    Semantics, exactly: every k-token gram occurrence (doc, pos) whose
+    gram occurs anywhere else in the corpus (another doc OR another
+    position of the same doc) and is not the global first occurrence
+    marks tokens [pos, pos+k-1] for removal; a longer shared span is
+    covered by its k-gram occurrences, so whole spans vanish and the
+    first occurrence alone survives. Documents shorter than k tokens
+    have no gram and are never cut.
+
+    Spark-first shape (the reference paper builds a monolithic suffix
+    array — a single-machine design; the distributed re-expression is
+    the k-gram hash group):
+
+    - grams hash JVM-side with the portable md5 family
+      (:func:`md5_long_hash`) so the 8-byte hash, not the k-token
+      text, is what shuffles (k-fold shuffle deflation; an identical
+      hash conflation would affect both engines identically, keeping
+      the oracle bit-exact);
+    - duplicate detection is a map-side-combined ``groupBy(gram)``
+      (count + min of the combined ``doc_id*2^31 + pos`` ordering
+      key), NOT a window over gram: partial aggregation absorbs
+      boilerplate-gram skew on the map side, where a window would
+      funnel a hot gram's million occurrences through one task;
+    - only grams with count > 1 (typically a small fraction) join
+      back — AQE broadcasts the dup-gram table when it is small, and
+      its skew-join splitting covers the rest;
+    - span union + splice are per-doc array ops (sequence / flatten /
+      array_distinct / filter / element_at) — zero Python anywhere.
+
+    The combined ordering key requires doc_id < 2^32 and positions
+    < 2^31 (any practical corpus; BIGINT-exact in both engines).
+
+    Returns (id, n_tokens, n_removed, clean_text) for EVERY input
+    document — n_removed = 0 and clean_text = the normalized token
+    join when nothing was cut.
+    """
+    kc = F.lit(k)
+    toks = docs.select(F.col(id_col),
+                       F.split(_norm_text(text_col), r"\s+").alias("__t"))
+    n = F.size("__t")
+    # 1-based gram starts; guard the descending-sequence case n < k
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    okey = F.col(id_col).cast("long") * F.lit(2147483648) + F.col("__pos")
+    g = (toks
+         .select(F.col(id_col), F.col("__t"),
+                 F.explode(starts).alias("__pos"))
+         .select(F.col(id_col), F.col("__pos"),
+                 md5_long_hash(
+                     F.array_join(F.slice("__t", F.col("__pos"), k), " "),
+                     "sub").alias("__g")))
+    dup_grams = (g.groupBy("__g")
+                 .agg(F.count(F.lit(1)).alias("__c"),
+                      F.min(okey).alias("__mk"))
+                 .filter(F.col("__c") > 1)
+                 .select("__g", "__mk"))
+    rm = (g.join(dup_grams, "__g")
+          .filter(okey != F.col("__mk"))
+          .groupBy(id_col)
+          .agg(F.sort_array(F.array_distinct(F.flatten(F.collect_list(
+              F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))))))
+               .alias("__rms")))
+    rms = F.coalesce(F.col("__rms"), F.array().cast("array<int>"))
+    return (toks.join(rm, id_col, "left")
+            .select(F.col(id_col),
+                    F.size("__t").cast("long").alias("n_tokens"),
+                    F.size(rms).cast("long").alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.filter(F.sequence(F.lit(1), F.size("__t")),
+                                     lambda j: ~F.array_contains(rms, j)),
+                            lambda j: F.element_at(F.col("__t"), j)),
+                        " ").alias("clean_text")))

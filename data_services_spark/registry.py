@@ -1510,6 +1510,61 @@ def _sql_md5h(seed, expr: str) -> str:
     return (f"('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT")
 
 
+# ExactSubstr gram size for the fixture corpus: 24, the measured
+# discrimination point for the ~30-word synthetic vocabulary (the
+# winnowing _WIN_K rationale below — at k=8 nearly every doc pair
+# shares grams by chance; at 24 only real copied spans match).
+# Production default is the paper's 50.
+_SUBSTR_K = 24
+
+@register("substring_dedup", f"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), pos AS (
+    SELECT doc_id, t,
+           CAST(unnest(generate_series(1, len(t) - {_SUBSTR_K} + 1))
+                AS INT) AS pos
+    FROM tok
+), g AS (
+    SELECT doc_id, pos,
+           {{H}} AS gh
+    FROM pos
+), d AS (
+    SELECT gh, MIN(doc_id * 2147483648 + pos) AS mk
+    FROM g GROUP BY gh HAVING COUNT(*) > 1
+), rm AS (
+    SELECT doc_id,
+           list_sort(list_distinct(flatten(list(
+               generate_series(pos, pos + {_SUBSTR_K} - 1))))) AS rms
+    FROM g JOIN d USING (gh)
+    WHERE doc_id * 2147483648 + pos <> mk
+    GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(rms), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(
+           list_transform(
+               list_filter(generate_series(1, len(t)),
+                           j -> NOT list_contains(COALESCE(rms, []), j)),
+               j -> t[j]), ' '), '') AS clean_text
+FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id
+""".replace("{H}", _sql_md5h(
+    "sub", f"array_to_string(t[pos:pos+{_SUBSTR_K}-1], ' ')")))
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17: ExactSubstr substring-level exact dedup (Lee et al. 2022) —
+    remove every >= k-token span duplicated anywhere in the corpus,
+    keep the global first occurrence, splice survivors. The span-
+    accurate member of the dedup family (chunk_dedup is fixed-stride,
+    winnowing is doc-level); operator docstring carries the 100 TB
+    shape (md5-hash gram shuffle + map-side-combined dup groupBy,
+    never a window over the gram key)."""
+    from data_services_spark.operators.dedup import substring_dedup
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dedup(d, k=_SUBSTR_K)
+
+
 # k-gram size / window / bucket doc-frequency cap (guarantee length:
 # k + w - 1 = 31). k=24 because the synthetic corpus draws from a ~30
 # word vocabulary — 8-char grams collide across nearly all documents

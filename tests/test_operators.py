@@ -1566,6 +1566,46 @@ def test_ivf_auto_sizes_cells_and_warns_on_hot_cells(spark, tmp_path):
     assert ivf_load_meta(fixed_dir)["n_cells"] == 3
 
 
+def test_substring_dedup_exactsubstr_semantics(spark):
+    """ExactSubstr (Lee et al. 2022) contract: every >= k-token span
+    duplicated anywhere in the corpus is spliced out EXCEPT the global
+    first occurrence (lowest (doc_id, pos)); within-doc repeats count;
+    docs shorter than k are never cut; untouched docs round-trip their
+    normalized text."""
+    from data_services_spark.operators.dedup import substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(6))
+    docs = [
+        (1, "alpha " + span + " beta"),           # first occ -> intact
+        (2, "gamma delta " + span + " epsilon"),  # copy -> spliced
+        (3, "unrelated words only here"),         # untouched
+        (4, "x " + span + " y " + span + " z"),   # both occs later than 1
+        (5, "tiny doc"),                          # < k tokens
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(d, k=4).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == "alpha " + span + " beta"
+    assert out[2]["n_removed"] == 6
+    assert out[2]["clean_text"] == "gamma delta epsilon"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["n_removed"] == 12 and out[4]["clean_text"] == "x y z"
+    assert out[5]["n_removed"] == 0 and out[5]["clean_text"] == "tiny doc"
+    # longer-than-k shared spans vanish wholly: the 6-token span at k=4
+    # is covered by its three 4-gram occurrences
+    assert all(f"s{i}" not in out[2]["clean_text"] for i in range(6))
+    # within-doc-only repetition: second occurrence cut, first kept
+    d2 = spark.createDataFrame(
+        [(7, "p q " + span + " r " + span + " t")],
+        "doc_id long, text string")
+    o2 = substring_dedup(d2, k=4).collect()[0]
+    assert o2["clean_text"] == "p q " + span + " r t"
+    # repartition-stable (pure function of the corpus)
+    again = {r["doc_id"]: r["clean_text"]
+             for r in substring_dedup(d.repartition(5), k=4).collect()}
+    assert again == {k: v["clean_text"] for k, v in out.items()}
+
+
 def test_pq_train_empty_corpus_raises_clearly(spark):
     """pq_train on an empty corpus must raise a clear ValueError, not
     the opaque 'NoneType is not subscriptable' from .first() returning

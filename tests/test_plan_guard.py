@@ -224,6 +224,16 @@ EXPECTED = {
     # the nprobe cells are literal ints chosen driver-side.
     "ivf_pq_topk": dict(scans=1, pushed_min=0, joins=set(),
                         exchanges_max=0, single_max=0, py=0),
+    # round-9 ExactSubstr: the dup-grams table (count>1 only) and the
+    # per-doc removal sets are both tiny relative to the corpus, so
+    # both re-entries broadcast; the two exchanges are the map-side-
+    # combined gram groupBy (the skew-proof choice over a gram window)
+    # and the per-doc removal groupBy. Zero Python; the corpus never
+    # single-partitions. 3 scans = gram derivation x2 (dup-detect +
+    # join-back) + the splice branch.
+    "substring_dedup": dict(scans=3, pushed_min=0,
+                            joins={"BroadcastHashJoin"},
+                            exchanges_max=2, single_max=0, py=0),
 }
 
 
