@@ -268,3 +268,204 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, stride: int = 4,
             .select(id_col, "frame_idx", "n_frames",
                     F.expr(f"substring(payload, frame_idx * {frame_bytes}"
                            f" + 1, {frame_bytes})").alias("frame")))
+
+
+def encode_png_gray(pixels) -> bytes:
+    """Minimal stdlib grayscale PNG encoder (bit depth 8, color type 0,
+    filter 0 on every scanline): the production counterpart of the
+    decoder above for synthesizing real PNG payloads in-pipeline
+    (tests exercise the filtered encodings separately). Lossless, so a
+    decode of the result returns the input pixels bit-for-bit — which
+    is what lets :func:`image_dhash` be exactly oracle-checked through
+    a REAL encode->decode round trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, np.uint8)
+    h, w = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def synth_gray_payloads(docs: DataFrame, width: int = 18, height: int = 16,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale test images as REAL PNG payloads, one per
+    document: pixel(r,c) = (ord(t[(r*W+c) mod len(t)]) * 7 + r*13 + c*5)
+    mod 256 over t = lower(trim(text)) — pure integer arithmetic on the
+    text, so a SQL oracle recomputes every pixel with ascii()/substr()
+    and value-checks whatever consumes the image downstream (the codec
+    container gap makes real photos impossible here; the ENCODE ->
+    DECODE -> feature path these payloads flow through is the real
+    one). Returns (id, payload binary, media_meta struct)."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    r_idx, c_idx = np.arange(height)[:, None], np.arange(width)[None, :]
+    base = (r_idx * 13 + c_idx * 5).astype(np.int64)
+    flat_pos = (r_idx * width + c_idx).astype(np.int64)
+
+    def _pixels(text: str) -> np.ndarray:
+        t = (text or "").lower().strip()
+        if not t:
+            return (base % 256).astype(np.uint8)
+        codes = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        return ((codes[flat_pos % len(codes)].astype(np.int64) * 7 + base)
+                % 256).astype(np.uint8)
+
+    def run(batches: _It[pd.DataFrame]):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "payload": [encode_png_gray(_pixels(t))
+                            for t in pdf[text_col]],
+            })
+
+    out = docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, payload binary")
+    return out.withColumn(
+        "media_meta",
+        F.struct(F.lit("image/png").alias("mime"),
+                 F.octet_length("payload").cast("long").alias("size_bytes"),
+                 F.lit(width).cast("int").alias("width"),
+                 F.lit(height).cast("int").alias("height")))
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """Perceptual image hash (dHash, the 8x9 luma-gradient 64-bit
+    difference hash): decode the PNG payload (REAL decode), reduce to
+    integer luma ((299R + 587G + 114B) div 1000 for color; the pixel
+    itself for grayscale), block-average down to a 9-wide x 8-high
+    grid with EXACT integer arithmetic (block (i,j) covers rows
+    [i*H div 8, (i+1)*H div 8) x cols [j*W div 9, (j+1)*W div 9),
+    mean = sum div count), then bit (i,j) = 1 iff block[i][j+1] >
+    block[i][j]. Every step is integer-exact, so a SQL oracle that
+    knows the pixel values reproduces the hash bit-for-bit — unlike
+    float-DCT pHash, dHash is exactly checkable cross-engine while
+    ranking as the standard near-dup screen (Krawetz 2013).
+
+    Returns (id, width, height, dhash_hi, dhash_lo): the 64 bits split
+    into two BIGINT halves (bit k of hi = grid bit 32+k) so downstream
+    banding/Hamming stays in JVM integer ops and no engine ever
+    overflows a signed 64-bit value. Rows whose payload fails the PNG
+    decode are dropped (route them through decode_media's stub path if
+    they must survive).
+
+    Scale shape: one Arrow-batched mapInPandas pass, map-only — the
+    hash is 16 bytes per image whatever the image size, so everything
+    downstream (dedup bands, joins) shuffles hashes, never pixels."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    def _dhash(payload) -> tuple | None:
+        import struct
+        import zlib
+        try:
+            d = decode_png(bytes(payload))
+        except (ValueError, TypeError, zlib.error, struct.error):
+            return None  # not a decodable PNG: drop (contract above)
+        px = d["pixels"].astype(np.int64)
+        if d["channels"] == 1:
+            luma = px[:, :, 0]
+        elif d["channels"] == 2:
+            luma = px[:, :, 0]
+        else:
+            luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587
+                    + px[:, :, 2] * 114) // 1000
+        h, w = luma.shape
+        if h < 8 or w < 9:
+            return None
+        rb = [(i * h // 8, (i + 1) * h // 8) for i in range(8)]
+        cb = [(j * w // 9, (j + 1) * w // 9) for j in range(9)]
+        blocks = np.empty((8, 9), dtype=np.int64)
+        for i, (r0, r1) in enumerate(rb):
+            for j, (c0, c1) in enumerate(cb):
+                seg = luma[r0:r1, c0:c1]
+                blocks[i, j] = int(seg.sum()) // seg.size
+        hi = lo = 0
+        for i in range(8):
+            for j in range(8):
+                if blocks[i, j + 1] > blocks[i, j]:
+                    k = i * 8 + j
+                    if k >= 32:
+                        hi |= 1 << (k - 32)
+                    else:
+                        lo |= 1 << k
+        return d["width"], d["height"], hi, lo
+
+    def run(batches: _It[pd.DataFrame]):
+        for pdf in batches:
+            rows = {id_col: [], "width": [], "height": [],
+                    "dhash_hi": [], "dhash_lo": []}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                r = _dhash(p)
+                if r is None:
+                    continue
+                rows[id_col].append(i)
+                rows["width"].append(r[0])
+                rows["height"].append(r[1])
+                rows["dhash_hi"].append(r[2])
+                rows["dhash_lo"].append(r[3])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, width int, height int, "
+             "dhash_hi long, dhash_lo long")
+
+
+def image_near_dup(hashes: DataFrame, max_hamming: int = 10,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Image near-dup pairs over dHash values (the simhash band device
+    applied to pixels): band each 64-bit hash into four 16-bit keys —
+    any pair within Hamming distance 3 MUST collide in >= 1 band
+    (pigeonhole over 4 bands; at the default max_hamming=10 banding is
+    a recall/cost trade exactly like MinHash LSH) — equi-join per band,
+    then verify the EXACT Hamming distance with bit_count(xor) on the
+    two halves, all JVM-side. Never all-pairs: candidate count is the
+    sum of band-bucket quadratics, and only 16-byte hashes shuffle.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    b16 = F.lit(65535)
+    keys = [
+        F.concat(F.lit("0:"), (F.col("dhash_lo").bitwiseAND(b16))
+                 .cast("string")),
+        F.concat(F.lit("1:"), (F.shiftright("dhash_lo", 16)
+                               .bitwiseAND(b16)).cast("string")),
+        F.concat(F.lit("2:"), (F.col("dhash_hi").bitwiseAND(b16))
+                 .cast("string")),
+        F.concat(F.lit("3:"), (F.shiftright("dhash_hi", 16)
+                               .bitwiseAND(b16)).cast("string")),
+    ]
+    sig = hashes.select(
+        F.col(id_col), "dhash_hi", "dhash_lo",
+        F.explode(F.array(*keys)).alias("band_key"))
+    a = sig.select(F.col("band_key"), F.col(id_col).alias("id_a"),
+                   F.col("dhash_hi").alias("__ha"),
+                   F.col("dhash_lo").alias("__la"))
+    b = sig.select(F.col("band_key"), F.col(id_col).alias("id_b"),
+                   F.col("dhash_hi").alias("__hb"),
+                   F.col("dhash_lo").alias("__lb"))
+    ham = (F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+           + F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb"))))
+    return (a.join(b, "band_key")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__ha", "__la", "__hb", "__lb")
+            .distinct()
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -2703,6 +2703,104 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|").alias("features"))
 
 
+def _image_phash_sql() -> str:
+    """Generated oracle for `image_phash`: recompute the deterministic
+    18x16 pixel grid from the text (the synth_gray_payloads formula),
+    the 9x8 integer block means, and the 64 dHash gradient bits —
+    entirely in integer SQL. The Spark side routes the SAME pixels
+    through a REAL PNG encode -> decode -> luma -> block pipeline
+    (operators/multimodal.py), so a green hash checks the codec round
+    trip, the Arrow batching, and the hash math at once."""
+    W, H = 18, 16
+
+    def pix(r: int, c: int) -> str:
+        return (f"((ascii(substr(t, 1 + (({r * W + c}) % L), 1)) * 7"
+                f" + {r * 13 + c * 5}) % 256)")
+
+    blocks = {}
+    for i in range(8):
+        for j in range(9):
+            r0, c0 = 2 * i, 2 * j
+            terms = " + ".join(pix(r0 + dr, c0 + dc)
+                               for dr in (0, 1) for dc in (0, 1))
+            blocks[(i, j)] = f"b_{i}_{j}"
+            blocks[f"expr_{i}_{j}"] = f"(({terms}) // 4) AS b_{i}_{j}"
+    block_cols = ",\n           ".join(
+        blocks[f"expr_{i}_{j}"] for i in range(8) for j in range(9))
+    hi_terms, lo_terms = [], []
+    for i in range(8):
+        for j in range(8):
+            k = i * 8 + j
+            bit = (f"(CASE WHEN b_{i}_{j + 1} > b_{i}_{j} "
+                   f"THEN {1 << (k - 32 if k >= 32 else k)} ELSE 0 END)")
+            (hi_terms if k >= 32 else lo_terms).append(bit)
+    # leading BIGINT zero forces 64-bit accumulation from the first
+    # add (a pure-int32 partial sum of set bits would sit exactly at
+    # the int32 edge, and DuckDB errors on overflow rather than wrap)
+    hi = "CAST(0 AS BIGINT) + " + " + ".join(hi_terms)
+    lo = "CAST(0 AS BIGINT) + " + " + ".join(lo_terms)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS L
+    FROM documents
+), b AS (
+    SELECT doc_id,
+           {block_cols}
+    FROM tok
+)
+SELECT doc_id, CAST({W} AS INT) AS width, CAST({H} AS INT) AS height,
+       lpad(hex({hi}), 8, '0') || lpad(hex({lo}), 8, '0') AS dhash
+FROM b
+"""
+
+
+@register("image_phash", _image_phash_sql())
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: perceptual image hashing (dHash 64-bit) over REAL PNG
+    payloads synthesized deterministically from the documents table —
+    the codec-free container's value-checkable stand-in for photos.
+    Spark: text -> pixels -> encode_png_gray -> decode_png -> integer
+    luma -> 9x8 block means -> gradient bits (two Arrow passes, map
+    only); oracle: the identical integer arithmetic straight from the
+    text. Exact to the last bit because every step is integer."""
+    from data_services_spark.operators.multimodal import (
+        image_dhash, synth_gray_payloads)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = image_dhash(synth_gray_payloads(d))
+    return h.select(
+        "doc_id", "width", "height",
+        F.concat(F.lpad(F.hex("dhash_hi"), 8, "0"),
+                 F.lpad(F.hex("dhash_lo"), 8, "0")).alias("dhash"))
+
+
+@register("image_near_dup")  # banding recall is hash-family-shaped -> rows-only
+def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18 near-dup composition: dHash the corpus images PLUS jittered
+    copies of every 10th document (a few pixels perturbed — the
+    re-encoded-thumbnail analogue), then find pairs within Hamming
+    distance 10 via 4x16-bit banding + exact bit_count verify
+    (operators/multimodal.py:image_near_dup). Rows-only by design
+    (band recall at radius > 3 is probabilistic, the LSH trade);
+    the exactness of the underlying hash is pinned by `image_phash`,
+    and decision parity vs a brute-force numpy reference is pytest
+    (tests/test_operators.py)."""
+    from data_services_spark.operators.multimodal import (
+        image_dhash, image_near_dup, synth_gray_payloads)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jit = (d.filter(F.col("doc_id") % 10 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   # single same-length char substitution: perturbs the
+                   # one pixel (block) fed by position 20 -> a small
+                   # but USUALLY nonzero Hamming distance (a prepend
+                   # would shift every pixel index and jitter nothing
+                   # recognizable; a pure append changes nothing while
+                   # the text is longer than the 288-pixel grid)
+                   F.concat(F.substring("text", 1, 20), F.lit("~"),
+                            F.expr("substring(text, 22)")).alias("text")))
+    h = image_dhash(synth_gray_payloads(d.unionByName(jit)))
+    return image_near_dup(h, max_hamming=10).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function families (SURVEY §2.8 F1/F4/F6) + A4 record counting +
 # additional TPC-H-shaped relational queries (J5/A8/O2 depth)

@@ -1005,6 +1005,101 @@ def test_decode_media_malformed_rows_fall_back_not_fail(spark):
             [float(arr[i::8].sum() % 997) for i in range(8)], doc_id
 
 
+def _dhash_reference(luma):
+    """Independent numpy dHash reference (integer block means over the
+    [i*H//8,(i+1)*H//8) x [j*W//9,(j+1)*W//9) grid, gradient bits) —
+    shares no code with operators/multimodal.image_dhash's kernel."""
+    import numpy as np
+
+    luma = np.asarray(luma, np.int64)
+    h, w = luma.shape
+    hi = lo = 0
+    blocks = [[0] * 9 for _ in range(8)]
+    for i in range(8):
+        for j in range(9):
+            seg = luma[i * h // 8:(i + 1) * h // 8,
+                       j * w // 9:(j + 1) * w // 9]
+            blocks[i][j] = int(seg.sum()) // seg.size
+    for i in range(8):
+        for j in range(8):
+            if blocks[i][j + 1] > blocks[i][j]:
+                k = i * 8 + j
+                if k >= 32:
+                    hi |= 1 << (k - 32)
+                else:
+                    lo |= 1 << k
+    return hi, lo
+
+
+def test_image_dhash_matches_reference_gray_and_rgb(spark):
+    """image_dhash through a REAL PNG encode->decode round trip must
+    equal the independent numpy reference: grayscale (luma = pixel)
+    on non-divisible dims (uneven blocks), and RGB through the integer
+    luma (299R+587G+114B)//1000 with the filtered encoder."""
+    import numpy as np
+
+    from data_services_spark.operators.multimodal import (
+        encode_png_gray, image_dhash)
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (13, 21), dtype=np.uint8)  # 13x21: uneven
+    rgb = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    rgb_png = _encode_png(rgb, color_type=2, filters=[0, 1, 2, 3, 4] * 3
+                          + [1])
+    rows = [(1, bytearray(encode_png_gray(gray))), (2, bytearray(rgb_png)),
+            (3, bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["dhash_hi"], r["dhash_lo"], r["width"],
+                         r["height"])
+           for r in image_dhash(df).collect()}
+    assert 3 not in got                      # undecodable rows drop
+    assert got[1][:2] == _dhash_reference(gray)
+    assert got[1][2:] == (21, 13)
+    luma = (rgb[:, :, 0].astype(np.int64) * 299
+            + rgb[:, :, 1].astype(np.int64) * 587
+            + rgb[:, :, 2].astype(np.int64) * 114) // 1000
+    assert got[2][:2] == _dhash_reference(luma)
+
+
+def test_image_near_dup_band_guarantee_and_no_false_positives(spark):
+    """Banded Hamming near-dup parity vs brute force: (a) NO pair above
+    max_hamming survives (the exact bit_count verify); (b) EVERY pair
+    at Hamming <= 3 is found (pigeonhole: 3 flipped bits cannot touch
+    all 4 of the 16-bit bands); (c) found pairs are a subset of the
+    brute-force <= max_hamming set (banding only loses recall, never
+    invents pairs)."""
+    import itertools
+    import random
+
+    from data_services_spark.operators.multimodal import image_near_dup
+
+    rnd = random.Random(11)
+    base = rnd.getrandbits(64)
+    hashes = [base]
+    for flips in (1, 2, 3, 7, 10, 11, 20):   # controlled distances
+        h = base
+        for b in rnd.sample(range(64), flips):
+            h ^= 1 << b
+        hashes.append(h)
+    hashes.append(rnd.getrandbits(64))       # far-away stranger
+    rows = [(i, (h >> 32) & 0xFFFFFFFF, h & 0xFFFFFFFF)
+            for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, dhash_hi long, dhash_lo long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_near_dup(df, max_hamming=10).collect()}
+    brute = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin(a ^ b).count("1")
+        if d <= 10:
+            brute[(i, j)] = d
+    assert all(v <= 10 for v in got.values())
+    assert set(got) <= set(brute)
+    assert all(got[k] == brute[k] for k in got)   # exact distances
+    guaranteed = {k for k, v in brute.items() if v <= 3}
+    assert guaranteed <= set(got)
+
+
 def test_scalable_running_sum_string_keys(spark):
     """String order keys bucket by the monotone 8-byte-prefix surrogate:
     results must equal the plain global window, including unicode keys,

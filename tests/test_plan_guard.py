@@ -234,6 +234,18 @@ EXPECTED = {
     "substring_dedup": dict(scans=3, pushed_min=0,
                             joins={"BroadcastHashJoin"},
                             exchanges_max=2, single_max=0, py=0),
+    # round-9 image hashing: the TWO Arrow boundaries per pipeline
+    # (synth/encode + decode/dhash) are the DESIGNED Python surface of
+    # L6/L18 — py is pinned exact so a third boundary (or an
+    # accidental row-wise UDF) fails loudly. near_dup re-derives the
+    # hash pipeline for both join sides at this fixture scale (4 scans
+    # / 4 boundaries; production persists the 16-byte hashes once);
+    # its joins stay broadcast and the corpus never single-partitions.
+    "image_phash": dict(scans=1, pushed_min=0, joins=set(),
+                        exchanges_max=0, single_max=0, py=2),
+    "image_near_dup": dict(scans=4, pushed_min=0,
+                           joins={"BroadcastHashJoin"},
+                           exchanges_max=2, single_max=0, py=4),
 }
 
 
