@@ -5455,37 +5455,36 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # never driver-hash-verified (r8): the two r7 canon-err repairs —
-    # embedding_quantize and winnow_fingerprint now emit scalar-only
-    # ('|'-joined) results the driver's pandas canonicalizer can sort
-    # (their r7 slots recorded `err: unhashable numpy.ndarray`; the
-    # class is now banned statically by test_type_parity.py::
-    # test_no_nested_toplevel_columns_in_oracle_output) — plus the two
-    # post-rotation round-7 additions and the seven round-8 oracles
-    # (dsir_resample, bm25_topk, lm_bigram_logprob, pq_encode,
-    # pq_adc_topk, ivf_pq_topk, doc_chunks). A green here closes the
-    # cumulative driver-hash union at 154 of 154 oracle-bearing
-    # queries (recomputed union after r7 was 143 of 147 — see
-    # COVERAGE.md correction).
-    "embedding_quantize", "winnow_fingerprint", "semdedup",
-    "dsir_weights", "dsir_resample",
-    # stalest re-checks: last green r3
-    "tumbling_window",
+    # round-9 additions, never driver-verified: the two new oracle-
+    # bearing queries (a green here keeps the cumulative driver-hash
+    # union total at 156 of 156 oracle-bearing — it was closed at
+    # 154/154 by the r8 window) plus image_near_dup, rows-only by
+    # design (banding recall is the LSH trade; its hash math is pinned
+    # exactly by image_phash + the brute-force parity pytest), taking
+    # a slot so the driver records at least the rows-only signal for
+    # the new operator family.
+    "substring_dedup", "image_phash", "image_near_dup",
+    # stalest re-checks. The r8 window re-verified the r3/r4 block and
+    # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
+    # standing greens are now: four r4 names that yielded their r8
+    # slots to never-verified queries, then the full r5 block, then
+    # the oldest 11 of the r6 block (chosen for family breadth:
+    # ANN/arrow twins, scalable two-pass forms, streaming, LLM text).
     # last green r4
-    "agg_cube", "agg_hyperedge", "agg_incremental", "contamination",
-    "date_functions", "dedup_stateful", "embedding_near_dup",
-    "fuzzy_dedup_scalable", "graph_build", "heavy_hitters", "join_range",
-    "kgx_meta_kg", "near_dup_verified", "order_export", "q17_small_qty",
-    "q22_lost_customers", "q5_region_revenue", "quality_fk", "scd2_apply",
-    "set_except", "sliding_window", "stats_corr", "stream_enrich",
-    "stream_session", "string_functions", "table_diff", "text_dedup_exact",
-    "text_tfidf",
-    # round-8 additions, never verified (window_lag_delta/window_rank/
-    # vocab_topk/text_token_stats yield their stale-re-check slots —
-    # all hold r4 greens and stay in the per-round strict sweep;
-    # never-verified beats stale)
-    "bm25_topk", "lm_bigram_logprob", "pq_encode", "pq_adc_topk",
-    "ivf_pq_topk", "doc_chunks",
+    "text_token_stats", "vocab_topk", "window_lag_delta", "window_rank",
+    # last green r5
+    "graph_bfs", "interval_concurrency", "join_salted",
+    "q10_returned_items", "q11_important_parts", "q13_order_histogram",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q18_large_volume", "q19_disjunctive", "q20_excess_stock",
+    "q21_blocked_suppliers", "q2_min_cost_supplier", "q4_order_priority",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_nation_profit", "skew_salted_degree", "text_repetition",
+    "triangle_count",
+    # last green r6
+    "ann_lsh_topk", "chunk_dedup", "knn_cosine_arrow", "lm_logprob",
+    "running_sum_scalable", "token_packing", "stream_sliding",
+    "multimodal_frames", "simhash_md5", "window_range_frame", "text_nfc",
 )
 
 
