@@ -94,7 +94,8 @@ def minhash_signature(col: Column | str, num_hashes: int = 32,
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
                        shingle_n: int = 3,
-                       hash_family: str = "xxhash64") -> DataFrame:
+                       hash_family: str = "xxhash64",
+                       derive_partitions: int | None = None) -> DataFrame:
     """(id, sig) DataFrame via explode -> wide hash columns -> groupBy(min).
 
     Deliberately NOT the nested-lambda form (`transform(seq, i ->
@@ -102,7 +103,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     exceeds codegen limits and falls back to interpreted evaluation (~25s
     for 500 docs at sf0.01). The explode/groupBy form stays inside
     WholeStageCodegen, gets map-side partial mins before the shuffle, and
-    at 100 TB is a plain hash aggregation on doc_id."""
+    at 100 TB is a plain hash aggregation on doc_id.
+
+    ``derive_partitions``: the signature derivation is CPU-bound
+    (num_hashes hash evaluations per shingle), so its parallelism is
+    capped by the INPUT split count, not by data volume — a corpus
+    arriving as one or two parquet files serializes the whole fold
+    (measured, SCALE.md round-9: 100k docs over the sf1 file's 2
+    splits = 36.7s; `.repartition(32)` first = 5.8s, 6.3×). Set it
+    when reading few-file corpora on many-core hosts; leave None on
+    real cluster layouts, where thousands of input splits already
+    exist and the extra raw-text shuffle would be pure cost."""
+    if derive_partitions is not None:
+        docs = docs.repartition(derive_partitions)
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(shingles(text_col, shingle_n)).alias("__sh"))
     hashed = toks.select(
@@ -117,16 +130,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def band_hashes(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", num_hashes: int = 32,
                 bands: int = 8, shingle_n: int = 3,
-                hash_family: str = "xxhash64") -> DataFrame:
+                hash_family: str = "xxhash64",
+                derive_partitions: int | None = None) -> DataFrame:
     """(id, sig, band, bh) — the LSH banding step shared by the batch
     pair join (:func:`minhash_lsh_pairs`) and the streaming incremental
     dedup (streaming/neardup.py): MinHash signature split into `bands`
     bands of `num_hashes/bands` rows, each band's slice hashed to one
     bucket key ``bh``. Two documents are near-dup candidates iff they
-    agree on (band, bh) for at least one band."""
+    agree on (band, bh) for at least one band. ``derive_partitions``
+    forwards to :func:`minhash_signatures` (few-input-split corpora)."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
-                             hash_family)
+                             hash_family, derive_partitions)
     return sig.select(
         "id", "sig",
         F.explode(
