@@ -395,6 +395,123 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
                  .alias("avg_logprob")))
 
 
+# Deterministic stand-in weight table for the hashed linear classifier:
+# a Knuth-multiplicative mix of the bucket id into [-2000, 2000]. In
+# production the weights arrive as a trained artifact (a fastText /
+# logistic-regression export); the formula plays that role here so the
+# DuckDB oracle can recompute the exact same "model" without shipping
+# 65k literals into either plan. 2654435761 = floor(2^32/phi), the
+# classic Fibonacci-hash multiplier; every intermediate fits a BIGINT
+# (max bucket 65535 * 2654435761 ~ 1.7e14).
+_CLS_MULT = 2654435761
+_CLS_ADD = 40503
+_CLS_MOD = 4001
+_CLS_SHIFT = 2000
+
+
+def _cls_weight(bucket: Column) -> Column:
+    return (bucket * F.lit(_CLS_MULT) + F.lit(_CLS_ADD)) % F.lit(_CLS_MOD) \
+        - F.lit(_CLS_SHIFT)
+
+
+def hashed_linear_score(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_buckets: int = 256,
+                        n_pair_buckets: int = 65536, seed: int = 7,
+                        weights: DataFrame | None = None,
+                        pair_weights: DataFrame | None = None) -> DataFrame:
+    """fastText-style hashed linear quality classifier (the DCLM /
+    CCNet model-based filter): mean-pooled word + word-bigram features,
+    each hashed to a fixed-size bucket space, scored against a linear
+    weight table. This is the standard "quality classifier" stage of a
+    web-crawl curation pipeline — one step up from the heuristic rules
+    in :func:`quality_score` and orthogonal to the self-trained LM
+    perplexity filters (:func:`bigram_logprob`): the model is EXTERNAL,
+    trained offline on labeled good/bad corpora and applied here as a
+    pure scoring pass.
+
+    Features hash via the portable md5 family (unigrams to
+    ``n_buckets``, bigrams to ``n_pair_buckets`` — the DSIR/fastText
+    hashing-trick device, so model size is fixed whatever the corpus);
+    the logit is the integer sum of bucket weights, the score its mean
+    over the 2n-1 features. ``keep`` is logit > 0 (a trained bias folds
+    into the threshold).
+
+    Two paths, decision-identical (pytest-pinned):
+
+    - ``weights is None`` (default): weights derive from the bucket id
+      by the deterministic :func:`_cls_weight` formula — the
+      oracle-checkable stand-in for a shipped model. ZERO-shuffle: both
+      feature folds run as per-row ``aggregate`` HOFs inside one
+      map-only pass; at 100 TB the classifier adds no exchange at all,
+      output partitioning follows the input's.
+    - ``weights`` / ``pair_weights`` given as (bucket, weight)
+      DataFrames: the production shape — a trained model re-enters via
+      two BROADCAST hash joins over the exploded feature stream
+      (bounded: n_pair_buckets rows max, the bigram_logprob contract),
+      then one per-doc aggregate. Integer weights keep the sum
+      order-independent, so both paths are bit-stable.
+
+    Returns (id, n_features, logit_sum, score, keep).
+    """
+    from data_services_spark.operators.dedup import md5_long_hash
+
+    tk = F.col("__t")
+    empty = F.array().cast("array<int>")
+    bigram_idx = F.when(F.size(tk) >= 2,
+                        F.sequence(F.lit(2), F.size(tk))).otherwise(empty)
+    base = docs.select(F.col(id_col), tokenize(text_col).alias("__t"))
+    n_features = (F.lit(2) * F.size(tk) - F.lit(1)).cast("long")
+
+    def uni_bucket(t: Column) -> Column:
+        return F.pmod(md5_long_hash(t, seed), F.lit(n_buckets))
+
+    def bi_bucket(i: Column) -> Column:
+        pair = F.concat(F.element_at(tk, i - 1), F.lit("|"),
+                        F.element_at(tk, i))
+        return F.pmod(md5_long_hash(pair, seed), F.lit(n_pair_buckets))
+
+    if weights is None:
+        zero = F.lit(0).cast("long")
+        logit = (
+            F.aggregate(tk, zero,
+                        lambda acc, t: acc + _cls_weight(uni_bucket(t)))
+            + F.aggregate(bigram_idx, zero,
+                          lambda acc, i: acc + _cls_weight(bi_bucket(i))))
+        scored = base.select(F.col(id_col),
+                             n_features.alias("n_features"),
+                             logit.alias("logit_sum"))
+    else:
+        if pair_weights is None:
+            raise ValueError("pair_weights required when weights given")
+        feats = base.select(
+            F.col(id_col), n_features.alias("n_features"),
+            F.explode(F.concat(
+                F.transform(tk, lambda t: F.struct(
+                    F.lit(0).alias("fam"), uni_bucket(t).alias("bucket"))),
+                F.transform(bigram_idx, lambda i: F.struct(
+                    F.lit(1).alias("fam"), bi_bucket(i).alias("bucket"))),
+            )).alias("__f"))
+        w = (weights.select(F.lit(0).alias("fam"),
+                            F.col("bucket").cast("long").alias("bucket"),
+                            F.col("weight").cast("long").alias("weight"))
+             .unionAll(pair_weights.select(
+                 F.lit(1).alias("fam"),
+                 F.col("bucket").cast("long").alias("bucket"),
+                 F.col("weight").cast("long").alias("weight"))))
+        scored = (feats
+                  .join(F.broadcast(w),
+                        (F.col("__f.fam") == F.col("fam"))
+                        & (F.col("__f.bucket") == F.col("bucket")))
+                  .groupBy(id_col)
+                  .agg(F.first("n_features").alias("n_features"),
+                       F.sum("weight").alias("logit_sum")))
+    return scored.select(
+        F.col(id_col), "n_features", "logit_sum",
+        (F.col("logit_sum").cast("double") / F.col("n_features"))
+        .alias("score"),
+        (F.col("logit_sum") > 0).alias("keep"))
+
+
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                     stride: int = 96, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

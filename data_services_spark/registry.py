@@ -2577,6 +2577,44 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, n_buckets=256, seed=11)
 
 
+@register("quality_classifier", f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           CAST(2 * len(tk) - 1 AS BIGINT) AS n_features,
+           CAST(list_sum(list_transform(tk, w ->
+                    (({_sql_md5h(7, 'w')} % 256)
+                     * 2654435761 + 40503) % 4001 - 2000))
+                + CASE WHEN len(tk) >= 2 THEN
+                    list_sum(list_transform(generate_series(2, len(tk)),
+                        i -> (({_sql_md5h(7, "tk[i-1] || '|' || tk[i]")}
+                               % 65536)
+                              * 2654435761 + 40503) % 4001 - 2000))
+                  ELSE 0 END AS BIGINT) AS logit_sum
+    FROM t
+)
+SELECT doc_id, n_features, logit_sum,
+       CAST(logit_sum AS DOUBLE) / n_features AS score,
+       logit_sum > 0 AS keep
+FROM s
+""")
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17 model-based quality filter: fastText-style hashed linear
+    classifier (mean-pooled word + bigram features, hashing trick,
+    integer logit) — the DCLM/CCNet "quality classifier" stage, applied
+    as a pure scoring pass. The registry form uses the deterministic
+    weight formula standing in for a shipped model artifact (the
+    production weights-DataFrame path is decision-parity pytest-pinned);
+    ZERO shuffles — both feature folds are per-row aggregate HOFs in one
+    map-only pass, and the integer logit makes the mean bit-stable."""
+    from data_services_spark.operators.text import hashed_linear_score
+    d = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(d, n_buckets=256, n_pair_buckets=65536,
+                               seed=7)
+
+
 @register("doc_chunks", """
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk

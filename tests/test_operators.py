@@ -1816,3 +1816,46 @@ def test_ivf_pq_probe_consistent_with_full_adc(spark):
                             nprobe=len(cents)).collect()]
     ref = sorted(full.items(), key=lambda t: (t[1], t[0]))[:10]
     assert allcells == ref
+
+
+def test_hashed_linear_score_weights_df_parity(spark):
+    """The production weights-DataFrame path (broadcast-join scoring of
+    a trained-model artifact) must be bit-identical to the zero-shuffle
+    formula path on every column — the formula is only a stand-in for a
+    model that arrives as data, so the two code paths are one contract."""
+    from data_services_spark.operators.text import (
+        _CLS_ADD, _CLS_MOD, _CLS_MULT, _CLS_SHIFT, hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "single"),
+         (3, ""),                       # tokenize('') = [''] -> 1 token
+         (4, "a b a b a b a b"),
+         (5, "zz yy xx ww vv uu")],
+        "doc_id long, text string")
+
+    def wtab(n):
+        rows = [(b, ((b * _CLS_MULT + _CLS_ADD) % _CLS_MOD) - _CLS_SHIFT)
+                for b in range(n)]
+        return spark.createDataFrame(rows, "bucket long, weight long")
+
+    formula = {r["doc_id"]: r for r in hashed_linear_score(
+        docs, n_buckets=64, n_pair_buckets=256, seed=7).collect()}
+    joined = {r["doc_id"]: r for r in hashed_linear_score(
+        docs, n_buckets=64, n_pair_buckets=256, seed=7,
+        weights=wtab(64), pair_weights=wtab(256)).collect()}
+    assert set(formula) == set(joined) == {1, 2, 3, 4, 5}
+    for k in formula:
+        assert tuple(formula[k]) == tuple(joined[k])
+    # single-token docs have exactly 1 feature (no bigrams) on both paths
+    assert formula[2]["n_features"] == 1
+    assert formula[3]["n_features"] == 1
+
+
+def test_hashed_linear_score_requires_pair_weights(spark):
+    from data_services_spark.operators.text import hashed_linear_score
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 1)], "bucket long, weight long")
+    with pytest.raises(ValueError, match="pair_weights"):
+        hashed_linear_score(docs, weights=w).collect()

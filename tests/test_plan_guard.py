@@ -246,6 +246,12 @@ EXPECTED = {
     "image_near_dup": dict(scans=4, pushed_min=0,
                            joins={"BroadcastHashJoin"},
                            exchanges_max=2, single_max=0, py=4),
+    # round-9 quality classifier: the whole scoring pass (word + bigram
+    # hashed-feature folds, weight formula, logit, decision) is per-row
+    # aggregate HOFs in ONE map-only scan — zero exchanges, zero joins,
+    # zero Python. The classifier adds NO shuffle to a 100 TB corpus.
+    "quality_classifier": dict(scans=1, pushed_min=0, joins=set(),
+                               exchanges_max=0, single_max=0, py=0),
 }
 
 
