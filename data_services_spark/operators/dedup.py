@@ -312,6 +312,120 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+# One-slot registry for prefix_jaccard_join's ordered-array cache —
+# the bm25/bigram device: at most one cached relation alive per session,
+# each call releases the previous call's.
+_PJ_CACHE: list[DataFrame] = []
+
+
+def prefix_jaccard_release() -> None:
+    """Unpersist the ordered-array cache left by the most recent
+    :func:`prefix_jaccard_join` call. Safe any time, including after
+    the owning SparkSession stopped; previously returned results stay
+    correct, they just recompute instead of reading cache."""
+    while _PJ_CACHE:
+        df = _PJ_CACHE.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - dead-session cache is gone
+            pass
+
+
+def prefix_jaccard_join(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.8) -> DataFrame:
+    """EXACT token-set Jaccard self-join via prefix filtering (the
+    SSJoin/PPJoin family — Chaudhuri et al. ICDE 2006, Xiao et al.
+    WWW 2008): every pair with Jaccard >= ``threshold``, with NO false
+    negatives and no LSH probability trade — the scalable exact
+    counterpart to :func:`minhash_lsh_pairs` + verify.
+
+    The filter: order each document's distinct tokens by global
+    document frequency ascending (rarest first; ties broken by token,
+    so the order is total and engine-independent), and explode only the
+    first ``p = s - ceil(t*s) + 1`` tokens as join keys. Prefix
+    theorem: two sets with J >= t overlap in >= ceil(t*max(|A|,|B|))
+    elements, and two sets whose prefixes (under one global order)
+    share nothing can overlap in at most (|A| - p_A) < ceil(t*|A|)
+    elements — so every qualifying pair collides on >= 1 prefix token.
+    Joining on RAREST-first prefixes is what bounds the candidate
+    blow-up: a stopword shared by half the corpus is (almost) never in
+    anyone's prefix, while `jaccard_pairs`' all-token join would
+    quadratically explode on it. A symmetric length filter
+    (t*|B| <= |A| <= |B|/t) prunes candidates further before the
+    verify.
+
+    Verify is exact set intersection over the full token arrays
+    (`array_intersect` on the already-distinct arrays) with the
+    threshold test done in INTEGER arithmetic ((num+den)*inter >=
+    num*(sa+sb) for t = num/den), so no float comparison can disagree
+    with the oracle; the reported jaccard is one double division.
+
+    Shape at scale: one token-df shuffle (the groupBy), one shuffle to
+    rebuild per-doc ordered arrays, one candidate join keyed on prefix
+    tokens, one verify join keyed on doc id. Exact-duplicate groups
+    should be collapsed by :func:`exact_text_dedup` FIRST — identical
+    docs share identical prefixes and would pair quadratically (the
+    standard PPJoin preprocessing step).
+
+    Returns (id_a, id_b, inter, sz_a, sz_b, jaccard), id_a < id_b.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            F.split(_norm_text(text_col), r"\s+"))).alias("tok"))
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    arrs = (toks.join(dfs, "tok")
+            .groupBy("id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "tok"))),
+                lambda x: x["tok"]).alias("tks"))
+            .withColumn("sz", F.size("tks").cast("long")))
+    # The ordered-array relation is read three times (prefix explode +
+    # both verify sides); without a persist each read re-pays the
+    # corpus scan AND the token-df join — 8 parquet scans measured vs 2
+    # with the cache. One-slot MEMORY_ONLY (the bm25/bigram device):
+    # eviction degrades to recomputation, never a spill.
+    from pyspark import StorageLevel
+    prefix_jaccard_release()
+    arrs = arrs.persist(StorageLevel.MEMORY_ONLY)
+    _PJ_CACHE.append(arrs)
+    # p = sz - ceil(t*sz) + 1, all-integer: ceil(n*s/d) = (n*s + d - 1) div d
+    p = (F.col("sz")
+         - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / den)
+         + F.lit(1)).cast("int")
+    pref = arrs.select("id", "sz",
+                       F.explode(F.slice("tks", F.lit(1), p)).alias("tok"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.id") < F.col("b.id"))
+                   # symmetric length filter: t*sb <= sa and t*sa <= sb
+                   & (F.lit(den) * F.col("a.sz") >= F.lit(num) * F.col("b.sz"))
+                   & (F.lit(den) * F.col("b.sz") >= F.lit(num) * F.col("a.sz")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("tks").alias("tks_a"),
+                     F.col("sz").alias("sz_a"))
+    bb = arrs.select(F.col("id").alias("id_b"), F.col("tks").alias("tks_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("tks_a", "tks_b")).cast("long")
+    return (cand.join(aa, "id_a").join(bb, "id_b")
+            .withColumn("inter", inter)
+            .filter(F.lit(num + den) * F.col("inter")
+                    >= F.lit(num) * (F.col("sz_a") + F.col("sz_b")))
+            .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+                    (F.col("inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    .alias("jaccard")))
+
+
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 24,
                         window: int = 8,

@@ -1745,6 +1745,53 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(d, block_cols=("lang",), threshold=0.8)
 
 
+@register("jaccard_prefix_join", """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'))) AS tok
+    FROM documents
+), dfs AS (
+    SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+), arrs AS (
+    SELECT doc_id,
+           list_transform(list_sort(list({'df': df, 'tok': tok})),
+                          x -> x.tok) AS tks
+    FROM toks JOIN dfs USING (tok) GROUP BY doc_id
+), pre AS (
+    SELECT doc_id,
+           unnest(tks[1 : len(tks) - (4 * len(tks) + 4) // 5 + 1]) AS tok
+    FROM arrs
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+), v AS (
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(a.tks, b.tks)) AS BIGINT) AS inter,
+           CAST(len(a.tks) AS BIGINT) AS sz_a,
+           CAST(len(b.tks) AS BIGINT) AS sz_b
+    FROM cand JOIN arrs a ON a.doc_id = cand.id_a
+              JOIN arrs b ON b.doc_id = cand.id_b
+)
+SELECT id_a, id_b, inter, sz_a, sz_b,
+       inter / (sz_a + sz_b - inter) AS jaccard
+FROM v WHERE 9 * inter >= 4 * (sz_a + sz_b)
+""")
+def jaccard_prefix_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact near-dup at scale WITHOUT the LSH trade: prefix-filtered
+    set-similarity self-join (SSJoin/PPJoin) — candidates collide only
+    on each document's rarest df-ordered prefix tokens (provably no
+    false negatives at the threshold), then exact integer-arithmetic
+    Jaccard verify. The scalable exact counterpart to the MinHash
+    pipeline: `jaccard_pairs`' all-token join explodes quadratically on
+    stopwords; the prefix join never keys on them. Threshold 0.8, the
+    near_dup_jaccard setting; exactness vs brute force is also
+    pytest-pinned where blow-up can't hide (test_prefix_jaccard_*)."""
+    from data_services_spark.operators.dedup import prefix_jaccard_join
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_join(d, threshold=0.8)
+
+
 @register("minhash_lsh_pairs")  # xxhash64 family -> rows-only check
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash LSH candidate pairs, production hash family (xxhash64,

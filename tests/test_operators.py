@@ -1859,3 +1859,54 @@ def test_hashed_linear_score_requires_pair_weights(spark):
     w = spark.createDataFrame([(0, 1)], "bucket long, weight long")
     with pytest.raises(ValueError, match="pair_weights"):
         hashed_linear_score(docs, weights=w).collect()
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    """The prefix-filter theorem in practice: on a corpus where the
+    all-token join would key on stopwords shared by EVERY doc, the
+    prefix join must still return exactly the brute-force result set
+    (no false negatives — the filter only prunes, the verify only
+    confirms). Values compared exactly, pair by pair."""
+    from data_services_spark.operators.dedup import (
+        jaccard_pairs, prefix_jaccard_join,
+    )
+
+    rows = []
+    # 20 near-dup pairs: base text + one substituted token
+    for i in range(20):
+        base = f"the of and a common{i} rare{i}a rare{i}b rare{i}c rare{i}d"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base.replace(f"rare{i}d", f"rare{i}e")))
+    # plus docs sharing ONLY stopwords (never 0.8-similar)
+    for i in range(10):
+        rows.append((100 + i, f"the of and a unique{i}x unique{i}y"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.8, 0.5):
+        brute = {(r["id_a"], r["id_b"]): (r["inter"], r["jaccard"])
+                 for r in jaccard_pairs(docs, threshold=t).withColumn(
+                     "inter", F.lit(None)).collect()}
+        pref = {(r["id_a"], r["id_b"]): r
+                for r in prefix_jaccard_join(docs, threshold=t).collect()}
+        assert set(pref) == set(brute)
+        for (ia, ib), r in pref.items():
+            assert r["sz_a"] >= 1 and r["sz_b"] >= 1
+            assert abs(r["jaccard"] - brute[(ia, ib)][1]) == 0.0
+    # the 0.8 run finds exactly the 20 engineered near-dup pairs
+    out = prefix_jaccard_join(docs, threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} \
+        == {(2 * i, 2 * i + 1) for i in range(20)}
+
+
+def test_prefix_jaccard_threshold_validation_and_release(spark):
+    from data_services_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "a b")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        dd.prefix_jaccard_join(docs, threshold=0.0)
+    dd.prefix_jaccard_join(docs).collect()
+    dd.prefix_jaccard_join(docs).collect()   # second call evicts first
+    assert len(dd._PJ_CACHE) == 1
+    dd.prefix_jaccard_release()
+    assert not dd._PJ_CACHE

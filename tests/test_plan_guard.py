@@ -252,6 +252,16 @@ EXPECTED = {
     # zero Python. The classifier adds NO shuffle to a 100 TB corpus.
     "quality_classifier": dict(scans=1, pushed_min=0, joins=set(),
                                exchanges_max=0, single_max=0, py=0),
+    # round-9 PPJoin: the df-ordered per-doc array relation persists
+    # (one-slot MEMORY_ONLY, prefix_jaccard_release device) so the
+    # prefix explode and both verify sides read ONE materialization —
+    # 2 parquet scans (token-df fit + array build), not the 8 measured
+    # without the cache. Candidate and verify joins broadcast at this
+    # scale; the exchanges are the df groupBy + the per-doc array
+    # groupBy; zero Python.
+    "jaccard_prefix_join": dict(scans=2, pushed_min=0,
+                                joins={"BroadcastHashJoin"},
+                                exchanges_max=2, single_max=0, py=0),
 }
 
 
