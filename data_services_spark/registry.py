@@ -836,6 +836,61 @@ def kgx_connected_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_edge_subset(edges, node_ids)
 
 
+@register("kgx_two_hop", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()},
+{kgx.KGX_NODES_SQL.strip()},
+e AS (
+    SELECT DISTINCT subject, predicate, object FROM kgx_edges
+), mid AS (
+    SELECT id FROM kgx_nodes
+    WHERE id LIKE 'PART:%' AND acctbal > 950
+), p AS (
+    SELECT e1.subject AS subject, e1.object AS m, e2.subject AS neighbor
+    FROM e e1
+    JOIN mid ON e1.object = mid.id
+    JOIN e e2 ON e2.object = e1.object
+    WHERE e1.predicate = 'biolink:returned'
+      AND e2.predicate = 'biolink:contains'
+      AND e2.subject <> e1.subject
+)
+SELECT subject,
+       CAST(COUNT(DISTINCT m) AS BIGINT) AS n_mid,
+       CAST(COUNT(DISTINCT neighbor) AS BIGINT) AS n_neighbors,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM p GROUP BY subject
+""")
+def kgx_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG pattern matching (the meta-path query every graph user runs:
+    "chemical -[affects]-> gene <-[associated_with]- disease"): typed
+    two-hop paths subject -[returned]-> mid <-[contains]- neighbor,
+    with a node-ATTRIBUTE constraint on the intermediate (PART nodes
+    with acctbal > 950 — the join against the node relation is
+    load-bearing, not just edge traversal). Per-source-node neighborhood
+    stats: distinct mids, distinct 2-hop neighbors, path count — all
+    integer aggregates, exact vs the oracle. Edge relation deduped to
+    (s,p,o) first so parallel edges never multiply path counts; the mid
+    filter enters as a semi-shaped equi join before the big edge-edge
+    join, so pruning happens pre-shuffle."""
+    e = (kgx.kgx_edges(spark, sf_dir)
+         .select("subject", "predicate", "object").distinct())
+    mid = (kgx.kgx_nodes(spark, sf_dir)
+           .filter(F.col("id").startswith("PART:")
+                   & (F.col("acctbal") > 950))
+           .select(F.col("id").alias("m")))
+    e1 = (e.filter(F.col("predicate") == "biolink:returned")
+          .select("subject", F.col("object").alias("m")))
+    e2 = (e.filter(F.col("predicate") == "biolink:contains")
+          .select(F.col("subject").alias("neighbor"),
+                  F.col("object").alias("m")))
+    paths = (e1.join(mid, "m")
+             .join(e2, "m")
+             .filter(F.col("neighbor") != F.col("subject")))
+    return paths.groupBy("subject").agg(
+        F.count_distinct("m").alias("n_mid"),
+        F.count_distinct("neighbor").alias("n_neighbors"),
+        F.count(F.lit(1)).alias("n_paths"))
+
+
 # EP2 graph-spec build: the src_nodes / edge CTEs shared by the
 # graph_build / graph_build_nodes oracles. Three spec sources:
 #   main  (default, rank 1): every customer node + the fixture edges

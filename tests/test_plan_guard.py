@@ -262,6 +262,15 @@ EXPECTED = {
     "jaccard_prefix_join": dict(scans=2, pushed_min=0,
                                 joins={"BroadcastHashJoin"},
                                 exchanges_max=2, single_max=0, py=0),
+    # round-9 KG meta-path query: each typed edge branch scans lineitem
+    # with its predicate pushed through the CASE projection into the
+    # scan (pushed_min=3 includes the part-node attribute filter), the
+    # mid-node constraint and the second edge leg broadcast at this
+    # scale, and the exchanges are the two per-branch distincts + the
+    # per-source aggregate. Zero Python.
+    "kgx_two_hop": dict(scans=5, pushed_min=3,
+                        joins={"BroadcastHashJoin"},
+                        exchanges_max=4, single_max=0, py=0),
 }
 
 
