@@ -485,3 +485,73 @@ def dsir_resample(docs: DataFrame, target: DataFrame, k: int,
     return (w.withColumn("gumbel_key", key)
             .orderBy(F.desc("gumbel_key"), F.col(id_col))
             .limit(k))
+
+
+def negative_sample_edges(edges: DataFrame, nodes: DataFrame, k: int = 2,
+                          n_buckets: int = 1024,
+                          subject_col: str = "subject",
+                          predicate_col: str = "predicate",
+                          object_col: str = "object",
+                          node_id_col: str = "id",
+                          seed: int = 5) -> DataFrame:
+    """KG link-prediction training prep: for every distinct positive
+    edge (s, p, o), emit ``k`` deterministic NEGATIVE edges (s, p, o')
+    by corrupting the object — the standard contrastive-pair generator
+    for KG-embedding training (TransE-family local closed-world
+    assumption), with false negatives removed by an anti join against
+    the true edge set.
+
+    Corruption is HASH-BUCKET REPRESENTATIVE sampling: candidate nodes
+    bucket by the portable md5 family into ``n_buckets``; each
+    NON-EMPTY bucket's representative is its MIN node id
+    (deterministic); the non-empty buckets are then DENSELY RANKED so
+    edge (s,p,o) slot i draws representative rank
+    md5(s|p|o|i) % n_nonempty — every slot hits a real node (a raw
+    bucket-modulo draw would silently drop every slot landing in an
+    empty bucket: ~14% of slots measured at 1024 buckets over 2000
+    nodes). This avoids the global NODE indexing a positional draw
+    over all nodes would need: the representative table is a groupBy
+    of the node relation down to <= n_buckets rows; its dense rank is
+    a window over those few rows (bounded by the knob, never by the
+    corpus — the tiny-aggregate single-partition exemption) and the
+    scalar n_nonempty re-enters as a 1-row broadcast. The edge stream
+    itself never shuffles for the draw. Diversity is uniform over the
+    representatives; raise ``n_buckets`` to shrink buckets toward
+    singletons (collision-free once n_buckets >> N², uniform over all
+    nodes) — the table stays broadcastable up to millions of rows.
+
+    Deterministic per edge (stable across runs, cluster sizes, row
+    order — the deterministic_split contract), and exactly
+    oracle-expressible. A slot whose draw collides with a TRUE (s,p,o')
+    is dropped, not redrawn (redraw chains are sequential; the paper
+    convention is filter-and-keep), so an edge can yield < k negatives.
+
+    Returns (subject, predicate, neg_object, neg_idx).
+    """
+    from pyspark.sql import Window
+
+    from data_services_spark.operators.dedup import md5_long_hash
+
+    s, p, o = subject_col, predicate_col, object_col
+    reps = (nodes.select(F.col(node_id_col).alias("neg_object")).distinct()
+            .groupBy(F.pmod(md5_long_hash(F.col("neg_object"), seed),
+                            F.lit(n_buckets)).alias("__bkt"))
+            .agg(F.min("neg_object").alias("neg_object")))
+    ranked = reps.select(
+        "neg_object",
+        (F.row_number().over(Window.orderBy("__bkt")) - 1).alias("__rank"))
+    n_reps = reps.agg(F.count(F.lit(1)).alias("__n"))
+    e = edges.select(s, p, o).distinct()
+    cand = (e.select(
+        F.col(s), F.col(p), F.col(o),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"))
+        .withColumn("__h", md5_long_hash(
+            F.concat_ws("|", F.col(s), F.col(p), F.col(o),
+                        F.col("neg_idx")), seed))
+        .crossJoin(F.broadcast(n_reps))
+        .withColumn("__rank", F.pmod(F.col("__h"), F.col("__n"))))
+    truth = e.select(F.col(s), F.col(p), F.col(o).alias("neg_object"))
+    return (cand.join(F.broadcast(ranked), "__rank")
+            .join(truth, [s, p, "neg_object"], "left_anti")
+            .select(F.col(s), F.col(p), "neg_object",
+                    F.col("neg_idx").cast("long").alias("neg_idx")))

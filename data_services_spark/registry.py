@@ -4131,6 +4131,51 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("kg_negative_sample", f"""
+WITH {kgx.KGX_EDGES_SQL.strip()},
+e AS (
+    SELECT DISTINCT subject, predicate, object FROM kgx_edges
+), nodes AS (
+    SELECT DISTINCT 'PART:' || CAST(p_partkey AS VARCHAR) AS id FROM part
+), reps AS (
+    SELECT {_sql_md5h(5, 'id')} % 1024 AS bkt, MIN(id) AS neg_object
+    FROM nodes GROUP BY 1
+), ranked AS (
+    SELECT neg_object, ROW_NUMBER() OVER (ORDER BY bkt) - 1 AS rnk
+    FROM reps
+), nn AS (
+    SELECT COUNT(*) AS n FROM reps
+), cand AS (
+    SELECT subject, predicate, object, i AS neg_idx,
+           {_sql_md5h(5, "subject || '|' || predicate || '|' || object"
+                         " || '|' || CAST(i AS VARCHAR)")} AS hh
+    FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) t
+)
+SELECT c.subject, c.predicate, r.neg_object,
+       CAST(c.neg_idx AS BIGINT) AS neg_idx
+FROM cand c CROSS JOIN nn JOIN ranked r ON r.rnk = c.hh % nn.n
+WHERE NOT EXISTS (SELECT 1 FROM e t WHERE t.subject = c.subject
+                  AND t.predicate = c.predicate
+                  AND t.object = r.neg_object)
+""")
+def kg_negative_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-ML training prep: k=2 deterministic corrupted-object
+    negatives per positive edge (TransE-family contrastive pairs),
+    false negatives removed by anti join against the true edge set.
+    Hash-bucket representative draw — the candidate-node relation
+    reduces to a <= 1024-row broadcast table, so the edge stream
+    generates its negatives with ZERO shuffles of its own (no global
+    node indexing, no single-partition row_number); raise n_buckets
+    toward the node count for production diversity."""
+    from data_services_spark.operators.sampling import negative_sample_edges
+    edges = kgx.kgx_edges(spark, sf_dir).select(
+        "subject", "predicate", "object")
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.concat(F.lit("PART:"), F.col("p_partkey").cast("string"))
+        .alias("id"))
+    return negative_sample_edges(edges, nodes, k=2, n_buckets=1024, seed=5)
+
+
 @register("dataset_split", """
 SELECT doc_id,
        CASE WHEN u < 0.9 THEN 'train'

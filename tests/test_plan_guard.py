@@ -271,6 +271,21 @@ EXPECTED = {
     "kgx_two_hop": dict(scans=5, pushed_min=3,
                         joins={"BroadcastHashJoin"},
                         exchanges_max=4, single_max=0, py=0),
+    # round-9 negative sampling: the bucket-representative table is a
+    # groupBy of the node relation down to <= 1024 rows; its dense rank
+    # is a window over those few rows (the tiny-aggregate
+    # single-partition exemption — bounded by the n_buckets KNOB, never
+    # by the corpus; the two SinglePartition exchanges are that window
+    # + the 1-row rep count) and both re-enter via broadcast (the count
+    # as the documented 1-row BNLJ). The edge stream itself never
+    # shuffles for the draw; exchanges: edge distinct + node
+    # distinct/groupBy + the two tiny singles. Zero Python, and no
+    # global NODE indexing (the corpus-sized single-partition
+    # row_number this design exists to avoid).
+    "kg_negative_sample": dict(scans=4, pushed_min=0,
+                               joins={"BroadcastHashJoin",
+                                      "BroadcastNestedLoopJoin"},
+                               exchanges_max=6, single_max=2, py=0),
 }
 
 
