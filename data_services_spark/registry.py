@@ -5640,15 +5640,17 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # round-9 additions, never driver-verified: the two new oracle-
+    # round-9 additions, never driver-verified: the six new oracle-
     # bearing queries (a green here keeps the cumulative driver-hash
-    # union total at 156 of 156 oracle-bearing — it was closed at
+    # union total at 160 of 160 oracle-bearing — it was closed at
     # 154/154 by the r8 window) plus image_near_dup, rows-only by
     # design (banding recall is the LSH trade; its hash math is pinned
     # exactly by image_phash + the brute-force parity pytest), taking
     # a slot so the driver records at least the rows-only signal for
     # the new operator family.
     "substring_dedup", "image_phash", "image_near_dup",
+    "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
+    "kg_negative_sample",
     # stalest re-checks. The r8 window re-verified the r3/r4 block and
     # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
     # standing greens are now: four r4 names that yielded their r8
@@ -5666,10 +5668,15 @@ PRIORITY = (
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_nation_profit", "skew_salted_degree", "text_repetition",
     "triangle_count",
-    # last green r6
+    # last green r6 (multimodal_frames / simhash_md5 /
+    # window_range_frame / text_nfc yielded their slots to the four
+    # later round-9 additions — each keeps its r6 green and an
+    # in-window family proxy: image_phash for the multimodal arrow
+    # path, jaccard_prefix_join + the winnow pins for L2,
+    # window_lag_delta/window_rank/running_sum_scalable for W3,
+    # text_token_stats + quality_classifier for L5)
     "ann_lsh_topk", "chunk_dedup", "knn_cosine_arrow", "lm_logprob",
     "running_sum_scalable", "token_packing", "stream_sliding",
-    "multimodal_frames", "simhash_md5", "window_range_frame", "text_nfc",
 )
 
 
