@@ -372,10 +372,10 @@ def prefix_jaccard_join(docs: DataFrame, text_col: str = "text",
     """
     from fractions import Fraction
 
-    frac = Fraction(str(threshold))
-    num, den = frac.numerator, frac.denominator
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
 
     toks = docs.select(
         F.col(id_col).alias("id"),

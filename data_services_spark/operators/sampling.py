@@ -532,6 +532,12 @@ def negative_sample_edges(edges: DataFrame, nodes: DataFrame, k: int = 2,
 
     from data_services_spark.operators.dedup import md5_long_hash
 
+    if k < 1:
+        # F.sequence(0, k-1) DESCENDS for k <= 0 (the chunk_documents /
+        # bigram_logprob hazard class) and would fabricate slots
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     s, p, o = subject_col, predicate_col, object_col
     reps = (nodes.select(F.col(node_id_col).alias("neg_object")).distinct()
             .groupBy(F.pmod(md5_long_hash(F.col("neg_object"), seed),

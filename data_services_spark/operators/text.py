@@ -446,10 +446,13 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
       output partitioning follows the input's.
     - ``weights`` / ``pair_weights`` given as (bucket, weight)
       DataFrames: the production shape — a trained model re-enters via
-      two BROADCAST hash joins over the exploded feature stream
-      (bounded: n_pair_buckets rows max, the bigram_logprob contract),
-      then one per-doc aggregate. Integer weights keep the sum
-      order-independent, so both paths are bit-stable.
+      a BROADCAST hash join over the exploded feature stream (bounded:
+      n_pair_buckets rows max, the bigram_logprob contract), then one
+      per-doc aggregate. The join is LEFT with missing buckets scored
+      0 (a sparse export — a model that never saw some buckets — must
+      not silently drop those features from the mean's denominator).
+      Integer weights keep the sum order-independent, so both paths
+      are bit-stable.
 
     Returns (id, n_features, logit_sum, score, keep).
     """
@@ -501,10 +504,12 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
         scored = (feats
                   .join(F.broadcast(w),
                         (F.col("__f.fam") == F.col("fam"))
-                        & (F.col("__f.bucket") == F.col("bucket")))
+                        & (F.col("__f.bucket") == F.col("bucket")),
+                        "left")
                   .groupBy(id_col)
                   .agg(F.first("n_features").alias("n_features"),
-                       F.sum("weight").alias("logit_sum")))
+                       F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+                       .alias("logit_sum")))
     return scored.select(
         F.col(id_col), "n_features", "logit_sum",
         (F.col("logit_sum").cast("double") / F.col("n_features"))

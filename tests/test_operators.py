@@ -1910,3 +1910,20 @@ def test_prefix_jaccard_threshold_validation_and_release(spark):
     assert len(dd._PJ_CACHE) == 1
     dd.prefix_jaccard_release()
     assert not dd._PJ_CACHE
+
+
+def test_hashed_linear_score_sparse_weights_left_join(spark):
+    """A sparse model export (buckets the trainer never saw are absent
+    from the table) scores those features 0 WITHOUT dropping them from
+    the mean's denominator — an inner join would silently shrink
+    n_features' effective weight and shift every score."""
+    from data_services_spark.operators.text import hashed_linear_score
+
+    docs = spark.createDataFrame([(1, "aa bb cc")],
+                                 "doc_id long, text string")
+    empty_w = spark.createDataFrame([], "bucket long, weight long")
+    r = hashed_linear_score(docs, n_buckets=8, n_pair_buckets=16, seed=7,
+                            weights=empty_w,
+                            pair_weights=empty_w).collect()[0]
+    assert r["n_features"] == 5 and r["logit_sum"] == 0
+    assert r["score"] == 0.0 and r["keep"] is False

@@ -480,3 +480,14 @@ def test_negative_sample_every_slot_draws_and_covers_nodes(spark):
     assert len(emitted) == len(out)
     assert len(out) >= 150
     assert len({r["neg_object"] for r in out}) >= 8
+
+
+def test_negative_sample_rejects_degenerate_knobs(spark):
+    from data_services_spark.operators.sampling import negative_sample_edges
+    e = spark.createDataFrame([("a", "p", "b")],
+                              "subject string, predicate string, object string")
+    n = spark.createDataFrame([("b",)], "id string")
+    with pytest.raises(ValueError, match="k must be"):
+        negative_sample_edges(e, n, k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        negative_sample_edges(e, n, n_buckets=0)
