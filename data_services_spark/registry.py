@@ -2679,6 +2679,148 @@ def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(d, n_buckets=256, seed=11)
 
 
+_HTML_ENT_SQL = (
+    "replace(replace(replace(replace(replace({x}, "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), "
+    "'&amp;', '&')")
+
+
+@register("html_extract", """
+WITH h AS (
+    SELECT doc_id,
+           '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) ||
+           '<head>' || chr(10) ||
+           '<title>Doc &amp; page ' || CAST(doc_id AS VARCHAR) ||
+           '</title>' || chr(10) ||
+           '<style>p { margin: 0; }</style>' || chr(10) ||
+           '<script>var tracker = "<p>not text</p>";</script>' ||
+           chr(10) || '</head>' || chr(10) || '<body>' || chr(10) ||
+           '<nav><a href="/">Home</a> &gt; Section</nav>' || chr(10) ||
+           array_to_string(list_transform(
+               generate_series(0, (len(tk) - 1) // 7),
+               i -> '<p class="body">' ||
+                    replace(array_to_string(tk[i*7+1 : i*7+7], ' '),
+                            '&', '&amp;') || '</p>'), chr(10)) ||
+           chr(10) || '<footer>&copy; footer</footer>' || chr(10) ||
+           '</body>' || chr(10) || '</html>' AS page
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS tk
+          FROM documents)
+), x AS (
+    SELECT doc_id,
+           trim(regexp_replace(""" + _HTML_ENT_SQL.format(
+               x="regexp_replace(regexp_replace(regexp_replace("
+                 "regexp_replace(page,"
+                 " '(?s)<head[^>]*>.*?</head>', ' ', 'g'),"
+                 " '(?s)<script[^>]*>.*?</script>', ' ', 'g'),"
+                 " '(?s)<style[^>]*>.*?</style>', ' ', 'g'),"
+                 " '<[^>]*>', ' ', 'g')") + """,
+           '[ \t\n]+', ' ', 'g')) AS page_text,
+           trim(regexp_replace(""" + _HTML_ENT_SQL.format(
+               x="regexp_extract(page,"
+                 " '(?s)<title[^>]*>(.*?)</title>', 1)") + """,
+           '[ \t\n]+', ' ', 'g')) AS title
+    FROM h
+)
+SELECT doc_id, title, page_text,
+       CAST(length(page_text) AS BIGINT) AS n_chars
+FROM x
+""")
+def html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22 crawl front end: HTML -> text extraction (the stage BEFORE
+    every dedup/quality operator in a web pipeline): drop
+    head/script/style SUBTREES (a bare tag-strip leaks javascript and
+    metadata into the corpus), strip remaining tags, decode the core
+    entities (&amp; last), collapse whitespace; title extracted
+    separately. The fixture has no crawled HTML, so synth_html builds a
+    deterministic page per document (the synth_gray_payloads device)
+    and the oracle replays synth + extraction SQL-side — a green hash
+    value-checks both stages and their composition. Pure regexp/string
+    built-ins inside the Java-regex/RE2 common subset; map-only, zero
+    shuffles, zero Python."""
+    from data_services_spark.operators.web import (
+        html_title, html_to_text, synth_html,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", synth_html("text", "doc_id").alias("page"))
+    return h.select(
+        "doc_id",
+        html_title("page").alias("title"),
+        html_to_text("page").alias("page_text")).withColumn(
+        "n_chars", F.length("page_text").cast("long"))
+
+
+_URL_DOT_SQL = "regexp_replace(regexp_replace({x}, '/\\./', '/', 'g'), " \
+               "'/[^/?]+/\\.\\./', '/', 'g')"
+
+
+@register("url_canonicalize", """
+WITH u AS (
+    SELECT doc_id,
+           'HTTPS://WwW.' || upper(source) || '.ExAmple.COM:443/' ||
+           lang || '/a/./b/../posts/item' || CAST(doc_id AS VARCHAR) ||
+           '.html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+           '&utm_campaign=x&ref=tw#section-' || CAST(doc_id AS VARCHAR)
+           AS url
+    FROM documents
+), parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+           regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+    FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+          FROM u)
+), hp AS (
+    SELECT doc_id, url, scheme,
+           lower(regexp_extract(rest, '^([^/?]+)', 1)) AS host0,
+           regexp_replace(rest, '^[^/?]+', '') AS tail
+    FROM parts
+), hq AS (
+    SELECT doc_id, url, scheme,
+           CASE WHEN scheme = 'https'
+                THEN regexp_replace(host0, ':443$', '')
+                WHEN scheme = 'http'
+                THEN regexp_replace(host0, ':80$', '')
+                ELSE host0 END AS host,
+           """ + _URL_DOT_SQL.format(x=_URL_DOT_SQL.format(
+               x=_URL_DOT_SQL.format(x=_URL_DOT_SQL.format(
+                   x="regexp_extract(tail, '^([^?]*)', 1)")))) + """
+               AS path,
+           array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(tail, '\\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+               AS kept
+    FROM hp
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+       CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url,
+       regexp_extract(regexp_replace(regexp_replace(host,
+                      ':[0-9]+$', ''), '^www\\.', ''),
+                      '([^.]+\\.[^.]+)$', 1) AS domain
+FROM hq
+""")
+def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 crawl front end: URL canonicalization — the cheapest dedup
+    key in a recrawl-heavy corpus (exact-URL dup groups dominate):
+    lowercase scheme/host, drop default ports and fragments, strip
+    tracking params and SORT the survivors, resolve dot segments
+    (bounded 4-pass), plus the registrable-domain approximation for
+    domain-level mixing/blocking. synth_url fabricates a deterministic
+    messy URL per document exercising every rule; the oracle replays
+    synth + canonicalization. Pure string algebra in the Java-regex/RE2
+    common subset; map-only, zero shuffles, zero Python."""
+    from data_services_spark.operators.web import (
+        canonicalize_url, synth_url, url_domain,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id",
+                 synth_url("doc_id", "source", "lang").alias("url"))
+    return u.select(
+        "doc_id", "url",
+        canonicalize_url("url").alias("canonical_url")).withColumn(
+        "domain", url_domain(F.col("canonical_url")))
+
+
 @register("quality_classifier", f"""
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -5650,7 +5792,7 @@ PRIORITY = (
     # the new operator family.
     "substring_dedup", "image_phash", "image_near_dup",
     "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
-    "kg_negative_sample",
+    "kg_negative_sample", "html_extract", "url_canonicalize",
     # stalest re-checks. The r8 window re-verified the r3/r4 block and
     # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
     # standing greens are now: four r4 names that yielded their r8
@@ -5669,13 +5811,15 @@ PRIORITY = (
     "q9_nation_profit", "skew_salted_degree", "text_repetition",
     "triangle_count",
     # last green r6 (multimodal_frames / simhash_md5 /
-    # window_range_frame / text_nfc yielded their slots to the four
-    # later round-9 additions — each keeps its r6 green and an
-    # in-window family proxy: image_phash for the multimodal arrow
-    # path, jaccard_prefix_join + the winnow pins for L2,
-    # window_lag_delta/window_rank/running_sum_scalable for W3,
-    # text_token_stats + quality_classifier for L5)
-    "ann_lsh_topk", "chunk_dedup", "knn_cosine_arrow", "lm_logprob",
+    # window_range_frame / text_nfc / knn_cosine_arrow / lm_logprob
+    # yielded their slots to the six later round-9 additions — each
+    # keeps its r6 green and an in-window family proxy: image_phash
+    # for the multimodal arrow path, jaccard_prefix_join + the winnow
+    # pins for L2, window_lag_delta/window_rank/running_sum_scalable
+    # for W3, text_token_stats + quality_classifier for L5,
+    # ann_lsh_topk for L3's knn fold, lm_bigram's r8 green one order
+    # above lm_logprob)
+    "ann_lsh_topk", "chunk_dedup",
     "running_sum_scalable", "token_packing", "stream_sliding",
 )
 

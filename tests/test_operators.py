@@ -1927,3 +1927,55 @@ def test_hashed_linear_score_sparse_weights_left_join(spark):
                             pair_weights=empty_w).collect()[0]
     assert r["n_features"] == 5 and r["logit_sum"] == 0
     assert r["score"] == 0.0 and r["keep"] is False
+
+
+def test_html_to_text_subtrees_entities_and_title(spark):
+    """Extraction semantics that a bare tag-strip gets wrong: script
+    CONTENT in the body must vanish (not just the tags), head metadata
+    is not body text, '&amp;lt;' decodes to the literal '&lt;' (amp
+    decoded LAST), and a title-less page yields an empty title."""
+    from data_services_spark.operators.web import html_title, html_to_text
+
+    pages = [
+        (1, "<html><head><title>T &amp; t</title></head>"
+            "<body>keep <script>var x = 'DROP';</script>me"
+            "<style>p{color:red}</style> &amp;lt;tag&amp;gt; "
+            "a&lt;b &#39;q&#39;</body></html>"),
+        (2, "<body>no title here</body>"),
+        (3, "plain text, no tags &amp; one entity"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, page string")
+    got = {r["doc_id"]: (r["t"], r["x"]) for r in df.select(
+        "doc_id", html_title("page").alias("t"),
+        html_to_text("page").alias("x")).collect()}
+    assert got[1] == ("T & t", "keep me &lt;tag&gt; a<b 'q'")
+    assert "DROP" not in got[1][1] and "color" not in got[1][1]
+    assert got[2] == ("", "no title here")
+    assert got[3] == ("", "plain text, no tags & one entity")
+
+
+def test_canonicalize_url_rules(spark):
+    from data_services_spark.operators.web import (
+        canonicalize_url, url_domain,
+    )
+
+    urls = [
+        (1, "HTTP://Example.COM:80/a/b/../c?z=1&utm_x=2&a=3#f"),
+        (2, "https://example.com/plain"),              # nothing to do
+        (3, "https://other.example.com:8443/x?utm_only=1"),
+        (4, "http://example.com/1/2/3/../../../deep"),  # 3 levels, <= 4-pass bound
+        (5, "https://EXAMPLE.com/Case/Sensitive?B=2&a=1"),
+    ]
+    df = spark.createDataFrame(urls, "i long, url string")
+    got = {r["i"]: (r["c"], r["d"]) for r in df.select(
+        "i", canonicalize_url("url").alias("c"),
+        url_domain(canonicalize_url("url")).alias("d")).collect()}
+    assert got[1] == ("http://example.com/a/c?a=3&z=1", "example.com")
+    assert got[2] == ("https://example.com/plain", "example.com")
+    # non-default port kept; utm-only query collapses entirely
+    assert got[3] == ("https://other.example.com:8443/x",
+                      "example.com")
+    assert got[4] == ("http://example.com/deep", "example.com")
+    # path/query case preserved, host lowered, params sorted
+    assert got[5] == ("https://example.com/Case/Sensitive?B=2&a=1",
+                      "example.com")

@@ -286,6 +286,13 @@ EXPECTED = {
                                joins={"BroadcastHashJoin",
                                       "BroadcastNestedLoopJoin"},
                                exchanges_max=6, single_max=2, py=0),
+    # round-9 crawl front end: synth + extraction/canonicalization are
+    # pure per-row regexp/string chains — ONE scan, nothing else. At
+    # 100 TB both ride the ingest scan with zero added exchanges.
+    "html_extract": dict(scans=1, pushed_min=0, joins=set(),
+                         exchanges_max=0, single_max=0, py=0),
+    "url_canonicalize": dict(scans=1, pushed_min=0, joins=set(),
+                             exchanges_max=0, single_max=0, py=0),
 }
 
 
