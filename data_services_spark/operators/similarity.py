@@ -1243,6 +1243,55 @@ def ivf_probe_topk(spark, index_dir: str, query_vec: Sequence[float],
                       F.col(id_col), F.col("cosine_sim"))
 
 
+def project_embeddings(embeddings: DataFrame,
+                       planes: Sequence[Sequence[float]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Random-projection (Johnson–Lindenstrauss) dimensionality
+    reduction: project each vector onto ``len(planes)`` fixed literal
+    directions — the standard pre-ANN / pre-clustering cut when int8
+    quantization (4×) is not enough and PQ's codebook training is not
+    wanted; also the dense sibling of the sign-LSH bucketer (same
+    planes, dots kept instead of sign bits).
+
+    Each output dimension unrolls as ONE flat left-associated literal
+    sum (the knn_topk/_bucket_expr device: one F.expr parse, no py4j
+    Column churn, one CodegenFallback barrier on the first projection
+    so the unrolled tree stays out of WSCG source generation) — a
+    map-only zero-shuffle pass emitting one DOUBLE column per output
+    dim (``p0..p{k-1}``, scalar-only: the driver canon cannot sort
+    top-level arrays). The 1/sqrt(k) JL scale is deliberately NOT
+    applied: it is a constant that folds into whatever distance the
+    reduced vectors feed, and leaving the raw dots keeps the oracle a
+    plain list_dot_product.
+
+    Returns (id, p0, ..., p{k-1}).
+    """
+    vq = "`" + vec_col.replace("`", "``") + "`"
+    dim = len(planes[0])
+    elem = [f"CAST({vq}[{i}] AS DOUBLE)" for i in range(dim)]
+    one_fb = (f"aggregate(array({elem[0]}), CAST(1.0 AS DOUBLE), "
+              f"(a, x) -> a)")
+    cols: list[F.Column] = [F.col(id_col)]
+    for j, plane in enumerate(planes):
+        dot = " + ".join(
+            f"{elem[i]} * CAST('{float(plane[i])!r}' AS DOUBLE)"
+            for i in range(dim))
+        guarded = f"(({dot}) * {one_fb})" if j == 0 else f"({dot})"
+        cols.append(F.expr(guarded).alias(f"p{j}"))
+    return embeddings.select(*cols)
+
+
+def project_sql(vec_expr: str,
+                planes: Sequence[Sequence[float]]) -> list[str]:
+    """DuckDB twins of :func:`project_embeddings`'s output columns."""
+    return [
+        "list_dot_product(CAST(%s AS DOUBLE[]), [%s]) AS p%d"
+        % (vec_expr, ", ".join(repr(float(p)) for p in plane), j)
+        for j, plane in enumerate(planes)
+    ]
+
+
 def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Int8 scalar quantization of an embedding column — the 4× storage

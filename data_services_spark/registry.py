@@ -4555,6 +4555,39 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", "n_tokens", "logweight")
 
 
+_PROJ_PLANES = None  # built lazily: hyperplane_planes imports numpy
+
+
+def _proj_planes():
+    global _PROJ_PLANES
+    if _PROJ_PLANES is None:
+        from data_services_spark.operators.similarity import (
+            hyperplane_planes,
+        )
+        _PROJ_PLANES = hyperplane_planes(64, 8, seed=21)
+    return _PROJ_PLANES
+
+
+def _embedding_project_sql() -> str:
+    from data_services_spark.operators.similarity import project_sql
+    cols = ",\n       ".join(project_sql("embedding", _proj_planes()))
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+@register("embedding_project", _embedding_project_sql())
+def embedding_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 pre-ANN reduction: Johnson–Lindenstrauss random projection
+    64 -> 8 dims off fixed seeded literal directions (the sign-LSH
+    planes kept as dense dots instead of bits). One map-only
+    zero-shuffle pass, each output dim a flat left-associated literal
+    fold bit-identical to the oracle's list_dot_product; scalar DOUBLE
+    columns p0..p7 (driver canon). The 1/sqrt(k) scale folds into
+    downstream distances by design."""
+    from data_services_spark.operators.similarity import project_embeddings
+    e = load_table(spark, sf_dir, "embeddings")
+    return project_embeddings(e, _proj_planes())
+
+
 @register("embedding_quantize", """
 SELECT vec_id, scale,
        array_to_string(CASE WHEN scale > 0
@@ -5793,6 +5826,7 @@ PRIORITY = (
     "substring_dedup", "image_phash", "image_near_dup",
     "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
     "kg_negative_sample", "html_extract", "url_canonicalize",
+    "embedding_project",
     # stalest re-checks. The r8 window re-verified the r3/r4 block and
     # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
     # standing greens are now: four r4 names that yielded their r8
@@ -5818,8 +5852,9 @@ PRIORITY = (
     # pins for L2, window_lag_delta/window_rank/running_sum_scalable
     # for W3, text_token_stats + quality_classifier for L5,
     # ann_lsh_topk for L3's knn fold, lm_bigram's r8 green one order
-    # above lm_logprob)
-    "ann_lsh_topk", "chunk_dedup",
+    # above lm_logprob; chunk_dedup yields to embedding_project with
+    # L1 covered by the pinned text_dedup_exact)
+    "ann_lsh_topk",
     "running_sum_scalable", "token_packing", "stream_sliding",
 )
 

@@ -1979,3 +1979,32 @@ def test_canonicalize_url_rules(spark):
     # path/query case preserved, host lowered, params sorted
     assert got[5] == ("https://example.com/Case/Sensitive?B=2&a=1",
                       "example.com")
+
+
+def test_project_embeddings_matches_sequential_reference(spark):
+    """Each projection is a flat LEFT-ASSOCIATED sum of float64
+    products, so a plain Python loop over the same floats is the exact
+    bit-level reference (same IEEE ops in the same order) — asserted
+    with ==, no tolerance."""
+    import random
+
+    from data_services_spark.operators.similarity import (
+        hyperplane_planes, project_embeddings,
+    )
+
+    dim, k = 16, 5
+    planes = hyperplane_planes(dim, k, seed=3)
+    rnd = random.Random(1)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)])
+            for i in range(50)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: [r[f"p{j}"] for j in range(k)]
+           for r in project_embeddings(e, planes).collect()}
+    import struct
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    for i, vec in rows:
+        for j in range(k):
+            acc = f32(vec[0]) * planes[j][0]
+            for d in range(1, dim):
+                acc = acc + f32(vec[d]) * planes[j][d]
+            assert got[i][j] == acc, (i, j)

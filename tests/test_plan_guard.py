@@ -293,6 +293,10 @@ EXPECTED = {
                          exchanges_max=0, single_max=0, py=0),
     "url_canonicalize": dict(scans=1, pushed_min=0, joins=set(),
                              exchanges_max=0, single_max=0, py=0),
+    # round-9 JL projection: 8 unrolled literal folds in one map-only
+    # scan — the knn/_bucket_expr device, one CodegenFallback barrier.
+    "embedding_project": dict(scans=1, pushed_min=0, joins=set(),
+                              exchanges_max=0, single_max=0, py=0),
 }
 
 
