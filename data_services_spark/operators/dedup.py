@@ -323,12 +323,8 @@ def prefix_jaccard_release() -> None:
     :func:`prefix_jaccard_join` call. Safe any time, including after
     the owning SparkSession stopped; previously returned results stay
     correct, they just recompute instead of reading cache."""
-    while _PJ_CACHE:
-        df = _PJ_CACHE.pop()
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 - dead-session cache is gone
-            pass
+    from data_services_spark.functions.cache import release_slot
+    release_slot(_PJ_CACHE)
 
 
 def prefix_jaccard_join(docs: DataFrame, text_col: str = "text",
@@ -374,7 +370,14 @@ def prefix_jaccard_join(docs: DataFrame, text_col: str = "text",
 
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
-    frac = Fraction(str(threshold))
+    # The threshold is interpreted as the closest rational with
+    # denominator <= 1000 (0.8 -> 4/5, 1/3 -> 1/3 exactly): the raw
+    # Fraction(str(t)) of a float like 1/3 is 3333333333333333/10^16,
+    # and num*sz / (num+den)*inter below would overflow BIGINT on any
+    # real document (confirmed: ARITHMETIC_OVERFLOW under ANSI, silent
+    # wrong prefix lengths — false negatives — without it). den <= 1000
+    # keeps every product within 2^63 for token counts up to 2^52.
+    frac = Fraction(str(threshold)).limit_denominator(1000)
     num, den = frac.numerator, frac.denominator
 
     toks = docs.select(
@@ -393,10 +396,8 @@ def prefix_jaccard_join(docs: DataFrame, text_col: str = "text",
     # corpus scan AND the token-df join — 8 parquet scans measured vs 2
     # with the cache. One-slot MEMORY_ONLY (the bm25/bigram device):
     # eviction degrades to recomputation, never a spill.
-    from pyspark import StorageLevel
-    prefix_jaccard_release()
-    arrs = arrs.persist(StorageLevel.MEMORY_ONLY)
-    _PJ_CACHE.append(arrs)
+    from data_services_spark.functions.cache import persist_slot
+    arrs = persist_slot(_PJ_CACHE, arrs)
     # p = sz - ceil(t*sz) + 1, all-integer: ceil(n*s/d) = (n*s + d - 1) div d
     p = (F.col("sz")
          - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / den)

@@ -338,12 +338,8 @@ def dsir_release() -> None:
     JVM-side unpersist (NullPointerException from the dead driver
     endpoint) means there is nothing left to release — swallow it
     rather than fail a valid call on a fresh session (round-8 review)."""
-    while _DSIR_CACHE:
-        df = _DSIR_CACHE.pop()
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 - dead-session cache is gone
-            pass
+    from data_services_spark.functions.cache import release_slot
+    release_slot(_DSIR_CACHE)
 
 
 def dsir_logweights(docs: DataFrame, target: DataFrame,
@@ -413,10 +409,8 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
     # session holds at most one cached token stream, never one per call
     # (round-7 ADVICE; the unbounded form is the exact class
     # test_minhash_lsh_leaves_no_cached_rdds bans elsewhere).
-    from pyspark import StorageLevel
-    dsir_release()
-    toks = toks.persist(StorageLevel.MEMORY_ONLY)
-    _DSIR_CACHE.append(toks)
+    from data_services_spark.functions.cache import persist_slot
+    toks = persist_slot(_DSIR_CACHE, toks)
     ttoks = (target.select(F.explode(tokenize(text_col)).alias("__tok"))
              .select(bucket(F.col("__tok")).alias("__b")))
     raw = {r["__b"]: r["__r"] for r in

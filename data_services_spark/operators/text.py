@@ -79,15 +79,12 @@ _BM25_CACHE: list[DataFrame] = []
 
 def bm25_release() -> None:
     """Unpersist the per-doc tf cache left by the most recent
-    :func:`bm25_scores` call (the :func:`bigram_release` contract:
-    safe any time, swallows a dead-session JVM unpersist; previously
-    returned results stay correct and merely recompute)."""
-    while _BM25_CACHE:
-        df = _BM25_CACHE.pop()
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 - dead-session cache is gone
-            pass
+    :func:`bm25_scores` call (the one-slot contract —
+    functions/cache.py: safe any time, swallows a dead-session JVM
+    unpersist; previously returned results stay correct and merely
+    recompute)."""
+    from data_services_spark.functions.cache import release_slot
+    release_slot(_BM25_CACHE)
 
 
 def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
@@ -149,10 +146,8 @@ def bm25_scores(docs: DataFrame, query_terms: tuple[str, ...],
         F.size(toks).cast("long").alias("__dl"),
         *[term_count(term).cast("long").alias(f"__tf{i}")
           for i, term in enumerate(query_terms)])
-    from pyspark import StorageLevel
-    bm25_release()
-    per_doc = per_doc.persist(StorageLevel.MEMORY_ONLY)
-    _BM25_CACHE.append(per_doc)
+    from data_services_spark.functions.cache import persist_slot
+    per_doc = persist_slot(_BM25_CACHE, per_doc)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("__N"),
         F.sum("__dl").alias("__total"),
@@ -315,12 +310,8 @@ def bigram_release() -> None:
     owning SparkSession stopped (the blocks died with it — a failing
     JVM-side unpersist is swallowed); previously returned results stay
     correct, they just recompute instead of reading cache."""
-    while _BIGRAM_CACHE:
-        df = _BIGRAM_CACHE.pop()
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 - dead-session cache is gone
-            pass
+    from data_services_spark.functions.cache import release_slot
+    release_slot(_BIGRAM_CACHE)
 
 
 def bigram_logprob(docs: DataFrame, text_col: str = "text",
@@ -379,10 +370,8 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
               F.pmod(md5_long_hash(
                   F.concat(prev, F.lit("|"), cur), seed),
                   F.lit(n_buckets * n_buckets)).alias("__b12")))
-    from pyspark import StorageLevel
-    bigram_release()
-    bg = bg.persist(StorageLevel.MEMORY_ONLY)
-    _BIGRAM_CACHE.append(bg)
+    from data_services_spark.functions.cache import persist_slot
+    bg = persist_slot(_BIGRAM_CACHE, bg)
     c1 = bg.groupBy("__b1").agg(F.count(F.lit(1)).alias("__n1"))
     c12 = bg.groupBy("__b12").agg(F.count(F.lit(1)).alias("__n12"))
     lp = (F.log(F.col("__n12") + F.lit(1))
@@ -486,9 +475,13 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
     else:
         if pair_weights is None:
             raise ValueError("pair_weights required when weights given")
+        # explode_outer, not explode: a NULL text tokenizes to a NULL
+        # array, and a plain explode would DROP the document from this
+        # path while the formula path keeps it (with NULL outputs) —
+        # the two paths must stay row-identical (review finding).
         feats = base.select(
             F.col(id_col), n_features.alias("n_features"),
-            F.explode(F.concat(
+            F.explode_outer(F.concat(
                 F.transform(tk, lambda t: F.struct(
                     F.lit(0).alias("fam"), uni_bucket(t).alias("bucket"))),
                 F.transform(bigram_idx, lambda i: F.struct(
@@ -508,7 +501,12 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
                         "left")
                   .groupBy(id_col)
                   .agg(F.first("n_features").alias("n_features"),
-                       F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+                       # NULL text -> NULL logit (the formula path's
+                       # aggregate over a NULL array), never a fake 0
+                       F.when(F.first("n_features").isNull(),
+                              F.lit(None).cast("long"))
+                       .otherwise(F.sum(F.coalesce(F.col("weight"),
+                                                   F.lit(0))))
                        .alias("logit_sum")))
     return scored.select(
         F.col(id_col), "n_features", "logit_sum",

@@ -28,6 +28,18 @@ from pyspark.sql import Column, DataFrame
 # vertical tab / unicode; the synths only emit these three.
 _WS = "[ \\t\\n]"
 
+# Core HTML entities, decode order LOAD-BEARING: '&amp;' LAST, so
+# "&amp;lt;" decodes to the literal "&lt;", never to "<". One table for
+# both body text and title extraction.
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+             ("&#39;", "'"), ("&amp;", "&"))
+
+
+def _decode_entities(c: Column) -> Column:
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
 
 def synth_html(text: Column | str, doc_id: Column | str) -> Column:
     """Deterministic HTML page from a text column: title from the id,
@@ -76,10 +88,7 @@ def html_to_text(html: Column | str) -> Column:
     c = F.regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, "(?s)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, "<[^>]*>", " ")
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
-                    ("&#39;", "'"), ("&amp;", "&")):
-        c = F.replace(c, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(c, _WS + "+", " "))
+    return F.trim(F.regexp_replace(_decode_entities(c), _WS + "+", " "))
 
 
 def html_title(html: Column | str) -> Column:
@@ -87,10 +96,7 @@ def html_title(html: Column | str) -> Column:
     string when absent — crawl metadata, kept separate from body text."""
     c = F.col(html) if isinstance(html, str) else html
     t = F.regexp_extract(c, "(?s)<title[^>]*>(.*?)</title>", 1)
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
-                    ("&#39;", "'"), ("&amp;", "&")):
-        t = F.replace(t, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(t, _WS + "+", " "))
+    return F.trim(F.regexp_replace(_decode_entities(t), _WS + "+", " "))
 
 
 def synth_url(doc_id: Column | str, source: Column | str,
@@ -125,9 +131,15 @@ def canonicalize_url(url: Column | str,
       nested 4 ``..`` deep, and crawlers rarely see more (documented
       knob, raise by chaining).
 
-    Pure string algebra — identical in Java regex and RE2.
+    Pure string algebra — identical in Java regex and RE2. The '$'
+    anchors below are only cross-engine-safe on newline-free input
+    (Java '$' matches before a trailing newline, RE2's does not), so
+    ALL whitespace is stripped first: a literal space/tab/newline is
+    never valid inside a URL (crawlers percent-encode), and unstripped
+    crawl fields routinely carry a trailing newline.
     """
     c = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c, _WS, "")
     # split off fragment first (cheap, and keeps later regexes anchored)
     c = F.regexp_replace(c, "#.*$", "")
     # lowercase scheme://host[:port] only: rebuild from groups

@@ -2767,7 +2767,9 @@ WITH u AS (
            lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                AS scheme,
            regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
-    FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+    FROM (SELECT doc_id, url,
+                 regexp_replace(regexp_replace(url, '[ \t\n]', '', 'g'),
+                                '#.*$', '') AS nf
           FROM u)
 ), hp AS (
     SELECT doc_id, url, scheme,
@@ -4555,17 +4557,12 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", "n_tokens", "logweight")
 
 
-_PROJ_PLANES = None  # built lazily: hyperplane_planes imports numpy
-
-
 def _proj_planes():
-    global _PROJ_PLANES
-    if _PROJ_PLANES is None:
-        from data_services_spark.operators.similarity import (
-            hyperplane_planes,
-        )
-        _PROJ_PLANES = hyperplane_planes(64, 8, seed=21)
-    return _PROJ_PLANES
+    # evaluated at import time by the @register decorator argument below
+    # (the _ann_sql pattern) — no point pretending to defer the numpy
+    # import behind a lazy global (round-9 review)
+    from data_services_spark.operators.similarity import hyperplane_planes
+    return hyperplane_planes(64, 8, seed=21)
 
 
 def _embedding_project_sql() -> str:
@@ -5815,9 +5812,9 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # round-9 additions, never driver-verified: the six new oracle-
+    # round-9 additions, never driver-verified: the NINE new oracle-
     # bearing queries (a green here keeps the cumulative driver-hash
-    # union total at 160 of 160 oracle-bearing — it was closed at
+    # union total at 163 of 163 oracle-bearing — it was closed at
     # 154/154 by the r8 window) plus image_near_dup, rows-only by
     # design (banding recall is the LSH trade; its hash math is pinned
     # exactly by image_phash + the brute-force parity pytest), taking

@@ -2008,3 +2008,59 @@ def test_project_embeddings_matches_sequential_reference(spark):
             for d in range(1, dim):
                 acc = acc + f32(vec[d]) * planes[j][d]
             assert got[i][j] == acc, (i, j)
+
+
+def test_prefix_jaccard_nonterminating_threshold_no_overflow(spark):
+    """threshold=1/3 (a float with no short decimal form) must not
+    overflow the integer prefix/verify arithmetic on large documents —
+    the rational is bounded via limit_denominator(1000). 3000 distinct
+    tokens would overflow BIGINT with the raw 16-digit fraction
+    (confirmed ARITHMETIC_OVERFLOW before the fix)."""
+    from data_services_spark.operators.dedup import prefix_jaccard_join
+
+    big = " ".join(f"tok{i}" for i in range(3000))
+    docs = spark.createDataFrame(
+        [(1, big), (2, big + " extra0 extra1 extra2")],
+        "doc_id long, text string")
+    out = prefix_jaccard_join(docs, threshold=1 / 3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    assert out[0]["inter"] == 3000
+
+
+def test_hashed_linear_score_null_text_row_parity(spark):
+    """NULL text: BOTH paths keep the document with NULL outputs — the
+    weights path's explode used to drop the row entirely (review
+    finding, confirmed)."""
+    from data_services_spark.operators.text import (
+        _CLS_ADD, _CLS_MOD, _CLS_MULT, _CLS_SHIFT, hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame([(1, "a b"), (2, None)],
+                                 "doc_id long, text string")
+    wtab = spark.createDataFrame(
+        [(b, ((b * _CLS_MULT + _CLS_ADD) % _CLS_MOD) - _CLS_SHIFT)
+         for b in range(64)], "bucket long, weight long")
+    formula = {r["doc_id"]: tuple(r) for r in hashed_linear_score(
+        docs, n_buckets=64, n_pair_buckets=64, seed=7).collect()}
+    joined = {r["doc_id"]: tuple(r) for r in hashed_linear_score(
+        docs, n_buckets=64, n_pair_buckets=64, seed=7,
+        weights=wtab, pair_weights=wtab).collect()}
+    assert set(formula) == set(joined) == {1, 2}
+    assert formula == joined
+    assert formula[2][1] is None and formula[2][4] is None
+
+
+def test_canonicalize_url_strips_whitespace_first(spark):
+    """A trailing newline (unstripped crawl field) must not change the
+    result vs the clean URL — and must not diverge between Java-regex
+    '$' (matches before a trailing newline) and RE2 '$' (does not);
+    stripping whitespace first removes the ambiguity entirely."""
+    from data_services_spark.operators.web import canonicalize_url
+
+    urls = [(1, "http://example.com/p?b=2#f"),
+            (2, "http://example.com/p?b=2#f\n"),
+            (3, " http://example.com/p\t?b=2#f \n")]
+    df = spark.createDataFrame(urls, "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url("url").alias("c")).collect()}
+    assert got[1] == got[2] == got[3] == "http://example.com/p?b=2"
