@@ -406,3 +406,34 @@ def test_merge_state_with_deletes_matches_dict_reference(
         got = {}  # everything deleted/never written
     want = {k: (v[0], v[2]) for k, v in ref.items()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+             min_size=1, max_size=8),
+    min_size=2, max_size=12),
+    thr=st.sampled_from([0.3, 0.5, 0.75, 0.8, 1.0]))
+def test_prefix_jaccard_equals_bruteforce_on_random_corpora(spark, docs,
+                                                            thr):
+    """The PPJoin no-false-negative contract on RANDOM corpora: the
+    prefix-filtered join returns exactly the brute-force Jaccard pair
+    set at every threshold — including corpora where most docs are
+    near-identical (tiny vocab => dense similarity, the adversarial
+    regime) and thresholds whose rational form is not a short decimal."""
+    from data_services_spark.operators.dedup import (
+        jaccard_pairs, prefix_jaccard_join,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(df, threshold=thr).collect()}
+    got = {(r["id_a"], r["id_b"]): r for r in
+           prefix_jaccard_join(df, threshold=thr).collect()}
+    assert set(got) == brute
+    # verify columns are internally consistent exact integers
+    for (ia, ib), r in got.items():
+        assert 0 < r["inter"] <= min(r["sz_a"], r["sz_b"])
+        assert r["jaccard"] == r["inter"] / (r["sz_a"] + r["sz_b"]
+                                             - r["inter"])
