@@ -1334,21 +1334,25 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type", "n", "sum_value")
 
 
-def _stream_events_dir(sf_dir: str) -> str:
-    """Stable symlink dir exposing events.parquet to file-source streams
+def _stream_table_dir(sf_dir: str, table: str) -> str:
+    """Stable symlink dir exposing <table>.parquet to file-source streams
     (streams read directories; a real deployment streams a landing dir)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     d = os.path.join(tempfile.gettempdir(), "spark_graft_stream_"
                      + hashlib.md5(src.encode()).hexdigest()[:12])
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
     return d
+
+
+def _stream_events_dir(sf_dir: str) -> str:
+    return _stream_table_dir(sf_dir, "events")
 
 
 @register("stream_sliding", """
@@ -2823,7 +2827,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain", url_domain(F.col("canonical_url")))
 
 
-@register("quality_classifier", f"""
+_QC_SQL = f"""
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
     FROM documents
@@ -2845,7 +2849,10 @@ SELECT doc_id, n_features, logit_sum,
        CAST(logit_sum AS DOUBLE) / n_features AS score,
        logit_sum > 0 AS keep
 FROM s
-""")
+"""
+
+
+@register("quality_classifier", _QC_SQL)
 def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L17 model-based quality filter: fastText-style hashed linear
     classifier (mean-pooled word + bigram features, hashing trick,
@@ -2859,6 +2866,29 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return hashed_linear_score(d, n_buckets=256, n_pair_buckets=65536,
                                seed=7)
+
+
+@register("stream_classify", _QC_SQL,
+          cache_plan=False)  # drains a stream per call
+def stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family x L19: the quality classifier on the STREAMING ingest
+    path — a stateless map over a REAL readStream of the documents
+    table (file source, availableNow drain to a memory sink), scoring
+    each arriving document with the same zero-shuffle feature folds as
+    the batch `quality_classifier` (whose oracle this query shares —
+    every streamed row hash-matches the batch result). This is where
+    crawl pipelines actually run model-based filtering at 100 TB/day:
+    on ingest, before anything lands, with no state store and no
+    watermark because the score is a pure per-row function."""
+    from data_services_spark.operators.text import hashed_linear_score
+    from data_services_spark.streaming.events import run_to_memory_sink
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    stream = (spark.readStream.schema(schema)
+              .parquet(_stream_table_dir(sf_dir, "documents")))
+    scored = hashed_linear_score(stream, n_buckets=256,
+                                 n_pair_buckets=65536, seed=7)
+    return run_to_memory_sink(scored, name="__bench_stream_classify")
 
 
 @register("doc_chunks", """
@@ -5812,9 +5842,9 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # round-9 additions, never driver-verified: the NINE new oracle-
+    # round-9 additions, never driver-verified: the TEN new oracle-
     # bearing queries (a green here keeps the cumulative driver-hash
-    # union total at 163 of 163 oracle-bearing — it was closed at
+    # union total at 164 of 164 oracle-bearing — it was closed at
     # 154/154 by the r8 window) plus image_near_dup, rows-only by
     # design (banding recall is the LSH trade; its hash math is pinned
     # exactly by image_phash + the brute-force parity pytest), taking
@@ -5823,7 +5853,7 @@ PRIORITY = (
     "substring_dedup", "image_phash", "image_near_dup",
     "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
     "kg_negative_sample", "html_extract", "url_canonicalize",
-    "embedding_project",
+    "embedding_project", "stream_classify",
     # stalest re-checks. The r8 window re-verified the r3/r4 block and
     # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
     # standing greens are now: four r4 names that yielded their r8
@@ -5848,10 +5878,10 @@ PRIORITY = (
     # for the multimodal arrow path, jaccard_prefix_join + the winnow
     # pins for L2, window_lag_delta/window_rank/running_sum_scalable
     # for W3, text_token_stats + quality_classifier for L5,
-    # ann_lsh_topk for L3's knn fold, lm_bigram's r8 green one order
-    # above lm_logprob; chunk_dedup yields to embedding_project with
-    # L1 covered by the pinned text_dedup_exact)
-    "ann_lsh_topk",
+    # lm_bigram's r8 green one order above lm_logprob; chunk_dedup
+    # yields to embedding_project with L1 covered by the pinned
+    # text_dedup_exact; ann_lsh_topk yields to stream_classify with
+    # L3 covered in-window by embedding_project + the r8 pq greens)
     "running_sum_scalable", "token_packing", "stream_sliding",
 )
 
