@@ -407,7 +407,8 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_buckets: int = 256,
                         n_pair_buckets: int = 65536, seed: int = 7,
                         weights: DataFrame | None = None,
-                        pair_weights: DataFrame | None = None) -> DataFrame:
+                        pair_weights: DataFrame | None = None,
+                        extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """fastText-style hashed linear quality classifier (the DCLM /
     CCNet model-based filter): mean-pooled word + word-bigram features,
     each hashed to a fixed-size bucket space, scored against a linear
@@ -443,7 +444,10 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
       Integer weights keep the sum order-independent, so both paths
       are bit-stable.
 
-    Returns (id, n_features, logit_sum, score, keep).
+    Returns (id, *extra_cols, n_features, logit_sum, score, keep) —
+    ``extra_cols`` pass through the formula path's map-only projection
+    (and the weights path's aggregate via first()) so callers composing
+    pipelines never pay a join to re-attach per-doc metadata.
     """
     from data_services_spark.operators.dedup import md5_long_hash
 
@@ -451,7 +455,8 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
     empty = F.array().cast("array<int>")
     bigram_idx = F.when(F.size(tk) >= 2,
                         F.sequence(F.lit(2), F.size(tk))).otherwise(empty)
-    base = docs.select(F.col(id_col), tokenize(text_col).alias("__t"))
+    base = docs.select(F.col(id_col), *extra_cols,
+                       tokenize(text_col).alias("__t"))
     n_features = (F.lit(2) * F.size(tk) - F.lit(1)).cast("long")
 
     def uni_bucket(t: Column) -> Column:
@@ -469,7 +474,7 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
                         lambda acc, t: acc + _cls_weight(uni_bucket(t)))
             + F.aggregate(bigram_idx, zero,
                           lambda acc, i: acc + _cls_weight(bi_bucket(i))))
-        scored = base.select(F.col(id_col),
+        scored = base.select(F.col(id_col), *extra_cols,
                              n_features.alias("n_features"),
                              logit.alias("logit_sum"))
     else:
@@ -480,7 +485,7 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
         # path while the formula path keeps it (with NULL outputs) —
         # the two paths must stay row-identical (review finding).
         feats = base.select(
-            F.col(id_col), n_features.alias("n_features"),
+            F.col(id_col), *extra_cols, n_features.alias("n_features"),
             F.explode_outer(F.concat(
                 F.transform(tk, lambda t: F.struct(
                     F.lit(0).alias("fam"), uni_bucket(t).alias("bucket"))),
@@ -500,7 +505,8 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
                         & (F.col("__f.bucket") == F.col("bucket")),
                         "left")
                   .groupBy(id_col)
-                  .agg(F.first("n_features").alias("n_features"),
+                  .agg(*[F.first(c).alias(c) for c in extra_cols],
+                       F.first("n_features").alias("n_features"),
                        # NULL text -> NULL logit (the formula path's
                        # aggregate over a NULL array), never a fake 0
                        F.when(F.first("n_features").isNull(),
@@ -509,7 +515,7 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
                                                    F.lit(0))))
                        .alias("logit_sum")))
     return scored.select(
-        F.col(id_col), "n_features", "logit_sum",
+        F.col(id_col), *extra_cols, "n_features", "logit_sum",
         (F.col("logit_sum").cast("double") / F.col("n_features"))
         .alias("score"),
         (F.col("logit_sum") > 0).alias("keep"))

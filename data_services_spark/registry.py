@@ -2689,10 +2689,7 @@ _HTML_ENT_SQL = (
     "'&amp;', '&')")
 
 
-@register("html_extract", """
-WITH h AS (
-    SELECT doc_id,
-           '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) ||
+_HTML_PAGE_SQL = """'<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) ||
            '<head>' || chr(10) ||
            '<title>Doc &amp; page ' || CAST(doc_id AS VARCHAR) ||
            '</title>' || chr(10) ||
@@ -2706,19 +2703,26 @@ WITH h AS (
                     replace(array_to_string(tk[i*7+1 : i*7+7], ' '),
                             '&', '&amp;') || '</p>'), chr(10)) ||
            chr(10) || '<footer>&copy; footer</footer>' || chr(10) ||
-           '</body>' || chr(10) || '</html>' AS page
+           '</body>' || chr(10) || '</html>'"""
+
+_HTML_TEXT_SQL = ("trim(regexp_replace(" + _HTML_ENT_SQL.format(
+    x="regexp_replace(regexp_replace(regexp_replace("
+      "regexp_replace(page,"
+      " '(?s)<head[^>]*>.*?</head>', ' ', 'g'),"
+      " '(?s)<script[^>]*>.*?</script>', ' ', 'g'),"
+      " '(?s)<style[^>]*>.*?</style>', ' ', 'g'),"
+      " '<[^>]*>', ' ', 'g')")
+    + ",\n           '[ \t\n]+', ' ', 'g'))")
+
+
+@register("html_extract", """
+WITH h AS (
+    SELECT doc_id, """ + _HTML_PAGE_SQL + """ AS page
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS tk
           FROM documents)
 ), x AS (
     SELECT doc_id,
-           trim(regexp_replace(""" + _HTML_ENT_SQL.format(
-               x="regexp_replace(regexp_replace(regexp_replace("
-                 "regexp_replace(page,"
-                 " '(?s)<head[^>]*>.*?</head>', ' ', 'g'),"
-                 " '(?s)<script[^>]*>.*?</script>', ' ', 'g'),"
-                 " '(?s)<style[^>]*>.*?</style>', ' ', 'g'),"
-                 " '<[^>]*>', ' ', 'g')") + """,
-           '[ \t\n]+', ' ', 'g')) AS page_text,
+           """ + _HTML_TEXT_SQL + """ AS page_text,
            trim(regexp_replace(""" + _HTML_ENT_SQL.format(
                x="regexp_extract(page,"
                  " '(?s)<title[^>]*>(.*?)</title>', 1)") + """,
@@ -2757,16 +2761,7 @@ _URL_DOT_SQL = "regexp_replace(regexp_replace({x}, '/\\./', '/', 'g'), " \
                "'/[^/?]+/\\.\\./', '/', 'g')"
 
 
-@register("url_canonicalize", """
-WITH u AS (
-    SELECT doc_id,
-           'HTTPS://WwW.' || upper(source) || '.ExAmple.COM:443/' ||
-           lang || '/a/./b/../posts/item' || CAST(doc_id AS VARCHAR) ||
-           '.html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
-           '&utm_campaign=x&ref=tw#section-' || CAST(doc_id AS VARCHAR)
-           AS url
-    FROM documents
-), parts AS (
+_URL_CANON_CTES = """parts AS (
     SELECT doc_id, url,
            lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                AS scheme,
@@ -2796,13 +2791,28 @@ WITH u AS (
                p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
                AS kept
     FROM hp
-)
+)"""
+
+_URL_CANON_EXPR = ("scheme || '://' || host || path || "
+                   "CASE WHEN kept = '' THEN '' ELSE '?' || kept END")
+_URL_DOMAIN_EXPR = ("regexp_extract(regexp_replace(regexp_replace(host, "
+                    "':[0-9]+$', ''), '^www\\.', ''), "
+                    "'([^.]+\\.[^.]+)$', 1)")
+
+
+@register("url_canonicalize", """
+WITH u AS (
+    SELECT doc_id,
+           'HTTPS://WwW.' || upper(source) || '.ExAmple.COM:443/' ||
+           lang || '/a/./b/../posts/item' || CAST(doc_id AS VARCHAR) ||
+           '.html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+           '&utm_campaign=x&ref=tw#section-' || CAST(doc_id AS VARCHAR)
+           AS url
+    FROM documents
+), """ + _URL_CANON_CTES + """
 SELECT doc_id, url,
-       scheme || '://' || host || path ||
-       CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical_url,
-       regexp_extract(regexp_replace(regexp_replace(host,
-                      ':[0-9]+$', ''), '^www\\.', ''),
-                      '([^.]+\\.[^.]+)$', 1) AS domain
+       """ + _URL_CANON_EXPR + """ AS canonical_url,
+       """ + _URL_DOMAIN_EXPR + """ AS domain
 FROM hq
 """)
 def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2827,13 +2837,7 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain", url_domain(F.col("canonical_url")))
 
 
-_QC_SQL = f"""
-WITH t AS (
-    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
-    FROM documents
-), s AS (
-    SELECT doc_id,
-           CAST(2 * len(tk) - 1 AS BIGINT) AS n_features,
+_QC_FOLD_SQL = f"""CAST(2 * len(tk) - 1 AS BIGINT) AS n_features,
            CAST(list_sum(list_transform(tk, w ->
                     (({_sql_md5h(7, 'w')} % 256)
                      * 2654435761 + 40503) % 4001 - 2000))
@@ -2842,7 +2846,15 @@ WITH t AS (
                         i -> (({_sql_md5h(7, "tk[i-1] || '|' || tk[i]")}
                                % 65536)
                               * 2654435761 + 40503) % 4001 - 2000))
-                  ELSE 0 END AS BIGINT) AS logit_sum
+                  ELSE 0 END AS BIGINT) AS logit_sum"""
+
+_QC_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           {_QC_FOLD_SQL}
     FROM t
 )
 SELECT doc_id, n_features, logit_sum,
@@ -2889,6 +2901,85 @@ def stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = hashed_linear_score(stream, n_buckets=256,
                                  n_pair_buckets=65536, seed=7)
     return run_to_memory_sink(scored, name="__bench_stream_classify")
+
+
+@register("crawl_ingest", """
+WITH u AS (
+    SELECT doc_id,
+           'HTTPS://WwW.' || upper('web') || '.ExAmple.COM:443/' ||
+           'xx' || '/a/./b/../posts/item' ||
+           CAST(doc_id // 2 AS VARCHAR) ||
+           '.html?utm_source=feed&id=' || CAST(doc_id // 2 AS VARCHAR) ||
+           '&utm_campaign=x&ref=tw#section-' ||
+           CAST(doc_id // 2 AS VARCHAR) AS url
+    FROM documents
+), """ + _URL_CANON_CTES + """, canon AS (
+    SELECT doc_id,
+           """ + _URL_CANON_EXPR + """ AS canonical_url,
+           """ + _URL_DOMAIN_EXPR + """ AS domain
+    FROM hq
+), surv AS (
+    SELECT MIN(doc_id) AS doc_id, arg_min(domain, doc_id) AS domain
+    FROM canon GROUP BY canonical_url
+), wt AS (
+    SELECT s.doc_id, s.domain,
+           regexp_split_to_array(trim(d.text), ' +') AS tk
+    FROM surv s JOIN documents d USING (doc_id)
+), h AS (
+    SELECT doc_id, domain, """ + _HTML_PAGE_SQL + """ AS page FROM wt
+), x AS (
+    SELECT doc_id, domain,
+           """ + _HTML_TEXT_SQL + """ AS page_text
+    FROM h
+), t AS (
+    SELECT doc_id, domain,
+           regexp_split_to_array(lower(trim(page_text)), '\\s+') AS tk
+    FROM x
+), s AS (
+    SELECT doc_id, domain,
+           """ + _QC_FOLD_SQL + """
+    FROM t
+)
+SELECT doc_id, domain, n_features, logit_sum,
+       CAST(logit_sum AS DOUBLE) / n_features AS score,
+       logit_sum > 0 AS keep
+FROM s
+""")
+def crawl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-INGEST capstone (the front-end sibling of
+    corpus_curate): messy URL -> canonicalize -> exact-URL dedup
+    (first-wins min-id per canonical URL — the cheapest dedup in a
+    recrawl-heavy corpus; the synth halves doc_id so every URL arrives
+    twice, making the stage load-bearing) -> HTML synth -> text
+    extraction -> model-based quality gate over the EXTRACTED text,
+    all as ONE exact DuckDB oracle composed from the same SQL
+    fragments the stage queries pin individually. Spark shape: the
+    single shuffle is the dedup groupBy (min/min_by first-wins, the
+    kgx merge device); synth, canonicalization, extraction, and the
+    classifier folds are all map-side, and the domain passes through
+    the classifier's projection (extra_cols) so no join re-attaches
+    metadata."""
+    from data_services_spark.operators.text import hashed_linear_score
+    from data_services_spark.operators.web import (
+        canonicalize_url, html_to_text, synth_html, synth_url,
+        url_domain,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    half = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
+    u = d.select("doc_id", "text",
+                 synth_url(half, F.lit("web"), F.lit("xx")).alias("url"))
+    canon = (u.withColumn("curl", canonicalize_url("url"))
+             .withColumn("domain", url_domain(F.col("curl"))))
+    surv = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.min_by("domain", "doc_id").alias("domain"))
+    page = surv.select("doc_id", "domain",
+                       synth_html("text", "doc_id").alias("page"))
+    x = page.select("doc_id", "domain",
+                    html_to_text("page").alias("page_text"))
+    return hashed_linear_score(x, text_col="page_text",
+                               extra_cols=("domain",))
 
 
 @register("doc_chunks", """
@@ -5842,9 +5933,9 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # round-9 additions, never driver-verified: the TEN new oracle-
+    # round-9 additions, never driver-verified: the ELEVEN new oracle-
     # bearing queries (a green here keeps the cumulative driver-hash
-    # union total at 164 of 164 oracle-bearing — it was closed at
+    # union total at 165 of 165 oracle-bearing — it was closed at
     # 154/154 by the r8 window) plus image_near_dup, rows-only by
     # design (banding recall is the LSH trade; its hash math is pinned
     # exactly by image_phash + the brute-force parity pytest), taking
@@ -5853,7 +5944,7 @@ PRIORITY = (
     "substring_dedup", "image_phash", "image_near_dup",
     "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
     "kg_negative_sample", "html_extract", "url_canonicalize",
-    "embedding_project", "stream_classify",
+    "embedding_project", "stream_classify", "crawl_ingest",
     # stalest re-checks. The r8 window re-verified the r3/r4 block and
     # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
     # standing greens are now: four r4 names that yielded their r8
@@ -5881,8 +5972,10 @@ PRIORITY = (
     # lm_bigram's r8 green one order above lm_logprob; chunk_dedup
     # yields to embedding_project with L1 covered by the pinned
     # text_dedup_exact; ann_lsh_topk yields to stream_classify with
-    # L3 covered in-window by embedding_project + the r8 pq greens)
-    "running_sum_scalable", "token_packing", "stream_sliding",
+    # L3 covered in-window by embedding_project + the r8 pq greens;
+    # stream_sliding yields to crawl_ingest — T2 keeps sliding_window's
+    # r8 green plus the pinned stream_tumbling readStream)
+    "running_sum_scalable", "token_packing",
 )
 
 

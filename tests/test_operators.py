@@ -2064,3 +2064,23 @@ def test_canonicalize_url_strips_whitespace_first(spark):
     got = {r["i"]: r["c"] for r in
            df.select("i", canonicalize_url("url").alias("c")).collect()}
     assert got[1] == got[2] == got[3] == "http://example.com/p?b=2"
+
+
+def test_hashed_linear_score_extra_cols_pass_through_both_paths(spark):
+    from data_services_spark.operators.text import (
+        _CLS_ADD, _CLS_MOD, _CLS_MULT, _CLS_SHIFT, hashed_linear_score,
+    )
+
+    docs = spark.createDataFrame([(1, "a b", "d1"), (2, "c", "d2")],
+                                 "doc_id long, text string, meta string")
+    wtab = spark.createDataFrame(
+        [(b, ((b * _CLS_MULT + _CLS_ADD) % _CLS_MOD) - _CLS_SHIFT)
+         for b in range(32)], "bucket long, weight long")
+    a = {r["doc_id"]: (r["meta"], r["logit_sum"]) for r in
+         hashed_linear_score(docs, n_buckets=32, n_pair_buckets=32,
+                             seed=7, extra_cols=("meta",)).collect()}
+    b = {r["doc_id"]: (r["meta"], r["logit_sum"]) for r in
+         hashed_linear_score(docs, n_buckets=32, n_pair_buckets=32,
+                             seed=7, weights=wtab, pair_weights=wtab,
+                             extra_cols=("meta",)).collect()}
+    assert a == b and a[1][0] == "d1" and a[2][0] == "d2"

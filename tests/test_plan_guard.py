@@ -297,6 +297,14 @@ EXPECTED = {
     # scan — the knn/_bucket_expr device, one CodegenFallback barrier.
     "embedding_project": dict(scans=1, pushed_min=0, joins=set(),
                               exchanges_max=0, single_max=0, py=0),
+    # round-9 ingest capstone: URL synth -> canonicalize -> exact-URL
+    # dedup -> HTML synth -> extract -> classifier gate fuses into ONE
+    # scan and ONE exchange (the first-wins dedup groupBy) — the
+    # min_by merge device carries text/domain through the shuffle so
+    # no stage needs a join, and every other stage is map-side string
+    # algebra or a per-row fold. Zero Python.
+    "crawl_ingest": dict(scans=1, pushed_min=0, joins=set(),
+                         exchanges_max=1, single_max=0, py=0),
 }
 
 
