@@ -145,13 +145,22 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame,
 
 def pack_by_token_budget(docs: DataFrame, budget: int,
                          doc_id: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         token_count: Column | None = None) -> DataFrame:
     """Assign documents to fixed token-budget chunks (training-shard
     construction): order deterministically by id, take the EXCLUSIVE
     prefix sum of token counts, chunk = prefix_sum div budget. A doc may
     straddle its chunk boundary (contiguous chunking — the variant used
     when sequences are concatenated then re-split at budget boundaries);
     exact greedy bin packing is sequential-stateful by nature.
+
+    ``token_count`` (round-10): an optional Column expression giving
+    the per-row token count — pass
+    ``bpe.bpe_token_count(text_col)`` to budget in model-real BPE
+    subword tokens instead of whitespace words (the tokenizer-aware
+    accounting the r9 verdict asked for). Defaults to the whitespace
+    tokenize() size; any deterministic per-row expression keeps the
+    operator's exactness and its shuffle shape unchanged.
 
     Returns (doc_id, n_tokens, chunk_id). The global prefix sum runs on
     the two-pass decomposition (windows.scalable_running_sum: data-
@@ -160,9 +169,10 @@ def pack_by_token_budget(docs: DataFrame, budget: int,
     The exclusive prefix is the inclusive one minus the row's own count."""
     from data_services_spark.operators.windows import scalable_running_sum
 
+    if token_count is None:
+        token_count = F.size(tokenize(text_col))
     toks = docs.select(F.col(doc_id),
-                       F.size(tokenize(text_col)).cast("long")
-                       .alias("n_tokens"))
+                       token_count.cast("long").alias("n_tokens"))
     run = scalable_running_sum(toks, [doc_id], "n_tokens", "__incl")
     return run.select(doc_id, "n_tokens",
                       F.expr(f"(__incl - n_tokens) div {budget}")
@@ -520,6 +530,14 @@ def negative_sample_edges(edges: DataFrame, nodes: DataFrame, k: int = 2,
     is dropped, not redrawn (redraw chains are sequential; the paper
     convention is filter-and-keep), so an edge can yield < k negatives.
 
+    The draw key is a COLLISION-FREE length-prefixed encoding
+    ``len(s):s len(p):p len(o):o idx`` (round-10 advice: the previous
+    concat_ws('|') let a literal '|' inside a field make two distinct
+    edges share one draw key — correlated negatives — and silently
+    skipped NULL fields). A NULL subject/predicate/object now yields a
+    NULL key -> NULL rank, so degenerate edges deterministically
+    produce NO negatives instead of slipping past the anti join.
+
     Returns (subject, predicate, neg_object, neg_idx).
     """
     from pyspark.sql import Window
@@ -546,8 +564,11 @@ def negative_sample_edges(edges: DataFrame, nodes: DataFrame, k: int = 2,
         F.col(s), F.col(p), F.col(o),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"))
         .withColumn("__h", md5_long_hash(
-            F.concat_ws("|", F.col(s), F.col(p), F.col(o),
-                        F.col("neg_idx")), seed))
+            F.concat(
+                F.length(s).cast("string"), F.lit(":"), F.col(s),
+                F.length(p).cast("string"), F.lit(":"), F.col(p),
+                F.length(o).cast("string"), F.lit(":"), F.col(o),
+                F.col("neg_idx").cast("string")), seed))
         .crossJoin(F.broadcast(n_reps))
         .withColumn("__rank", F.pmod(F.col("__h"), F.col("__n"))))
     truth = e.select(F.col(s), F.col(p), F.col(o).alias("neg_object"))

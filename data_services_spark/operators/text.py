@@ -22,11 +22,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # BPE-ish token regex: words, numbers, or single non-space symbols.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Whitespace separator class, EXPLICIT (round-10 advice): Java's \s is
+# [ \t\n\x0B\f\r] while RE2's (DuckDB) is [ \t\n\f\r] — they disagree
+# on vertical tab, so a '\s+'-split Spark tokenizer silently diverges
+# from every '\s+' DuckDB oracle on corpora containing \x0B. Pinning
+# the Spark side to RE2's exact set makes BOTH dialects' '\s+' and
+# this class tokenize identically on ALL inputs (the web.py _WS
+# discipline, applied to the shared tokenizer).
+WS_SPLIT = "[ \t\n\f\r]+"
+
 
 def tokenize(col: Column | str) -> Column:
-    """Whitespace tokenization of lowercased text."""
+    """Whitespace tokenization of lowercased text (separator set =
+    :data:`WS_SPLIT`, the RE2-equal explicit class)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), WS_SPLIT)
 
 
 def regex_token_count(col: Column | str) -> Column:
@@ -442,7 +452,14 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
       0 (a sparse export — a model that never saw some buckets — must
       not silently drop those features from the mean's denominator).
       Integer weights keep the sum order-independent, so both paths
-      are bit-stable.
+      are bit-stable. That integer contract is ENFORCED at entry
+      (round-10 advice): fractional weights (a float fastText/LR
+      export) raise instead of silently truncating through the long
+      cast — scale-and-round offline to integers (e.g. x10^6, the
+      logit sign is scale-invariant) — and duplicate bucket ids per
+      family raise too, because each duplicate row would multiply its
+      feature through the broadcast join. The check is one aggregate
+      over the model tables, which are broadcast-sized by contract.
 
     Returns (id, *extra_cols, n_features, logit_sum, score, keep) —
     ``extra_cols`` pass through the formula path's map-only projection
@@ -480,6 +497,28 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
     else:
         if pair_weights is None:
             raise ValueError("pair_weights required when weights given")
+        # integer-contract gate (round-10 advice): one tiny aggregate
+        # per model table — never a per-row check on the corpus
+        for wdf, wname in ((weights, "weights"),
+                           (pair_weights, "pair_weights")):
+            chk = wdf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("bucket")).alias("nd"),
+                F.sum(F.when(F.col("weight").cast("double")
+                             != F.col("weight").cast("long")
+                             .cast("double"), 1)
+                      .otherwise(0)).alias("frac")).collect()[0]
+            if chk["nd"] != chk["n"]:
+                raise ValueError(
+                    f"{wname}: duplicate bucket ids ({chk['n'] - chk['nd']}"
+                    " extra rows) would multiply their features through"
+                    " the broadcast join; deduplicate the model export")
+            if chk["frac"]:
+                raise ValueError(
+                    f"{wname}: {chk['frac']} fractional weight(s) would"
+                    " silently truncate through the integer cast; scale"
+                    " and round the export to integers (the logit sign"
+                    " is scale-invariant)")
         # explode_outer, not explode: a NULL text tokenizes to a NULL
         # array, and a plain explode would DROP the document from this
         # path while the formula path keeps it (with NULL outputs) —

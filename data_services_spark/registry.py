@@ -3108,15 +3108,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|").alias("features"))
 
 
-def _image_phash_sql() -> str:
-    """Generated oracle for `image_phash`: recompute the deterministic
-    18x16 pixel grid from the text (the synth_gray_payloads formula),
-    the 9x8 integer block means, and the 64 dHash gradient bits —
-    entirely in integer SQL. The Spark side routes the SAME pixels
-    through a REAL PNG encode -> decode -> luma -> block pipeline
-    (operators/multimodal.py), so a green hash checks the codec round
-    trip, the Arrow batching, and the hash math at once."""
-    W, H = 18, 16
+def _dhash_sql_parts() -> tuple[str, str, str]:
+    """Shared SQL fragments deriving the 64-bit dHash from a `tok`
+    relation with columns (doc_id, t = normalized text, L = length(t)):
+    the deterministic 18x16 pixel grid (the synth_gray_payloads
+    formula), the 9x8 integer block means, and the two BIGINT bit
+    halves. Returns (block_cols, hi_expr, lo_expr); used by both the
+    `image_phash` and the `image_near_dup` generated oracles."""
+    W = 18
 
     def pix(r: int, c: int) -> str:
         return (f"((ascii(substr(t, 1 + (({r * W + c}) % L), 1)) * 7"
@@ -3128,7 +3127,6 @@ def _image_phash_sql() -> str:
             r0, c0 = 2 * i, 2 * j
             terms = " + ".join(pix(r0 + dr, c0 + dc)
                                for dr in (0, 1) for dc in (0, 1))
-            blocks[(i, j)] = f"b_{i}_{j}"
             blocks[f"expr_{i}_{j}"] = f"(({terms}) // 4) AS b_{i}_{j}"
     block_cols = ",\n           ".join(
         blocks[f"expr_{i}_{j}"] for i in range(8) for j in range(9))
@@ -3144,6 +3142,19 @@ def _image_phash_sql() -> str:
     # the int32 edge, and DuckDB errors on overflow rather than wrap)
     hi = "CAST(0 AS BIGINT) + " + " + ".join(hi_terms)
     lo = "CAST(0 AS BIGINT) + " + " + ".join(lo_terms)
+    return block_cols, hi, lo
+
+
+def _image_phash_sql() -> str:
+    """Generated oracle for `image_phash`: recompute the deterministic
+    18x16 pixel grid from the text (the synth_gray_payloads formula),
+    the 9x8 integer block means, and the 64 dHash gradient bits —
+    entirely in integer SQL. The Spark side routes the SAME pixels
+    through a REAL PNG encode -> decode -> luma -> block pipeline
+    (operators/multimodal.py), so a green hash checks the codec round
+    trip, the Arrow batching, and the hash math at once."""
+    W, H = 18, 16
+    block_cols, hi, lo = _dhash_sql_parts()
     return f"""
 WITH tok AS (
     SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS L
@@ -3178,17 +3189,71 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lpad(F.hex("dhash_lo"), 8, "0")).alias("dhash"))
 
 
-@register("image_near_dup")  # banding recall is hash-family-shaped -> rows-only
+def _image_near_dup_sql() -> str:
+    """Generated EXACT oracle for `image_near_dup` (round-10: the r9
+    rows-only designation confused *recall vs ground truth* with
+    *determinism of output* — given the hashes, 4x16-bit banding +
+    bit_count(xor) Hamming verify is a pure function, so the PAIR SET
+    itself is oracle-checkable, not just the hashes). The SQL
+    recomputes the dHashes straight from the text (the `image_phash`
+    integer arithmetic, shared via _dhash_sql_parts) for the corpus
+    plus the jittered copies, then replays the identical banding
+    (four 16-bit keys via & / >>) and the identical exact Hamming
+    verify (DuckDB xor + bit_count on BIGINT halves, both
+    nonnegative < 2^32 by construction)."""
+    block_cols, hi, lo = _dhash_sql_parts()
+    # the jitter must be applied to the RAW text (the Spark query
+    # perturbs before synth_gray_payloads normalizes with lower/trim)
+    jit = "substr(text, 1, 20) || '~' || substr(text, 22)"
+    return f"""
+WITH tok AS (
+    SELECT doc_id, lower(trim(text)) AS t, length(lower(trim(text))) AS L
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           lower(trim({jit})) AS t, length(lower(trim({jit}))) AS L
+    FROM documents WHERE doc_id % 10 = 0
+), b AS (
+    SELECT doc_id,
+           {block_cols}
+    FROM tok
+), h AS (
+    SELECT doc_id, {hi} AS hi, {lo} AS lo FROM b
+), s AS (
+    SELECT doc_id, hi, lo,
+           '0:' || CAST(lo & 65535 AS VARCHAR) AS band_key FROM h
+    UNION ALL SELECT doc_id, hi, lo,
+           '1:' || CAST((lo >> 16) & 65535 AS VARCHAR) FROM h
+    UNION ALL SELECT doc_id, hi, lo,
+           '2:' || CAST(hi & 65535 AS VARCHAR) FROM h
+    UNION ALL SELECT doc_id, hi, lo,
+           '3:' || CAST((hi >> 16) & 65535 AS VARCHAR) FROM h
+), p AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+    FROM s a JOIN s b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT)
+           AS hamming
+FROM p
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 10
+"""
+
+
+@register("image_near_dup", _image_near_dup_sql())
 def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L18 near-dup composition: dHash the corpus images PLUS jittered
     copies of every 10th document (a few pixels perturbed — the
     re-encoded-thumbnail analogue), then find pairs within Hamming
     distance 10 via 4x16-bit banding + exact bit_count verify
-    (operators/multimodal.py:image_near_dup). Rows-only by design
-    (band recall at radius > 3 is probabilistic, the LSH trade);
-    the exactness of the underlying hash is pinned by `image_phash`,
-    and decision parity vs a brute-force numpy reference is pytest
-    (tests/test_operators.py)."""
+    (operators/multimodal.py:image_near_dup). EXACT oracle (round-10):
+    banding + verify is a deterministic pure function of the hashes,
+    so the generated SQL replays hash derivation, banding, and the
+    Hamming filter bit-for-bit; decision parity vs a brute-force
+    numpy reference stays pytest (tests/test_operators.py). The hash
+    relation is persisted (one-slot) so the decode pass runs ONCE,
+    not once per join side."""
     from data_services_spark.operators.multimodal import (
         image_dhash, image_near_dup, synth_gray_payloads)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4411,9 +4476,15 @@ e AS (
 ), nn AS (
     SELECT COUNT(*) AS n FROM reps
 ), cand AS (
+    -- length-prefixed collision-free draw key (round-10 advice; the
+    -- '|'-joined form conflated fields containing a literal '|')
     SELECT subject, predicate, object, i AS neg_idx,
-           {_sql_md5h(5, "subject || '|' || predicate || '|' || object"
-                         " || '|' || CAST(i AS VARCHAR)")} AS hh
+           {_sql_md5h(5,
+                      "CAST(length(subject) AS VARCHAR) || ':' || subject"
+                      " || CAST(length(predicate) AS VARCHAR) || ':'"
+                      " || predicate"
+                      " || CAST(length(object) AS VARCHAR) || ':'"
+                      " || object || CAST(i AS VARCHAR)")} AS hh
     FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) t
 )
 SELECT c.subject, c.predicate, r.neg_object,
@@ -4771,6 +4842,62 @@ def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_services_spark.operators.sampling import pack_by_token_budget
     d = load_table(spark, sf_dir, "documents")
     return pack_by_token_budget(d, budget=512)
+
+
+def _bpe_frag():
+    from data_services_spark.operators.bpe import bpe_sql
+    return bpe_sql("text")
+
+
+@register("bpe_tokenize", f"""
+SELECT doc_id,
+       CAST(CASE WHEN length({_bpe_frag()['norm']}) = 0 THEN 0
+            ELSE len(str_split({_bpe_frag()['norm']}, ' ')) END
+            AS BIGINT) AS n_words,
+       CAST(length({_bpe_frag()['norm']}) AS BIGINT) AS n_chars,
+       {_bpe_frag()['n_bpe']} AS n_bpe_tokens,
+       array_to_string({_bpe_frag()['subwords']}, ' ') AS bpe_text
+FROM documents
+""")
+def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 BPE subword tokenization (operators/bpe.py): the fixed
+    public merge table applied as a chain of built-in replace() passes
+    over a delimiter-rendered symbol string — the whole tokenizer is
+    map-only JVM string algebra (1 scan, 0 exchanges, 0 Python), and
+    the oracle is GENERATED from the same table as the identical
+    DuckDB replace chain, so both engines segment every document
+    bit-identically (pass-order == textbook-BPE equivalence pinned by
+    pytest against an independent min-rank reference)."""
+    from data_services_spark.operators.bpe import bpe_tokenize
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_tokenize(d)
+
+
+@register("token_packing_bpe", f"""
+WITH toks AS (
+    SELECT doc_id, {_bpe_frag()['n_bpe']} AS n_tokens
+    FROM documents
+), pre AS (
+    SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS p
+    FROM toks
+)
+SELECT doc_id, n_tokens, CAST(p // 512 AS BIGINT) AS chunk_id FROM pre
+""")
+def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_packing with MODEL-REAL budgets (round-10): the exclusive
+    prefix-sum sharding unchanged, but counting BPE subword tokens via
+    the ``token_count=`` thread-through — the budget a training run
+    actually consumes. Same scalable two-pass prefix-sum shape; the
+    tokenizer adds zero exchanges to it."""
+    from data_services_spark.operators.bpe import bpe_token_count
+    from data_services_spark.operators.sampling import pack_by_token_budget
+    d = load_table(spark, sf_dir, "documents")
+    return pack_by_token_budget(
+        d, budget=512, token_count=bpe_token_count("text"))
 
 
 @register("graph_bfs", """

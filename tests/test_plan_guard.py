@@ -237,13 +237,19 @@ EXPECTED = {
     # round-9 image hashing: the TWO Arrow boundaries per pipeline
     # (synth/encode + decode/dhash) are the DESIGNED Python surface of
     # L6/L18 — py is pinned exact so a third boundary (or an
-    # accidental row-wise UDF) fails loudly. near_dup re-derives the
-    # hash pipeline for both join sides at this fixture scale (4 scans
-    # / 4 boundaries; production persists the 16-byte hashes once);
-    # its joins stay broadcast and the corpus never single-partitions.
+    # accidental row-wise UDF) fails loudly. near_dup (round-10 fix):
+    # the dHash relation is PERSISTED (one-slot) before the band
+    # self-join, so the decode pipeline runs ONCE — 2 parquet scans
+    # (corpus + jitter branch feeding the single materialization),
+    # both join sides InMemoryTableScans. py=4 here is a PRINT
+    # artifact: InMemoryTableScan lists its cached plan as
+    # innerChildren, so the 2 logical Arrow ops appear under BOTH
+    # scans of the cache; test_image_near_dup_single_decode_pass
+    # below walks the REAL executed tree (children only) and asserts
+    # ZERO Arrow ops outside the cached relation.
     "image_phash": dict(scans=1, pushed_min=0, joins=set(),
                         exchanges_max=0, single_max=0, py=2),
-    "image_near_dup": dict(scans=4, pushed_min=0,
+    "image_near_dup": dict(scans=2, pushed_min=1,
                            joins={"BroadcastHashJoin"},
                            exchanges_max=2, single_max=0, py=4),
     # round-9 quality classifier: the whole scoring pass (word + bigram
@@ -422,3 +428,42 @@ def test_dsir_resample_topk_never_global_sorts(spark, name):
         .split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in executed, executed[:2000]
     assert "Exchange rangepartitioning" not in executed, executed[:2000]
+
+
+def test_image_near_dup_single_decode_pass(spark):
+    """The round-10 fix for the r9 verdict's What's-wrong #1: the
+    dHash relation persists (one-slot) before the band self-join, so
+    the synth/encode + decode/dhash Arrow pipeline materializes ONCE
+    and both join sides read InMemoryTableScans of it. The EXPECTED
+    py=4 above is textual only (InMemoryTableScan prints its cached
+    plan as innerChildren, doubling the 2 logical Arrow ops); this
+    test walks the REAL executed tree — children(), which stops at
+    InMemoryTableScan — and asserts zero Arrow boundaries outside the
+    cache plus exactly two reads of it."""
+    from data_services_spark.registry import RAW_QUERIES
+
+    df = RAW_QUERIES["image_near_dup"](spark, SF_DIR)
+    df.toArrow()
+
+    def names(plan):
+        n = plan.nodeName()
+        # unwrap the AQE containers: AdaptiveSparkPlanExec holds the
+        # final plan in executedPlan(), QueryStageExec leaves (Shuffle/
+        # Broadcast/TableCache/Result) hold theirs in plan(); neither
+        # exposes them via children(), which is exactly why the walk —
+        # unlike the toString — never descends into innerChildren.
+        if n == "AdaptiveSparkPlan":
+            return [n, *names(plan.executedPlan())]
+        if n.endswith("QueryStage"):
+            return [n, *names(plan.plan())]
+        out = [n]
+        for i in range(plan.children().size()):
+            out.extend(names(plan.children().apply(i)))
+        return out
+
+    seen = names(df._jdf.queryExecution().executedPlan())
+    arrow = [n for n in seen
+             if "Pandas" in n or "Arrow" in n or "Python" in n]
+    assert not arrow, f"Arrow op outside the hash cache: {arrow}"
+    inmem = [n for n in seen if n == "InMemoryTableScan"]
+    assert len(inmem) == 2, seen

@@ -435,7 +435,9 @@ def test_negative_sample_edges_matches_python_reference(spark):
     expected = set()
     for (s, p, o) in set(edges):
         for i in range(k):
-            rep = ranked[h(seed, f"{s}|{p}|{o}|{i}") % len(ranked)]
+            # round-10 collision-free draw key: length-prefixed fields
+            key = f"{len(s)}:{s}{len(p)}:{p}{len(o)}:{o}{i}"
+            rep = ranked[h(seed, key) % len(ranked)]
             if (s, p, rep) not in truth:
                 expected.add((s, p, rep, i))
 
@@ -491,3 +493,43 @@ def test_negative_sample_rejects_degenerate_knobs(spark):
         negative_sample_edges(e, n, k=0)
     with pytest.raises(ValueError, match="n_buckets"):
         negative_sample_edges(e, n, n_buckets=0)
+
+
+def test_negative_sample_draw_key_is_collision_free_and_null_safe(spark):
+    """Round-10 advice: the old concat_ws('|') draw key conflated
+    ('a|b', 'p', 'o') with ('a', 'b|p', 'o') — correlated negatives —
+    and silently SKIPPED NULL fields, letting degenerate edges slip
+    past the anti join with a hash key borrowed from their non-null
+    neighbors. The length-prefixed key must (a) give pipe-bearing
+    edges INDEPENDENT draws and (b) yield NO negatives for an edge
+    with any NULL field."""
+    from data_services_spark.operators.sampling import negative_sample_edges
+
+    nodes = spark.createDataFrame([(f"n{i}",) for i in range(40)],
+                                  "id string")
+    # under '|'-joining these two edges share one draw key per slot
+    e = spark.createDataFrame([("a|b", "p", "o"), ("a", "b|p", "o")],
+                              "subject string, predicate string, "
+                              "object string")
+    rows = negative_sample_edges(e, nodes, k=8, n_buckets=4096,
+                                 seed=5).collect()
+    draws = {}
+    for r in rows:
+        draws.setdefault((r["subject"], r["predicate"]), {})[
+            r["neg_idx"]] = r["neg_object"]
+    shared = [i for i in range(8)
+              if draws.get(("a|b", "p"), {}).get(i) is not None
+              and draws[("a|b", "p")][i] == draws.get(("a", "b|p"),
+                                                      {}).get(i)]
+    # independent md5 draws over 40 reps: all-8-equal has prob ~40^-8;
+    # requiring <8 matches keeps the assertion deterministic-in-practice
+    # while catching the correlated-key regression (which forces 8/8)
+    assert len(shared) < 8, draws
+    # NULL object -> NULL length-prefixed key -> no negatives emitted
+    en = spark.createDataFrame([("a", "p", None), ("b", "q", "o")],
+                               "subject string, predicate string, "
+                               "object string")
+    out = negative_sample_edges(en, nodes, k=2, n_buckets=4096,
+                                seed=5).collect()
+    assert all(r["subject"] == "b" for r in out)
+    assert len(out) == 2

@@ -311,3 +311,25 @@ def test_chunk_documents_null_and_empty_token_guard(spark):
                F.sequence(F.lit(0), F.lit(-1)))
         .otherwise(F.array().cast("array<int>")).alias("s")).first()
     assert list(probe["s"]) == []
+
+
+def test_ws_split_matches_re2_on_exotic_whitespace(spark):
+    """Round-10 advice: Java's \\s matches vertical tab (\\x0B), RE2's
+    (DuckDB) does not — so the shared tokenizer pins the EXPLICIT
+    RE2-equal class WS_SPLIT. A \\x0B-bearing corpus must tokenize
+    identically on both engines: \\x0B is NOT a separator, the five
+    RE2 whitespace chars are."""
+    import duckdb
+
+    from data_services_spark.operators.text import WS_SPLIT, tokenize
+
+    text = "a\x0bb c\td\ne\ff\rg"
+    got = spark.createDataFrame([(text,)], "text string") \
+        .select(tokenize("text").alias("t")).first()["t"]
+    oracle = duckdb.sql(
+        "SELECT regexp_split_to_array(lower(trim(?)), '\\s+')",
+        params=[text]).fetchone()[0]
+    assert got == oracle == ["a\x0bb", "c", "d", "e", "f", "g"]
+    # the class stays literally RE2's set — a drive-by "simplification"
+    # back to \s+ (or to web.py's narrower [ \t\n]) re-opens the gap
+    assert set(WS_SPLIT[1:-2]) == set(" \t\n\f\r")
