@@ -188,9 +188,15 @@ def bpe_sql(expr: str,
     n_spaces = f"(length({norm}) - length(replace({norm}, ' ', '')))"
     subwords = (f"list_filter(str_split({enc}, '{_D}'),"
                 " x -> x != '' AND x != ' ')")
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join of
+    # an empty array is '' — coalesce the empty case but preserve the
+    # NULL-text row's NULL (both engines propagate NULL text to NULL)
+    bpe_text = (f"CASE WHEN {norm} IS NULL THEN NULL "
+                f"ELSE COALESCE(array_to_string({subwords}, ' '), '') END")
     return {
         "norm": norm,
         "enc": enc,
         "n_bpe": f"CAST({n_syms} - {n_spaces} AS BIGINT)",
         "subwords": subwords,
+        "bpe_text": bpe_text,
     }

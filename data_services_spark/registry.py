@@ -4856,7 +4856,7 @@ SELECT doc_id,
             AS BIGINT) AS n_words,
        CAST(length({_bpe_frag()['norm']}) AS BIGINT) AS n_chars,
        {_bpe_frag()['n_bpe']} AS n_bpe_tokens,
-       array_to_string({_bpe_frag()['subwords']}, ' ') AS bpe_text
+       {_bpe_frag()['bpe_text']} AS bpe_text
 FROM documents
 """)
 def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,223 @@
+"""Streaming crawl ingest against persisted URL state (round-10; the
+r9 verdict's "natural next capstone"): the batch `crawl_ingest`
+front end — canonicalize -> exact-URL first-wins dedup -> HTML text
+extraction -> model-based quality gate — wired to an UNBOUNDED page
+feed, deduping each micro-batch against every canonical URL kept so
+far without ever recomputing over history.
+
+Contract per micro-batch of (doc_id, url, page):
+
+1. canonicalize each URL (operators.web.canonicalize_url — the exact
+   batch semantics) and derive the registrable domain;
+2. intra-batch: first-wins per canonical URL (min doc_id, the batch
+   crawl_ingest groupBy device) — losers are `dup_in_batch`;
+3. cross-corpus: a survivor whose canonical URL already exists in the
+   persisted kept-URL state is `dup_of_corpus` (attributed to the
+   original keeper's doc id);
+4. kept survivors run the extraction + classifier tail
+   (html_to_text -> hashed_linear_score) and land as one results
+   parquet per batch id — the streaming-ingested corpus;
+5. kept (curl, doc_id) rows merge into the generational bucketed
+   parquet state (streaming/ingest.py) — writer lease, snapshot pins,
+   time travel, vacuum, compaction all apply to the URL index for
+   free — and per-document decisions land idempotently per batch id.
+
+Equivalence contract (pytest-pinned, the incremental==batch device):
+when arrival order respects doc-id order per canonical URL — every
+recrawl arrives no earlier than the original — the union of per-batch
+results equals batch `crawl_ingest`'s pipeline over the union of the
+batches, row for row. Under out-of-order arrival the streaming side
+keeps the FIRST arrival (the streaming-native semantic, same as the
+near-dup twin) where the batch side keeps the min id.
+
+Scale shape: per-batch cost is one micro-batch-sized groupBy plus ONE
+equi join of the batch's canonical URLs against the state — the batch
+side broadcasts, and the state read is BUCKET-PRUNED: the URL state is
+hash-bucketed by `curl`, so the probe computes which buckets the
+batch's URLs fall in (at most num_buckets ints reach the driver) and
+reads only those bucket directories. Per-batch I/O is O(touched
+buckets), not O(corpus) — the M7 neardup argument, applied to exact
+URL identity. Extraction + classification run on KEPT pages only, so
+a recrawl-heavy feed pays the classifier for unique content, not for
+traffic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from data_services_spark.operators.text import hashed_linear_score
+from data_services_spark.operators.web import (
+    canonicalize_url, html_to_text, url_domain,
+)
+from data_services_spark.streaming.ingest import (
+    _bucket_paths, _read_manifest, merge_upsert_batch,
+)
+from data_services_spark.streaming.neardup import _state_before_batch
+
+URL_KEY = ("curl", "kept_id")
+BUCKET_COLS = ("curl",)  # state bucketed by the probe-able key
+
+
+def _decisions_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "_decisions")
+
+
+def _results_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "_results")
+
+
+def _probe_buckets(surv: DataFrame, manifest: dict | None):
+    """The state buckets this batch's canonical URLs can possibly
+    match (the neardup probe device over the ``curl`` prefix): at most
+    ``num_buckets`` ints reach the driver; None = read everything
+    (unsafe to prune, or pruning would not help)."""
+    if manifest is None:
+        return None
+    if manifest.get("bucket_cols") != list(BUCKET_COLS):
+        return None
+    nb = manifest.get("num_buckets")
+    if not nb:
+        return None
+    rows = (surv.select(F.pmod(F.xxhash64(*BUCKET_COLS), F.lit(nb))
+                        .cast("int").alias("__b"))
+            .distinct().collect())
+    if len(rows) >= nb:
+        return None  # batch saturates the layout: full read is equal
+    return sorted(r[0] for r in rows)
+
+
+def ingest_crawl_batch(spark: SparkSession, batch: DataFrame,
+                       state_dir: str, batch_id: int,
+                       url_col: str = "url", page_col: str = "page",
+                       id_col: str = "doc_id",
+                       num_buckets: int = 64,
+                       prune_state_read: bool = True) -> None:
+    """The foreachBatch body (callable directly for batch backfills):
+    decide kept/duplicate for every page in ``batch``, extract+score
+    the kept ones, update the URL state, write decisions + results.
+
+    Replay-idempotent (the neardup time-travel contract): the corpus
+    probe reads the state AS OF the last generation merged before this
+    batch id, so an at-least-once retry that crashed between the merge
+    commit and the streaming checkpoint reproduces the original
+    decisions instead of reclassifying its own kept URLs as corpus
+    duplicates; the state merge itself skips replays via its
+    batch-watermark guard."""
+    canon = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(page_col).alias("page"),
+        canonicalize_url(url_col).alias("curl"))
+    canon = canon.withColumn("domain", url_domain(F.col("curl")))
+    # NULL urls canonicalize to NULL; group them under a sentinel so
+    # every input row gets a decision (the neardup NULL-text contract)
+    canon = canon.withColumn(
+        "curl", F.coalesce(F.col("curl"), F.lit("invalid://null")))
+    canon = canon.persist()
+    try:
+        _decide_and_commit(spark, canon, state_dir, batch_id,
+                           num_buckets, prune_state_read)
+    finally:
+        canon.unpersist()
+
+
+def _decide_and_commit(spark: SparkSession, canon: DataFrame,
+                       state_dir: str, batch_id: int,
+                       num_buckets: int,
+                       prune_state_read: bool) -> None:
+    id_type = canon.schema["doc_id"].dataType
+
+    # intra-batch first-wins per canonical URL (min id carries page +
+    # domain through the shuffle — the batch crawl_ingest min_by shape)
+    surv = (canon.groupBy("curl")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("page", "doc_id").alias("page"),
+                 F.min_by("domain", "doc_id").alias("domain")))
+    in_batch_dup = (canon.join(
+        surv.select("curl", F.col("doc_id").alias("__keep")), "curl")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id", F.col("__keep").alias("duplicate_of")))
+
+    # cross-corpus probe: pre-batch snapshot, bucket-pruned on curl
+    probe = _probe_buckets(surv, _read_manifest(state_dir)) \
+        if prune_state_read else None
+    state = _state_before_batch(spark, state_dir, batch_id, buckets=probe)
+    if state is not None:
+        corpus_dup = (state.select("curl", "kept_id")
+                      .join(F.broadcast(surv.select("curl", "doc_id")),
+                            "curl")
+                      .select("doc_id",
+                              F.col("kept_id").cast(id_type)
+                              .alias("duplicate_of")))
+    else:  # first batch: no corpus yet — typed-empty, schema-stable
+        corpus_dup = (surv.select("doc_id")
+                      .withColumn("duplicate_of",
+                                  F.lit(None).cast(id_type))
+                      .limit(0))
+    kept = surv.join(corpus_dup.select("doc_id"), "doc_id", "left_anti")
+
+    # extraction + quality gate on KEPT pages only; results land one
+    # parquet dir per batch id (overwrite = idempotent on replay)
+    scored = hashed_linear_score(
+        kept.select("doc_id", "curl", "domain",
+                    html_to_text("page").alias("page_text")),
+        text_col="page_text", extra_cols=("curl", "domain"))
+    (scored.withColumn("batch_id", F.lit(batch_id).cast("long"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(_results_dir(state_dir), f"b{batch_id}")))
+
+    # merge kept URLs into the generational state: key (curl, kept_id),
+    # bucketed by curl so the probe can prune
+    kept_urls = kept.select("curl", F.col("doc_id").alias("kept_id"))
+    merge_upsert_batch(spark, kept_urls, state_dir, batch_id,
+                       scalar_props=(), list_props=(),
+                       key_cols=URL_KEY, bucket_cols=BUCKET_COLS,
+                       num_buckets=num_buckets)
+
+    decisions = (kept.select("doc_id",
+                             F.lit("kept").alias("status"),
+                             F.lit(None).cast(id_type)
+                             .alias("duplicate_of"))
+                 .unionByName(in_batch_dup.select(
+                     "doc_id", F.lit("dup_in_batch").alias("status"),
+                     "duplicate_of"))
+                 .unionByName(corpus_dup.select(
+                     "doc_id", F.lit("dup_of_corpus").alias("status"),
+                     "duplicate_of"))
+                 .withColumn("batch_id", F.lit(batch_id).cast("long")))
+    (decisions.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(_decisions_dir(state_dir), f"b{batch_id}")))
+
+
+def stream_crawl_ingest(page_stream: DataFrame, state_dir: str,
+                        checkpoint_dir: str, url_col: str = "url",
+                        page_col: str = "page", id_col: str = "doc_id",
+                        num_buckets: int = 64):
+    """Attach the crawl-ingest sink to a streaming (id, url, page)
+    DataFrame; returns the started StreamingQuery."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = page_stream.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        ingest_crawl_batch(spark, batch, state_dir, batch_id,
+                           url_col, page_col, id_col,
+                           num_buckets=num_buckets)
+
+    return (page_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_crawl_decisions(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All per-batch ingest decisions (doc_id, status, duplicate_of,
+    batch_id)."""
+    return spark.read.parquet(os.path.join(_decisions_dir(state_dir), "b*"))
+
+
+def read_crawl_results(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The streaming-ingested corpus: every kept page's extraction +
+    classifier row (doc_id, curl, domain, n_features, logit_sum,
+    score, keep, batch_id) across all batches."""
+    return spark.read.parquet(os.path.join(_results_dir(state_dir), "b*"))

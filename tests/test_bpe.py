@@ -1,0 +1,121 @@
+"""BPE subword tokenizer (operators/bpe.py, round-10): pass-order
+equivalence against an independent textbook implementation, Spark ==
+DuckDB parity on exotic inputs, merge-table well-formedness guards,
+and the budget thread-through."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_services_spark.operators.bpe import (
+    DEFAULT_MERGES, _validate_merges, bpe_sql, bpe_token_count,
+    bpe_tokenize,
+)
+
+
+def _ref_bpe(word: str,
+             merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES
+             ) -> list[str]:
+    """Textbook BPE: iterate merge-the-min-rank-pair until fixpoint,
+    merging occurrences left to right — the independent reference the
+    ascending-pass implementation must equal (module docstring proof)."""
+    ranks = {ab: i for i, ab in enumerate(merges)}
+    syms = list(word)
+    while True:
+        present = [ranks[(syms[i], syms[i + 1])]
+                   for i in range(len(syms) - 1)
+                   if (syms[i], syms[i + 1]) in ranks]
+        if not present:
+            return syms
+        a, b = merges[min(present)]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+WORDS = ["the", "that", "station", "nation", "with", "was", "being",
+         "aaa", "thethethe", "q", "42", "con7catenation", "estimated",
+         "allocation", "prestation", "outing", "mmment", "thermometer"]
+
+
+def test_bpe_pass_order_equals_reference(spark):
+    """The load-bearing equivalence: one ascending-rank replace() pass
+    per rule == textbook iterate-min-rank BPE, for the well-formed
+    table. Checked word by word through the real Spark expression."""
+    rows = [(i, w) for i, w in enumerate(WORDS)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_text"].split(" ")
+           for r in bpe_tokenize(d).collect()}
+    for i, w in enumerate(WORDS):
+        norm = "".join(ch if ch.isalnum() else " " for ch in w.lower())
+        expect = [t for part in norm.split() for t in _ref_bpe(part)]
+        assert got[i] == expect, (w, got[i], expect)
+
+
+def test_bpe_spark_matches_duckdb_on_exotic_inputs(spark):
+    """Cross-engine parity beyond the fixture: punctuation runs,
+    unicode, digits, empty and NULL text, exotic whitespace. The
+    registry sweep pins the documents table; this pins the corners."""
+    import duckdb
+
+    texts = ["The station, that was WITH all-new things!",
+             "  \t\n mixed   spacing \f\r here ",
+             "++--!!", "", None, "Ünïcode blend café", "a" * 500]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                              "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"],
+                         r["bpe_text"])
+           for r in bpe_tokenize(d).collect()}
+    frag = bpe_sql("t")
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        row = con.execute(
+            f"""SELECT CAST(CASE WHEN length({frag['norm']}) = 0 THEN 0
+                     ELSE len(str_split({frag['norm']}, ' ')) END AS BIGINT),
+                     CAST(length({frag['norm']}) AS BIGINT),
+                     {frag['n_bpe']},
+                     {frag['bpe_text']}
+                FROM (SELECT ? AS t)""", [t]).fetchone()
+        assert got[i] == tuple(row), (t, got[i], row)
+
+
+def test_bpe_counts_and_budget_threading(spark):
+    """bpe_token_count is consistent with the segmentation length, and
+    pack_by_token_budget(token_count=...) buckets by BPE tokens."""
+    from data_services_spark.operators.sampling import pack_by_token_budget
+
+    d = spark.createDataFrame(
+        [(1, "the the the the"), (2, "station station"), (3, "q")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bpe_tokenize(d).collect()}
+    for r in rows.values():
+        assert r["n_bpe_tokens"] == len(r["bpe_text"].split(" "))
+    assert rows[1]["n_bpe_tokens"] == 4          # 'the' is one token
+    assert rows[2]["n_bpe_tokens"] == 6          # st at ion x2
+    packed = {r["doc_id"]: (r["n_tokens"], r["chunk_id"])
+              for r in pack_by_token_budget(
+                  d, budget=5,
+                  token_count=bpe_token_count("text")).collect()}
+    # exclusive prefix sums over BPE counts 4, 6, 1 -> 0, 4, 10
+    assert packed == {1: (4, 0), 2: (6, 0), 3: (1, 2)}
+
+
+def test_bpe_merge_table_well_formedness_guards():
+    """The equivalence proof's preconditions are enforced, not hoped:
+    unknown compound components, duplicate outputs, and out-of-alphabet
+    symbols all raise."""
+    _validate_merges(DEFAULT_MERGES)  # the shipped table is valid
+    with pytest.raises(ValueError, match="not the output"):
+        _validate_merges((("ab", "c"),))
+    with pytest.raises(ValueError, match="duplicate merge output"):
+        _validate_merges((("a", "b"), ("a", "b")))
+    with pytest.raises(ValueError, match="outside"):
+        _validate_merges((("a", "_"),))
+    with pytest.raises(ValueError, match="outside"):
+        _validate_merges((("A", "b"),))

@@ -292,6 +292,18 @@ EXPECTED = {
                                joins={"BroadcastHashJoin",
                                       "BroadcastNestedLoopJoin"},
                                exchanges_max=6, single_max=2, py=0),
+    # round-10 BPE: the whole tokenizer (normalize + delimiter render
+    # + the full merge-table replace chain + delimiter arithmetic) is
+    # ONE map-only scan — zero exchanges, zero joins, zero Python; at
+    # 100 TB it rides whatever scan feeds it. The packing variant
+    # inherits token_packing's scalable two-pass prefix-sum shape
+    # unchanged (the tokenizer swap adds NO exchange).
+    "bpe_tokenize": dict(scans=1, pushed_min=0, joins=set(),
+                         exchanges_max=0, single_max=0, py=0),
+    "token_packing_bpe": dict(
+        scans=4, pushed_min=0,
+        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        exchanges_max=4, single_max=2, py=0),
     # round-9 crawl front end: synth + extraction/canonicalization are
     # pure per-row regexp/string chains — ONE scan, nothing else. At
     # 100 TB both ride the ingest scan with zero added exchanges.

@@ -1045,3 +1045,157 @@ def test_stream_dedup_near_null_text_gets_decision(spark, tmp_path):
     assert dec[2] == ("kept", None)  # first empty-text arrival wins
     assert dec[3] == ("dup_in_batch", 2)
     assert dec[4] == ("dup_in_batch", 2)
+
+
+def test_stream_crawl_ingest_cross_batch_equals_batch(spark, tmp_path):
+    """Round-10 capstone: streaming crawl ingest vs persisted URL
+    state. Recrawled URLs are dropped within a batch AND across
+    batches via the generational URL state; the kept corpus — every
+    extraction+classifier result row — must equal the batch
+    crawl-ingest pipeline (canonicalize -> first-wins -> extract ->
+    classify) over the union of the batches, row for row (arrival
+    order respects id order here, the documented equality regime)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.text import hashed_linear_score
+    from data_services_spark.operators.web import (
+        canonicalize_url, html_to_text, url_domain,
+    )
+    from data_services_spark.streaming.crawl import (
+        read_crawl_decisions, read_crawl_results, stream_crawl_ingest,
+    )
+
+    SCHEMA = "doc_id long, url string, page string"
+
+    def pg(body):
+        return ("<html><head><title>t</title></head><body><p>"
+                + body + "</p></body></html>")
+
+    u1_messy = "HTTPS://WwW.Example.COM:443/a/./b/../posts/item1.html" \
+        "?utm_source=feed&id=1#frag"
+    u1_clean = "https://www.example.com/a/posts/item1.html?id=1"
+    u2 = "https://news.example.org/story2?x=1&a=2"
+    u3 = "http://blog.example.net:80/entry3"
+    batches = [
+        [(1, u1_messy, pg("the quick brown fox story one")),
+         (2, u1_clean, pg("recrawl of story one, later id")),   # in-batch
+         (3, u2, pg("a completely different second story"))],
+        [(4, u1_messy, pg("third crawl of story one")),         # corpus dup
+         (5, u3, pg("the third unique entry text"))],
+        [(6, u2, pg("recrawl of the second story")),            # corpus dup
+         (7, "https://site.example.com/fresh7",
+          pg("fresh final page body"))],
+    ]
+    src = tmp_path / "incoming"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = src / f"batch{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(str(d))
+        _utime_tree(d, now - 300 + 100 * i)
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/batch*/"))
+    q = stream_crawl_ingest(stream, str(tmp_path / "state"),
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    dec = {r.doc_id: (r.status, r.duplicate_of, r.batch_id)
+           for r in read_crawl_decisions(
+               spark, str(tmp_path / "state")).collect()}
+    assert dec == {1: ("kept", None, 0),
+                   2: ("dup_in_batch", 1, 0),
+                   3: ("kept", None, 0),
+                   4: ("dup_of_corpus", 1, 1),
+                   5: ("kept", None, 1),
+                   6: ("dup_of_corpus", 3, 2),
+                   7: ("kept", None, 2)}
+
+    # the incremental==batch device: streamed results == the batch
+    # pipeline over the union, row for row (scores included)
+    union = spark.createDataFrame(
+        [r for rows in batches for r in rows], SCHEMA)
+    canon = (union.withColumn("curl", canonicalize_url("url"))
+             .withColumn("domain", url_domain(F.col("curl"))))
+    surv = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("page", "doc_id").alias("page"),
+        F.min_by("domain", "doc_id").alias("domain"))
+    ref = hashed_linear_score(
+        surv.select("doc_id", "curl", "domain",
+                    html_to_text("page").alias("page_text")),
+        text_col="page_text", extra_cols=("curl", "domain"))
+    want = {tuple(r) for r in ref.collect()}
+    got = {tuple(r) for r in read_crawl_results(
+        spark, str(tmp_path / "state")).drop("batch_id").collect()}
+    assert got == want
+
+
+def test_stream_crawl_ingest_replay_idempotent(spark, tmp_path):
+    """At-least-once retry (crash between the URL-state merge commit
+    and the streaming checkpoint) must reproduce the ORIGINAL
+    decisions and results: the probe time-travels to the pre-batch
+    snapshot, so a batch's own kept URLs are not reclassified as
+    corpus duplicates, and the state merge skips the replay via its
+    batch watermark."""
+    from data_services_spark.streaming.crawl import (
+        ingest_crawl_batch, read_crawl_decisions, read_crawl_results,
+    )
+    from data_services_spark.streaming.ingest import read_merged_state
+
+    SCHEMA = "doc_id long, url string, page string"
+    page = "<html><body><p>replayable page body text</p></body></html>"
+    state_dir = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, "https://a.example.com/x", page),
+         (2, "https://b.example.com/y", page)], SCHEMA)
+    b1 = spark.createDataFrame(
+        [(3, "https://a.example.com/x", page),
+         (4, "https://c.example.com/z", page)], SCHEMA)
+
+    ingest_crawl_batch(spark, b0, state_dir, 0)
+    n_after_b0 = read_merged_state(spark, state_dir).count()
+    ingest_crawl_batch(spark, b0, state_dir, 0)  # replay batch 0
+    assert read_merged_state(spark, state_dir).count() == n_after_b0
+    dec0 = {r.doc_id: r.status for r in
+            read_crawl_decisions(spark, state_dir)
+            .filter("batch_id = 0").collect()}
+    assert dec0 == {1: "kept", 2: "kept"}
+
+    ingest_crawl_batch(spark, b1, state_dir, 1)
+    ingest_crawl_batch(spark, b1, state_dir, 1)  # replay batch 1
+    dec1 = {r.doc_id: (r.status, r.duplicate_of) for r in
+            read_crawl_decisions(spark, state_dir)
+            .filter("batch_id = 1").collect()}
+    assert dec1 == {3: ("dup_of_corpus", 1), 4: ("kept", None)}
+    kept_state = {r.kept_id for r in read_merged_state(spark, state_dir)
+                  .select("kept_id").distinct().collect()}
+    assert kept_state == {1, 2, 4}
+    # results only ever hold kept docs, once each, across the replays
+    ids = sorted(r.doc_id for r in
+                 read_crawl_results(spark, state_dir).collect())
+    assert ids == [1, 2, 4]
+
+
+def test_stream_crawl_ingest_null_url_gets_decision(spark, tmp_path):
+    """A NULL (or unparseable-to-NULL) URL must not silently vanish:
+    NULL canonicalizes to the sentinel key, so such rows dedup among
+    themselves and every input row gets a decision."""
+    from data_services_spark.streaming.crawl import (
+        ingest_crawl_batch, read_crawl_decisions,
+    )
+
+    SCHEMA = "doc_id long, url string, page string"
+    page = "<html><body><p>body</p></body></html>"
+    state_dir = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, None, page), (2, None, page),
+         (3, "https://ok.example.com/p", page)], SCHEMA)
+    ingest_crawl_batch(spark, b0, state_dir, 0)
+    dec = {r.doc_id: r.status for r in
+           read_crawl_decisions(spark, state_dir).collect()}
+    assert dec == {1: "kept", 2: "dup_in_batch", 3: "kept"}
