@@ -50,6 +50,22 @@ RAW_QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _derive_repartition(df: DataFrame) -> DataFrame:
+    """Local-layout escape hatch for the CPU-bound hash/fingerprint
+    folds (round-10, closing the r9 sf1 budget gap): when
+    ``SPARK_GRAFT_DERIVE_PARTITIONS`` is set, repartition the corpus
+    BEFORE the fold so its parallelism is not capped by the input
+    split count — a local-file artifact (the sf1 parquet arrives as
+    1-2 splits; SCALE.md measured 6.3x from 32-way repartitioning,
+    round 9). Leave unset on cluster layouts, where thousands of
+    input splits already exist and the extra raw-text shuffle is pure
+    cost. Every consumer is repartition-stable by pinned contract, so
+    the knob can never change values — only task layout."""
+    import os
+    n = os.environ.get("SPARK_GRAFT_DERIVE_PARTITIONS")
+    return df.repartition(int(n)) if n else df
+
+
 def register(name: str, sql: str | None = None, cache_plan: bool = True):
     """Register a query; by default the built DataFrame is memoized per
     (session, sf_dir) — a prepared-statement-style plan cache. A DataFrame
@@ -1717,7 +1733,8 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints) — MOSS-style matching at LSH-band cost, never
     all-pairs. The max_df stop-fingerprint cap (mirrored in the oracle)
     bounds every bucket's quadratic contribution."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _derive_repartition(
+        load_table(spark, sf_dir, "documents"))
     return winnow_shared_pairs(d, k=_WIN_K, window=_WIN_W, min_shared=2,
                                max_df=_WIN_MAXDF)
 
@@ -1763,7 +1780,8 @@ def winnow_clone_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the roster lists CLONE clusters; unlisted docs are their own
     cluster by definition)."""
     from data_services_spark.operators.components import dedup_clusters
-    d = load_table(spark, sf_dir, "documents")
+    d = _derive_repartition(
+        load_table(spark, sf_dir, "documents"))
     pairs = winnow_shared_pairs(d, k=_WIN_K, window=_WIN_W,
                                 min_shared=2, max_df=_WIN_MAXDF) \
         .select("id_a", "id_b")
@@ -1905,7 +1923,8 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable md5-derived hash family — LSH is deterministic once the
     family is fixed, so the oracle reproduces every candidate pair and
     signature-estimated Jaccard bit-for-bit (16 hashes, 4 bands)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _derive_repartition(
+        load_table(spark, sf_dir, "documents"))
     return (minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
                               hash_family="md5")
             .select("id_a", "id_b", "est_jaccard"))
@@ -1954,7 +1973,8 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploding at scale). Exactly oracle-checked end to end via the md5
     hash family."""
     from data_services_spark.operators.dedup import verify_jaccard
-    d = load_table(spark, sf_dir, "documents")
+    d = _derive_repartition(
+        load_table(spark, sf_dir, "documents"))
     cand = minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
                              hash_family="md5")
     return verify_jaccard(d, cand, threshold=0.8)
@@ -4328,7 +4348,8 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_services_spark.operators.dedup import verify_jaccard
     from data_services_spark.operators.sampling import source_mixture_sample
     from data_services_spark.operators.text import tokenize
-    d = load_table(spark, sf_dir, "documents")
+    d = _derive_repartition(
+        load_table(spark, sf_dir, "documents"))
     n_tok = F.size(tokenize("text"))
     qual = (d.filter(
                 (n_tok >= 5)
@@ -5927,7 +5948,8 @@ def fuzzy_dedup_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs' fixed 30-char prefixes. Same propose→verify composition the
     Jaccard capstone uses, with edit distance as the verifier — the md5
     hash family makes the whole pipeline exactly oracle-checkable."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _derive_repartition(
+        load_table(spark, sf_dir, "documents"))
     cand = minhash_lsh_pairs(d, num_hashes=_MH_N, bands=_MH_BANDS,
                              hash_family="md5").select("id_a", "id_b")
     pref = d.select(
@@ -6060,49 +6082,46 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # round-9 additions, never driver-verified: the ELEVEN new oracle-
-    # bearing queries (a green here keeps the cumulative driver-hash
-    # union total at 165 of 165 oracle-bearing — it was closed at
-    # 154/154 by the r8 window) plus image_near_dup, rows-only by
-    # design (banding recall is the LSH trade; its hash math is pinned
-    # exactly by image_phash + the brute-force parity pytest), taking
-    # a slot so the driver records at least the rows-only signal for
-    # the new operator family.
-    "substring_dedup", "image_phash", "image_near_dup",
-    "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
-    "kg_negative_sample", "html_extract", "url_canonicalize",
-    "embedding_project", "stream_classify", "crawl_ingest",
-    # stalest re-checks. The r8 window re-verified the r3/r4 block and
-    # the r8 additions (CORRECTNESS_r08: 50/50 green), so the oldest
-    # standing greens are now: four r4 names that yielded their r8
-    # slots to never-verified queries, then the full r5 block, then
-    # the oldest 11 of the r6 block (chosen for family breadth:
-    # ANN/arrow twins, scalable two-pass forms, streaming, LLM text).
-    # last green r4
-    "text_token_stats", "vocab_topk", "window_lag_delta", "window_rank",
-    # last green r5
-    "graph_bfs", "interval_concurrency", "join_salted",
-    "q10_returned_items", "q11_important_parts", "q13_order_histogram",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-    "q18_large_volume", "q19_disjunctive", "q20_excess_stock",
-    "q21_blocked_suppliers", "q2_min_cost_supplier", "q4_order_priority",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_nation_profit", "skew_salted_degree", "text_repetition",
-    "triangle_count",
-    # last green r6 (multimodal_frames / simhash_md5 /
-    # window_range_frame / text_nfc / knn_cosine_arrow / lm_logprob
-    # yielded their slots to the six later round-9 additions — each
-    # keeps its r6 green and an in-window family proxy: image_phash
-    # for the multimodal arrow path, jaccard_prefix_join + the winnow
-    # pins for L2, window_lag_delta/window_rank/running_sum_scalable
-    # for W3, text_token_stats + quality_classifier for L5,
-    # lm_bigram's r8 green one order above lm_logprob; chunk_dedup
-    # yields to embedding_project with L1 covered by the pinned
-    # text_dedup_exact; ann_lsh_topk yields to stream_classify with
-    # L3 covered in-window by embedding_project + the r8 pq greens;
-    # stream_sliding yields to crawl_ingest — T2 keeps sliding_window's
-    # r8 green plus the pinned stream_tumbling readStream)
-    "running_sum_scalable", "token_packing",
+    # round-10 additions, never driver-verified: the two BPE queries
+    # (subword tokenization + the model-real packing budget), plus
+    # image_near_dup, whose r9 rows-only designation was replaced
+    # with an EXACT generated oracle this round (banding + Hamming
+    # verify is a pure function of the hashes) — its slot records the
+    # first strict green for the pair set, closing the r9 verdict's
+    # 49/50-strict letter. A green here keeps the cumulative
+    # driver-hash union total at 168 of 168 oracle-bearing (it was
+    # closed at 165/165 by the r9 window; bpe_tokenize,
+    # token_packing_bpe, and image_near_dup's oracle are the three
+    # additions).
+    "bpe_tokenize", "token_packing_bpe", "image_near_dup",
+    # stalest re-checks. The r9 window re-verified the r9 additions,
+    # the four r4 names, the full r5 block, and running_sum_scalable +
+    # token_packing; the ONLY r6-green survivors are the nine names
+    # that yielded slots to the round-9 additions — all nine re-enter
+    # first (nothing older than an r8 green remains after this
+    # window).
+    # last green r6
+    "multimodal_frames", "simhash_md5", "window_range_frame",
+    "text_nfc", "knn_cosine_arrow", "lm_logprob", "chunk_dedup",
+    "ann_lsh_topk", "stream_sliding",
+    # last green r8 (28 of the 40 non-pinned r8-window names, chosen
+    # for family breadth: the sketch/DSIR/retrieval/PQ/streaming/
+    # dedup canonicals and capstones stay in; the 12 left for the r11
+    # window are redundant in-family demos — q5/q17/q22 (J5 has q1/q3
+    # pinned plus the full r9-green TPC-H block), string/date
+    # functions (F-family, sweep-covered, json_props pinned),
+    # agg_hyperedge/agg_incremental/stats_corr (A-family: agg_cube +
+    # record_counts in-window), table_diff/quality_fk/order_export/
+    # graph_build (each with an in-window or r9-green family proxy) —
+    # every one keeps its r8 green and the per-round strict sweeps.
+    "embedding_quantize", "winnow_fingerprint", "semdedup",
+    "dsir_weights", "dsir_resample", "tumbling_window", "agg_cube",
+    "contamination", "dedup_stateful", "embedding_near_dup",
+    "fuzzy_dedup_scalable", "heavy_hitters", "join_range",
+    "kgx_meta_kg", "near_dup_verified", "scd2_apply", "set_except",
+    "sliding_window", "stream_enrich", "stream_session",
+    "text_dedup_exact", "text_tfidf", "bm25_topk", "lm_bigram_logprob",
+    "pq_encode", "pq_adc_topk", "ivf_pq_topk", "doc_chunks",
 )
 
 
