@@ -66,6 +66,11 @@ def _derive_repartition(df: DataFrame) -> DataFrame:
     return df.repartition(int(n)) if n else df
 
 
+def _bpe_frag():
+    from data_services_spark.operators.bpe import bpe_sql
+    return bpe_sql("text")
+
+
 def register(name: str, sql: str | None = None, cache_plan: bool = True):
     """Register a query; by default the built DataFrame is memoized per
     (session, sf_dir) — a prepared-statement-style plan cache. A DataFrame
@@ -4600,6 +4605,29 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_k(d, min_df=2, max_df_frac=0.5, k=100)
 
 
+@register("vocab_topk_bpe", f"""
+WITH toks AS (
+    SELECT unnest({_bpe_frag()['subwords']}) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token LIMIT 100
+""")
+def vocab_topk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 BPE vocabulary audit: corpus-wide subword term
+    frequencies under the fixed merge table, top-100 — the sanity
+    check a tokenizer rollout runs first (is the merge table actually
+    firing on this corpus, and what survives as single characters?).
+    One map-side explode of the per-row segmentation + one groupBy
+    shuffle; the top-k is TakeOrderedAndProject, never a global
+    sort."""
+    from data_services_spark.operators.bpe import bpe_subwords
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(bpe_subwords("text")).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "token").limit(100))
+
+
 @register("contamination", f"""
 WITH toksn AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -4863,11 +4891,6 @@ def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_services_spark.operators.sampling import pack_by_token_budget
     d = load_table(spark, sf_dir, "documents")
     return pack_by_token_budget(d, budget=512)
-
-
-def _bpe_frag():
-    from data_services_spark.operators.bpe import bpe_sql
-    return bpe_sql("text")
 
 
 @register("bpe_tokenize", f"""

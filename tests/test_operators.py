@@ -2122,3 +2122,51 @@ def test_hashed_linear_score_extra_cols_pass_through_both_paths(spark):
                              seed=7, weights=wtab, pair_weights=wtab,
                              extra_cols=("meta",)).collect()}
     assert a == b and a[1][0] == "d1" and a[2][0] == "d2"
+
+
+def test_image_near_dup_one_slot_cache_contract(spark):
+    """The round-10 persist: each image_near_dup call holds at most
+    ONE cached hash relation (the bm25/bigram one-slot contract) — a
+    second call releases the first call's blocks, and the explicit
+    release drops the last; results stay correct either way."""
+    from data_services_spark.operators.multimodal import (
+        _NEAR_DUP_CACHE, encode_png_gray, image_dhash, image_near_dup,
+        image_near_dup_release,
+    )
+
+    def img(seed):
+        px = [[(r * 7 + c * 13 + seed) % 256 for c in range(9)]
+              for r in range(8)]
+        return encode_png_gray(px)
+
+    rows = [(i, img(i // 2)) for i in range(6)]  # 3 near-identical pairs
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    h = image_dhash(d)
+    out1 = {(r.id_a, r.id_b) for r in
+            image_near_dup(h, max_hamming=3).collect()}
+    assert len(_NEAR_DUP_CACHE) == 1
+    first = _NEAR_DUP_CACHE[0]
+    out2 = {(r.id_a, r.id_b) for r in
+            image_near_dup(image_dhash(d), max_hamming=3).collect()}
+    assert out2 == out1 >= {(0, 1), (2, 3), (4, 5)}
+    assert len(_NEAR_DUP_CACHE) == 1 and _NEAR_DUP_CACHE[0] is not first
+    image_near_dup_release()
+    assert not _NEAR_DUP_CACHE
+    image_near_dup_release()  # idempotent on an empty slot
+
+
+def test_prefix_jaccard_threshold_snap_warns(spark):
+    """Round-10 advice: a threshold the den<=1000 rational snap MOVES
+    warns (naming both values); practical thresholds pass silently."""
+    import warnings
+
+    from data_services_spark.operators.dedup import prefix_jaccard_join
+
+    d = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                              "doc_id long, text string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning fails the build
+        prefix_jaccard_join(d, threshold=0.8)
+        prefix_jaccard_join(d, threshold=1 / 3)
+    with pytest.warns(UserWarning, match="snapped to"):
+        prefix_jaccard_join(d, threshold=0.80005)

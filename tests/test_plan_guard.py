@@ -304,6 +304,11 @@ EXPECTED = {
         scans=4, pushed_min=0,
         joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         exchanges_max=4, single_max=2, py=0),
+    # the subword vocab audit: explode rides the scan, ONE groupBy
+    # exchange, top-k via TakeOrderedAndProject (asserted with the
+    # dsir/bm25 pin below), zero Python.
+    "vocab_topk_bpe": dict(scans=1, pushed_min=0, joins=set(),
+                           exchanges_max=1, single_max=0, py=0),
     # round-9 crawl front end: synth + extraction/canonicalization are
     # pure per-row regexp/string chains — ONE scan, nothing else. At
     # 100 TB both ride the ingest scan with zero added exchanges.
@@ -425,7 +430,8 @@ def test_knn_codegen_stage_barrier_survives(spark):
         assert "*(" not in marker, f"scoring Project was codegen'd: {ln[:120]}"
 
 
-@pytest.mark.parametrize("name", ["dsir_resample", "bm25_topk"])
+@pytest.mark.parametrize("name", ["dsir_resample", "bm25_topk",
+                                  "vocab_topk_bpe"])
 def test_dsir_resample_topk_never_global_sorts(spark, name):
     """The top-k selections must execute as TakeOrderedAndProject
     (per-partition k-heads merged on the driver) — a global sort of the
