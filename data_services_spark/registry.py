@@ -4944,6 +4944,37 @@ def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, budget=512, token_count=bpe_token_count("text"))
 
 
+@register("doc_chunks_bpe", f"""
+WITH t AS (
+    SELECT doc_id, {_bpe_frag()['subwords']} AS tk FROM documents
+), s AS (
+    SELECT doc_id, tk,
+           unnest(CASE WHEN len(tk) = 0 THEN CAST([] AS BIGINT[])
+                  ELSE generate_series(0, (len(tk) - 1) // 48) END)
+               AS chunk_id
+    FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(tk[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+           AS chunk_text
+FROM s
+""")
+def doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_chunks with MODEL-REAL windows (round-10, completing the
+    tokenizer thread-through): RAG chunking where the 64-token window
+    and 48-token stride count BPE subwords, not whitespace words — so
+    every chunk actually fits the model context it was budgeted for.
+    Same zero-shuffle map-side explode; the tokenizer rides the same
+    scan."""
+    from data_services_spark.operators.bpe import bpe_subwords
+    from data_services_spark.operators.text import chunk_documents
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, stride=48,
+                           tokens=bpe_subwords("text"))
+
+
 @register("graph_bfs", """
 WITH pairs AS (
     SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

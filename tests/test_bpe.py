@@ -119,3 +119,37 @@ def test_bpe_merge_table_well_formedness_guards():
         _validate_merges((("a", "_"),))
     with pytest.raises(ValueError, match="outside"):
         _validate_merges((("A", "b"),))
+
+
+def test_chunk_documents_bpe_windows_cover_all_subwords(spark):
+    """chunk_documents(tokens=bpe_subwords(...)): windows slice the
+    SUBWORD stream (model-real context budgeting) and keep the
+    coverage contract — every subword lands in >= 1 chunk, overlap =
+    chunk - stride, the tail is never dropped."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.bpe import bpe_subwords, bpe_tokenize
+    from data_services_spark.operators.text import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "station " * 40), (2, "q"), (3, "")],
+        "doc_id long, text string")
+    n_bpe = {r["doc_id"]: r["n_bpe_tokens"]
+             for r in bpe_tokenize(d).collect()}
+    assert n_bpe == {1: 120, 2: 1, 3: 0}  # station = st at ion
+    out = chunk_documents(d, chunk_tokens=64, stride=48,
+                          tokens=bpe_subwords("text")).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # doc 1: 120 subwords -> starts 0, 48, 96 -> sizes 64, 64, 24
+    assert {c: rows[1][c]["n_chunk_tokens"] for c in rows[1]} \
+        == {0: 64, 1: 64, 2: 24}
+    # reconstruction: stride-prefix of each chunk + full tail = stream
+    stream = []
+    for c in sorted(rows[1]):
+        toks = rows[1][c]["chunk_text"].split(" ")
+        stream.extend(toks if c == max(rows[1]) else toks[:48])
+    assert stream == ["st", "at", "ion"] * 40
+    assert rows[2][0]["chunk_text"] == "q"
+    assert 3 not in rows  # empty text -> zero chunks, no fabricated id

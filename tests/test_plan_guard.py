@@ -309,6 +309,10 @@ EXPECTED = {
     # dsir/bm25 pin below), zero Python.
     "vocab_topk_bpe": dict(scans=1, pushed_min=0, joins=set(),
                            exchanges_max=1, single_max=0, py=0),
+    # BPE-windowed RAG chunking: the subword stream + the window
+    # explode fuse into the one scan — fully map-side, like doc_chunks.
+    "doc_chunks_bpe": dict(scans=1, pushed_min=0, joins=set(),
+                           exchanges_max=0, single_max=0, py=0),
     # round-9 crawl front end: synth + extraction/canonicalization are
     # pure per-row regexp/string chains — ONE scan, nothing else. At
     # 100 TB both ride the ingest scan with zero added exchanges.
