@@ -629,13 +629,18 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                     F.array_join("__c.__ck", " ").alias("chunk_text")))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(docs: DataFrame, text_col: str = "text",
+            extra_cols: tuple = ()) -> DataFrame:
     """Heuristic language ID: count per-language marker-token hits; argmax
     with ties going to the alphabetically-first language code (a CASE
     cascade in language order, each branch `>=` all later ones — identical
     shape in the SQL oracle).
 
-    Returns (doc_id, lang_guess, marker_hits).
+    Returns (doc_id, lang_guess, marker_hits, *extra_cols) —
+    ``extra_cols`` may be names or Column expressions and pass through
+    the same map-only projection (the hashed_linear_score device), so
+    callers composing per-language statistics never pay a join to
+    re-attach per-doc measures.
     """
     toks = tokenize(text_col)
     langs = sorted(LANG_MARKERS)
@@ -663,7 +668,8 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
     return docs.select("doc_id",
                        guess.alias("lang_guess"),
-                       F.greatest(*hits.values()).alias("marker_hits"))
+                       F.greatest(*hits.values()).alias("marker_hits"),
+                       *extra_cols)
 
 
 def nfc_normalize_udf():

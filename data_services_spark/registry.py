@@ -2533,6 +2533,69 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(d)
 
 
+@register("bpe_fertility", f"""
+WITH h AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['der','die','und','das'], t))) AS de,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['the','and','of','a'], t))) AS en,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['el','la','de','y'], t))) AS es,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['le','la','et','les'], t))) AS fr,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> list_contains(['de5','shi4','le5','he2'], t))) AS zh,
+           CAST(CASE WHEN length({_bpe_frag()['norm']}) = 0 THEN 0
+                ELSE len(str_split({_bpe_frag()['norm']}, ' ')) END
+                AS BIGINT) AS nw,
+           {_bpe_frag()['n_bpe']} AS nb
+    FROM documents
+), g AS (
+    SELECT CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh
+                THEN 'de'
+                WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+                WHEN es >= fr AND es >= zh THEN 'es'
+                WHEN fr >= zh THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           nw, nb
+    FROM h
+)
+SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(nb) AS DOUBLE) / NULLIF(CAST(SUM(nw) AS BIGINT), 0)
+           AS fertility
+FROM g GROUP BY lang_guess
+""")
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 tokenizer-rollout audit: BPE FERTILITY (subword tokens
+    per whitespace word) per detected language — the first fairness
+    number a multilingual tokenizer rollout reports, since a merge
+    table trained on one language inflates everyone else's token bill.
+    Composition: lang_id's marker argmax and the BPE counts ride the
+    SAME map-only projection (lang_id's extra_cols passthrough — no
+    join re-attaches the counts), then ONE tiny groupBy over <=5
+    language rows. The division happens once per group over exact
+    integer sums, so the double is bit-stable cross-engine."""
+    from data_services_spark.operators.bpe import bpe_norm, bpe_token_count
+    from data_services_spark.operators.text import lang_id
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = bpe_norm("text")
+    nw = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))).cast("long")
+    per = lang_id(d, extra_cols=(nw.alias("nw"),
+                                 bpe_token_count("text").alias("nb")))
+    return (per.groupBy("lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nw").alias("n_words"),
+                 F.sum("nb").alias("n_bpe_tokens"))
+            .select("lang_guess", "n_docs", "n_words", "n_bpe_tokens",
+                    (F.col("n_bpe_tokens").cast("double")
+                     / F.nullif(F.col("n_words"), F.lit(0)))
+                    .alias("fertility")))
+
+
 @register("token_count_regex", """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))

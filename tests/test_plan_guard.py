@@ -313,6 +313,11 @@ EXPECTED = {
     # explode fuse into the one scan — fully map-side, like doc_chunks.
     "doc_chunks_bpe": dict(scans=1, pushed_min=0, joins=set(),
                            exchanges_max=0, single_max=0, py=0),
+    # fertility-by-language: lang argmax + both token counts ride ONE
+    # map-only projection (lang_id extra_cols — no join re-attaches
+    # counts), then one tiny <=5-row groupBy exchange. Zero Python.
+    "bpe_fertility": dict(scans=1, pushed_min=0, joins=set(),
+                          exchanges_max=1, single_max=0, py=0),
     # round-9 crawl front end: synth + extraction/canonicalization are
     # pure per-row regexp/string chains — ONE scan, nothing else. At
     # 100 TB both ride the ingest scan with zero added exchanges.
