@@ -2170,3 +2170,27 @@ def test_prefix_jaccard_threshold_snap_warns(spark):
         prefix_jaccard_join(d, threshold=1 / 3)
     with pytest.warns(UserWarning, match="snapped to"):
         prefix_jaccard_join(d, threshold=0.80005)
+
+
+def test_hashed_linear_score_enforces_integer_unique_weights(spark):
+    """Round-10 advice gate: a float model export must raise (the long
+    cast would silently truncate and flip logits), and duplicate
+    bucket ids must raise (each extra row multiplies its feature
+    through the broadcast join)."""
+    from data_services_spark.operators.text import hashed_linear_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    ok = spark.createDataFrame([(0, 1)], "bucket long, weight long")
+    frac = spark.createDataFrame([(0, 1.5)], "bucket long, weight double")
+    dup = spark.createDataFrame([(0, 1), (0, 2)],
+                                "bucket long, weight long")
+    with pytest.raises(ValueError, match="fractional"):
+        hashed_linear_score(docs, weights=frac, pair_weights=ok)
+    with pytest.raises(ValueError, match="duplicate bucket"):
+        hashed_linear_score(docs, weights=dup, pair_weights=ok)
+    with pytest.raises(ValueError, match="fractional"):
+        hashed_linear_score(docs, weights=ok, pair_weights=frac)
+    # integral DOUBLES are fine (a model exported as float but holding
+    # integer values scores identically, no false rejection)
+    intish = spark.createDataFrame([(0, 2.0)], "bucket long, weight double")
+    hashed_linear_score(docs, weights=intish, pair_weights=ok).collect()
