@@ -32,6 +32,13 @@ EXCLUDED = {
                           "buckets/band, ~2e9 candidates at 204k vectors; "
                           "production raises planes_per_band with corpus "
                           "size (lsh_banded_near_dup docstring)",
+    "jaccard_prefix_join": "quadratic OUTPUT, not algorithm: the sf1 "
+                           "corpus's 31-token vocabulary makes most doc "
+                           "PAIRS genuinely exceed J=0.8, so the exact "
+                           "answer itself is ~O(n^2) rows (measured at "
+                           "sub-sf; documented in ROUND9_NOTES/SCALE.md); "
+                           "the prefix filter's scale story holds on "
+                           "realistic vocabularies",
 }
 
 
