@@ -26,10 +26,61 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
                     order_by: Sequence[Column], k: int,
                     rank_alias: str = "rn") -> DataFrame:
     """W1/W4: row_number top-k. `order_by` must be a total order (add a
-    unique tiebreaker) or results are nondeterministic."""
+    unique tiebreaker) or results are nondeterministic.
+
+    Scale note: the window funnels each group through ONE task — fine
+    for many small groups, wrong for a hot key (half the crawl under
+    one domain). For small k over a totally-ordered scalar, use
+    :func:`min_k_per_group_scalable` — the hot key never converges on
+    a single task there."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (df.withColumn(rank_alias, F.row_number().over(w))
             .filter(F.col(rank_alias) <= k))
+
+
+def min_k_per_group_scalable(df: DataFrame, group_col: str,
+                             order_col: str, k: int) -> DataFrame:
+    """W4's SKEW-SAFE twin (round 10): keep the rows with the k
+    SMALLEST ``order_col`` values per group — the per-domain document
+    cap of a Gopher/FineWeb-class crawl pipeline (one spam domain must
+    not dominate the corpus) — with NO group ever funneling through a
+    single task.
+
+    Two-pass partial-top-k decomposition (the running_sum_scalable
+    philosophy applied to ranking):
+
+    1. partial: ``groupBy(group, spark_partition_id())`` — every group
+       here is partition-LOCAL, so the map-side state is bounded by a
+       scan partition (~128 MB), whatever the group's global size —
+       and each emits only its k smallest values
+       (``slice(array_sort(collect_list), 1, k)``);
+    2. final: the survivors (<= k x touched-partitions rows per group)
+       re-group globally and the slice repeats. Pruning is lossless:
+       any value in a group's global bottom-k is in its partition's
+       bottom-k.
+    3. a semi join keeps the original rows (all columns) whose
+       (group, order) survived — exactly the window form's output,
+       minus the rank column.
+
+    The intermediate uses the physical partition id, but the RESULT is
+    partition-layout-invariant (repartition-stability pytest-pinned).
+    ``order_col`` values must be unique per group for a deterministic
+    cap (doc ids; the window form has the same total-order contract).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vals = df.select(F.col(group_col), F.col(order_col))
+    partial = (vals
+               .groupBy(group_col, F.spark_partition_id().alias("__pid"))
+               .agg(F.slice(F.array_sort(F.collect_list(order_col)),
+                            1, k).alias("__top")))
+    final = (partial
+             .select(group_col, F.explode("__top").alias(order_col))
+             .groupBy(group_col)
+             .agg(F.slice(F.array_sort(F.collect_list(order_col)),
+                          1, k).alias("__top")))
+    keep = final.select(group_col, F.explode("__top").alias(order_col))
+    return df.join(keep, [group_col, order_col], "left_semi")
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id",

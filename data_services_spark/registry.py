@@ -2925,6 +2925,60 @@ def url_canonicalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain", url_domain(F.col("canonical_url")))
 
 
+@register("domain_cap", """
+WITH u AS (
+    -- host varies at the REGISTRABLE-domain level (srcN.com), unlike
+    -- the shared synth_url fixture whose sources are subdomains of
+    -- one example.com -- a single-domain corpus would make the cap
+    -- trivially keep k rows total instead of k per domain
+    SELECT doc_id,
+           'HTTPS://WwW.' || upper(source) || '.CoM:443/' ||
+           lang || '/a/./b/../posts/item' || CAST(doc_id AS VARCHAR) ||
+           '.html?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+           '&utm_campaign=x&ref=tw#section-' || CAST(doc_id AS VARCHAR)
+           AS url
+    FROM documents
+), """ + _URL_CANON_CTES + """, d AS (
+    SELECT doc_id, """ + _URL_DOMAIN_EXPR + """ AS domain FROM hq
+), r AS (
+    SELECT doc_id, domain,
+           ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+    FROM d
+)
+SELECT doc_id, domain FROM r WHERE rn <= 10
+""")
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 crawl hygiene: PER-DOMAIN DOCUMENT CAP (the
+    Gopher/FineWeb anti-spam stage — one SEO farm must not dominate
+    the corpus): keep the 10 lowest-id documents per registrable
+    domain. The cap runs on min_k_per_group_scalable — W4's SKEW-SAFE
+    twin: partial bottom-k per (group, physical partition) so the
+    map-side state is bounded by a scan split whatever the domain's
+    global size, a <= k x partitions re-group, then a semi join back —
+    a hot domain holding half the crawl NEVER funnels through one
+    window task (the layout-dependent intermediate is
+    repartition-invariance pytest-pinned). Oracle: the plain
+    ROW_NUMBER form — same rows, different physics."""
+    from data_services_spark.operators.web import (
+        canonicalize_url, url_domain,
+    )
+    from data_services_spark.operators.windows import (
+        min_k_per_group_scalable,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    u = d.select("doc_id", F.concat(
+        F.lit("HTTPS://WwW."), F.upper(F.col("source")),
+        F.lit(".CoM:443/"), F.col("lang"),
+        F.lit("/a/./b/../posts/item"), did,
+        F.lit(".html?utm_source=feed&id="), did,
+        F.lit("&utm_campaign=x&ref=tw#section-"), did).alias("url"))
+    dm = u.select("doc_id",
+                  url_domain(canonicalize_url("url")).alias("domain"))
+    return (min_k_per_group_scalable(dm, "domain", "doc_id", 10)
+            .select("doc_id", "domain"))
+
+
 _QC_FOLD_SQL = f"""CAST(2 * len(tk) - 1 AS BIGINT) AS n_features,
            CAST(list_sum(list_transform(tk, w ->
                     (({_sql_md5h(7, 'w')} % 256)

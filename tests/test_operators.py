@@ -2194,3 +2194,31 @@ def test_hashed_linear_score_enforces_integer_unique_weights(spark):
     # integer values scores identically, no false rejection)
     intish = spark.createDataFrame([(0, 2.0)], "bucket long, weight double")
     hashed_linear_score(docs, weights=intish, pair_weights=ok).collect()
+
+
+def test_min_k_per_group_scalable_matches_window_form(spark):
+    """W4's skew-safe twin: same rows as the row_number window form,
+    on every partition layout (the partial pass keys on the physical
+    partition id, so the INTERMEDIATE varies with layout — the RESULT
+    must not), hot key included."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.windows import (
+        min_k_per_group_scalable, top_k_per_group,
+    )
+
+    rows = [(f"g{i % 7}", i) for i in range(500)]
+    rows += [("hot", 1000 + i) for i in range(3000)]  # one skewed group
+    d = spark.createDataFrame(rows, "grp string, doc_id long")
+    want = {(r["grp"], r["doc_id"]) for r in top_k_per_group(
+        d, ["grp"], [F.col("doc_id")], 25).drop("rn").collect()}
+    for parts in (1, 4, 32):
+        got = {(r["grp"], r["doc_id"]) for r in min_k_per_group_scalable(
+            d.repartition(parts), "grp", "doc_id", 25).collect()}
+        assert got == want, parts
+    # k larger than every group: identity
+    small = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)],
+                                  "grp string, doc_id long")
+    assert min_k_per_group_scalable(small, "grp", "doc_id", 10).count() == 3
+    with pytest.raises(ValueError, match="k must be"):
+        min_k_per_group_scalable(small, "grp", "doc_id", 0)

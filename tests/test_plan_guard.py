@@ -318,6 +318,13 @@ EXPECTED = {
     # counts), then one tiny <=5-row groupBy exchange. Zero Python.
     "bpe_fertility": dict(scans=1, pushed_min=0, joins=set(),
                           exchanges_max=1, single_max=0, py=0),
+    # per-domain cap on the skew-safe two-pass bottom-k: the partial
+    # (group, partition-id) groupBy + the <=k x P re-group are the two
+    # exchanges, the kept-keys relation broadcasts into the semi join,
+    # and NO window ever funnels a hot domain through one task.
+    "domain_cap": dict(scans=2, pushed_min=0,
+                       joins={"BroadcastHashJoin"},
+                       exchanges_max=2, single_max=0, py=0),
     # round-9 crawl front end: synth + extraction/canonicalization are
     # pure per-row regexp/string chains — ONE scan, nothing else. At
     # 100 TB both ride the ingest scan with zero added exchanges.
