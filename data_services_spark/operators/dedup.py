@@ -735,7 +735,11 @@ def substring_dedup(docs: DataFrame, k: int = 50,
     return (toks.join(rm, id_col, "left")
             .select(F.col(id_col),
                     n.cast("long").alias("n_tokens"),
-                    (n - F.size(surv)).cast("long").alias("n_removed"),
+                    # coalesce: a NULL-text doc has n = NULL, and NULL-0
+                    # must report 0 removed (the oracle's COALESCE and
+                    # the r9 splice both did; round-10 review finding)
+                    F.coalesce(n - F.size(surv), F.lit(0))
+                    .cast("long").alias("n_removed"),
                     F.array_join(
                         F.transform(surv,
                                     lambda j: F.element_at(F.col("__t"), j)),

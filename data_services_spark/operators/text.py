@@ -503,22 +503,33 @@ def hashed_linear_score(docs: DataFrame, text_col: str = "text",
                            (pair_weights, "pair_weights")):
             chk = wdf.agg(
                 F.count(F.lit(1)).alias("n"),
+                F.count(F.col("bucket")).alias("nb"),  # non-null only
                 F.count_distinct(F.col("bucket")).alias("nd"),
-                F.sum(F.when(F.col("weight").cast("double")
-                             != F.col("weight").cast("long")
-                             .cast("double"), 1)
-                      .otherwise(0)).alias("frac")).collect()[0]
-            if chk["nd"] != chk["n"]:
+                # NULL weights count as bad too: NULL != NULL is NULL,
+                # so a plain inequality check silently passes them and
+                # coalesce would zero the feature at scoring time —
+                # the exact silent-drop class this gate exists to stop
+                # (round-10 review finding)
+                F.sum(F.when(F.col("weight").isNull()
+                             | (F.col("weight").cast("double")
+                                != F.col("weight").cast("long")
+                                .cast("double")), 1)
+                      .otherwise(0)).alias("bad")).collect()[0]
+            if chk["nb"] != chk["n"]:
                 raise ValueError(
-                    f"{wname}: duplicate bucket ids ({chk['n'] - chk['nd']}"
+                    f"{wname}: {chk['n'] - chk['nb']} NULL bucket id(s)"
+                    " — every model row must name a real bucket")
+            if chk["nd"] != chk["nb"]:
+                raise ValueError(
+                    f"{wname}: duplicate bucket ids ({chk['nb'] - chk['nd']}"
                     " extra rows) would multiply their features through"
                     " the broadcast join; deduplicate the model export")
-            if chk["frac"]:
+            if chk["bad"]:
                 raise ValueError(
-                    f"{wname}: {chk['frac']} fractional weight(s) would"
-                    " silently truncate through the integer cast; scale"
-                    " and round the export to integers (the logit sign"
-                    " is scale-invariant)")
+                    f"{wname}: {chk['bad']} NULL or fractional weight(s)"
+                    " would silently zero or truncate through the"
+                    " integer cast; scale and round the export to"
+                    " integers (the logit sign is scale-invariant)")
         # explode_outer, not explode: a NULL text tokenizes to a NULL
         # array, and a plain explode would DROP the document from this
         # path while the formula path keeps it (with NULL outputs) —

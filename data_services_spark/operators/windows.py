@@ -66,6 +66,13 @@ def min_k_per_group_scalable(df: DataFrame, group_col: str,
     partition-layout-invariant (repartition-stability pytest-pinned).
     ``order_col`` values must be unique per group for a deterministic
     cap (doc ids; the window form has the same total-order contract).
+    NULL handling (round-10 review): a NULL group IS a group — it caps
+    at k like any other (the window twin's partitionBy semantics; the
+    semi join below is null-safe on the group key). NULL ``order_col``
+    values are EXCLUDED from the cap and from the output (collect_list
+    skips them; the window twin would rank them first under its NULLS
+    FIRST default — pass a non-null order column, per the total-order
+    contract above).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -79,8 +86,12 @@ def min_k_per_group_scalable(df: DataFrame, group_col: str,
              .groupBy(group_col)
              .agg(F.slice(F.array_sort(F.collect_list(order_col)),
                           1, k).alias("__top")))
-    keep = final.select(group_col, F.explode("__top").alias(order_col))
-    return df.join(keep, [group_col, order_col], "left_semi")
+    keep = final.select(F.col(group_col).alias("__kg"),
+                        F.explode("__top").alias("__ko"))
+    return (df.join(keep,
+                    df[group_col].eqNullSafe(F.col("__kg"))
+                    & (df[order_col] == F.col("__ko")),
+                    "left_semi"))
 
 
 def sessionize(events: DataFrame, user_col: str = "user_id",

@@ -56,7 +56,9 @@ from data_services_spark.operators.web import (
 from data_services_spark.streaming.ingest import (
     _bucket_paths, _read_manifest, merge_upsert_batch,
 )
-from data_services_spark.streaming.neardup import _state_before_batch
+from data_services_spark.streaming.neardup import (
+    _probe_buckets, _state_before_batch,
+)
 
 URL_KEY = ("curl", "kept_id")
 BUCKET_COLS = ("curl",)  # state bucketed by the probe-able key
@@ -68,26 +70,6 @@ def _decisions_dir(state_dir: str) -> str:
 
 def _results_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "_results")
-
-
-def _probe_buckets(surv: DataFrame, manifest: dict | None):
-    """The state buckets this batch's canonical URLs can possibly
-    match (the neardup probe device over the ``curl`` prefix): at most
-    ``num_buckets`` ints reach the driver; None = read everything
-    (unsafe to prune, or pruning would not help)."""
-    if manifest is None:
-        return None
-    if manifest.get("bucket_cols") != list(BUCKET_COLS):
-        return None
-    nb = manifest.get("num_buckets")
-    if not nb:
-        return None
-    rows = (surv.select(F.pmod(F.xxhash64(*BUCKET_COLS), F.lit(nb))
-                        .cast("int").alias("__b"))
-            .distinct().collect())
-    if len(rows) >= nb:
-        return None  # batch saturates the layout: full read is equal
-    return sorted(r[0] for r in rows)
 
 
 def ingest_crawl_batch(spark: SparkSession, batch: DataFrame,
@@ -127,21 +109,40 @@ def _decide_and_commit(spark: SparkSession, canon: DataFrame,
                        state_dir: str, batch_id: int,
                        num_buckets: int,
                        prune_state_read: bool) -> None:
+    surv = None
+    try:
+        surv = _decide_and_commit_inner(spark, canon, state_dir,
+                                        batch_id, num_buckets,
+                                        prune_state_read)
+    finally:
+        if surv is not None:
+            surv.unpersist()
+
+
+def _decide_and_commit_inner(spark: SparkSession, canon: DataFrame,
+                             state_dir: str, batch_id: int,
+                             num_buckets: int,
+                             prune_state_read: bool) -> DataFrame:
     id_type = canon.schema["doc_id"].dataType
 
     # intra-batch first-wins per canonical URL (min id carries page +
-    # domain through the shuffle — the batch crawl_ingest min_by shape)
+    # domain through the shuffle — the batch crawl_ingest min_by shape).
+    # surv feeds FOUR consumers (probe collect, results write, state
+    # merge, decisions write): persist so the groupBy of the
+    # page-bearing relation runs once per batch, not four times
+    # (round-10 review); unpersisted in the caller's finally.
     surv = (canon.groupBy("curl")
             .agg(F.min("doc_id").alias("doc_id"),
                  F.min_by("page", "doc_id").alias("page"),
-                 F.min_by("domain", "doc_id").alias("domain")))
+                 F.min_by("domain", "doc_id").alias("domain"))).persist()
     in_batch_dup = (canon.join(
         surv.select("curl", F.col("doc_id").alias("__keep")), "curl")
         .filter(F.col("doc_id") != F.col("__keep"))
         .select("doc_id", F.col("__keep").alias("duplicate_of")))
 
     # cross-corpus probe: pre-batch snapshot, bucket-pruned on curl
-    probe = _probe_buckets(surv, _read_manifest(state_dir)) \
+    probe = _probe_buckets(surv, _read_manifest(state_dir),
+                           bucket_cols=BUCKET_COLS) \
         if prune_state_read else None
     state = _state_before_batch(spark, state_dir, batch_id, buckets=probe)
     if state is not None:
@@ -164,8 +165,12 @@ def _decide_and_commit(spark: SparkSession, canon: DataFrame,
         kept.select("doc_id", "curl", "domain",
                     html_to_text("page").alias("page_text")),
         text_col="page_text", extra_cols=("curl", "domain"))
+    # NO coalesce(1) here: it would collapse the whole post-shuffle
+    # stage — extraction + the classifier folds for every kept page —
+    # into one task (round-10 review); the decisions write below stays
+    # single-file because it is tiny scalar rows after the same work
     (scored.withColumn("batch_id", F.lit(batch_id).cast("long"))
-     .coalesce(1).write.mode("overwrite")
+     .write.mode("overwrite")
      .parquet(os.path.join(_results_dir(state_dir), f"b{batch_id}")))
 
     # merge kept URLs into the generational state: key (curl, kept_id),
@@ -189,6 +194,7 @@ def _decide_and_commit(spark: SparkSession, canon: DataFrame,
                  .withColumn("batch_id", F.lit(batch_id).cast("long")))
     (decisions.coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(_decisions_dir(state_dir), f"b{batch_id}")))
+    return surv
 
 
 def stream_crawl_ingest(page_stream: DataFrame, state_dir: str,

@@ -58,23 +58,29 @@ def _decisions_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "_decisions")
 
 
-def _probe_buckets(surv_bands: DataFrame, manifest: dict | None):
-    """The state buckets this batch's (band, bh) pairs can possibly
-    match — computable because the band state is bucketed by exactly
-    that key prefix. A metadata-scale job: at most ``num_buckets``
-    distinct ints reach the driver (the same discovery pattern the
-    merge's touched-bucket job uses). Returns None when the manifest
-    predates prefix bucketing (legacy full-key layout — prune unsafe,
-    fall back to a full state read)."""
+def _probe_buckets(surv_bands: DataFrame, manifest: dict | None,
+                   bucket_cols: tuple = BUCKET_COLS):
+    """The state buckets this batch's key prefix can possibly match —
+    computable because the state is bucketed by exactly that prefix. A
+    metadata-scale job: at most ``num_buckets`` distinct ints reach
+    the driver (the same discovery pattern the merge's touched-bucket
+    job uses). Returns None when the manifest predates prefix
+    bucketing (legacy full-key layout — prune unsafe, fall back to a
+    full state read). ``bucket_cols`` parameterizes the prefix so
+    other key-probed states (streaming/crawl.py's canonical-URL
+    state) share this ONE encoding of the pmod(xxhash64(prefix))
+    layout contract instead of copying it (round-10 review: three
+    copies of a layout contract is how probes silently read the wrong
+    buckets)."""
     if manifest is None:
         return None
-    if manifest.get("bucket_cols") != list(BUCKET_COLS):
+    if manifest.get("bucket_cols") != list(bucket_cols):
         return None
     nb = manifest.get("num_buckets")
     if not nb:
         return None
     rows = (surv_bands
-            .select(F.pmod(F.xxhash64(*BUCKET_COLS), F.lit(nb))
+            .select(F.pmod(F.xxhash64(*bucket_cols), F.lit(nb))
                     .cast("int").alias("__b"))
             .distinct().collect())
     if len(rows) >= nb:

@@ -1718,11 +1718,15 @@ def test_substring_dedup_long_duplicated_doc_is_linear(spark):
     n = 30_000
     body = " ".join(f"w{i}" for i in range(n))
     docs = [(1, body), (2, "lead " + body + " tail")]
+    # NULL text: n_removed must be 0 (the oracle's COALESCE; round-10
+    # review — the splice rewrite briefly returned NULL here)
+    docs.append((3, None))
     d = spark.createDataFrame(docs, "doc_id long, text string")
     t0 = time.monotonic()
     out = {r["doc_id"]: r for r in substring_dedup(d, k=50).collect()}
     took = time.monotonic() - t0
     assert took < 60, f"splice no longer linear: {took:.1f}s"
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] is None
     # doc 1 is the global first occurrence -> intact
     assert out[1]["n_removed"] == 0 and out[1]["n_tokens"] == n
     # doc 2's copy of the whole body vanishes; its unique frame stays
@@ -2194,6 +2198,17 @@ def test_hashed_linear_score_enforces_integer_unique_weights(spark):
     # integer values scores identically, no false rejection)
     intish = spark.createDataFrame([(0, 2.0)], "bucket long, weight double")
     hashed_linear_score(docs, weights=intish, pair_weights=ok).collect()
+    # round-10 review corners: NULL weights must raise (NULL != NULL is
+    # NULL, so a plain inequality gate passes them and coalesce zeroes
+    # the feature silently); NULL bucket ids must raise AS null-bucket,
+    # not masquerade as "duplicates"
+    nullw = spark.createDataFrame([(0, None)], "bucket long, weight long")
+    with pytest.raises(ValueError, match="NULL or fractional"):
+        hashed_linear_score(docs, weights=nullw, pair_weights=ok)
+    nullb = spark.createDataFrame([(None, 1), (None, 2)],
+                                  "bucket long, weight long")
+    with pytest.raises(ValueError, match="NULL bucket"):
+        hashed_linear_score(docs, weights=nullb, pair_weights=ok)
 
 
 def test_min_k_per_group_scalable_matches_window_form(spark):
@@ -2222,3 +2237,11 @@ def test_min_k_per_group_scalable_matches_window_form(spark):
     assert min_k_per_group_scalable(small, "grp", "doc_id", 10).count() == 3
     with pytest.raises(ValueError, match="k must be"):
         min_k_per_group_scalable(small, "grp", "doc_id", 0)
+    # a NULL group IS a group and caps at k (round-10 review: the semi
+    # join must be null-safe on the group key or NULL-group rows vanish)
+    nulls = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), ("a", 4)],
+        "grp string, doc_id long")
+    got = {(r["grp"], r["doc_id"]) for r in
+           min_k_per_group_scalable(nulls, "grp", "doc_id", 2).collect()}
+    assert got == {(None, 1), (None, 2), ("a", 4)}
