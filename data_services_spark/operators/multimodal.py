@@ -428,6 +428,15 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
              "dhash_hi long, dhash_lo long")
 
 
+# One-slot cache for image_near_dup's decoded-hash relation. NOT
+# thread-safe across concurrent pipelines (round-10 advice): two
+# interleaved image_near_dup calls — different threads or sessions —
+# each release the other's slot before collection, silently degrading
+# the one-slot persist back to recompute (the double-decode cost the
+# slot exists to avoid; results stay CORRECT by the MEMORY_ONLY
+# contract). If concurrent image pipelines are expected, serialize the
+# calls or key a slot per SparkSession; the registry's single-session
+# query model never interleaves.
 _NEAR_DUP_CACHE: list[DataFrame] = []
 
 

@@ -39,7 +39,8 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
 
 
 def min_k_per_group_scalable(df: DataFrame, group_col: str,
-                             order_col: str, k: int) -> DataFrame:
+                             order_col: str, k: int,
+                             check_unique: bool = False) -> DataFrame:
     """W4's SKEW-SAFE twin (round 10): keep the rows with the k
     SMALLEST ``order_col`` values per group — the per-domain document
     cap of a Gopher/FineWeb-class crawl pipeline (one spam domain must
@@ -66,6 +67,15 @@ def min_k_per_group_scalable(df: DataFrame, group_col: str,
     partition-layout-invariant (repartition-stability pytest-pinned).
     ``order_col`` values must be unique per group for a deterministic
     cap (doc ids; the window form has the same total-order contract).
+    **If that contract is violated** the behaviors diverge (round-10
+    advice, now explicit): the window twin still returns exactly k rows
+    (row_number breaks ties arbitrarily) while THIS form returns MORE
+    than k — the semi join keeps every row matching a surviving
+    (group, order) pair. Pass ``check_unique=True`` to fail loudly
+    instead: one extra count-vs-count-distinct aggregate over the
+    2-column projection runs EAGERLY at construction (an intentional
+    extra Spark job — keep it off in hot per-micro-batch loops and
+    validate the key choice once).
     NULL handling (round-10 review): a NULL group IS a group — it caps
     at k like any other (the window twin's partitionBy semantics; the
     semi join below is null-safe on the group key). NULL ``order_col``
@@ -77,6 +87,21 @@ def min_k_per_group_scalable(df: DataFrame, group_col: str,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     vals = df.select(F.col(group_col), F.col(order_col))
+    if check_unique:
+        # struct-wrap for the distinct: count(DISTINCT g, o) SKIPS rows
+        # where either is NULL, but a NULL group IS a group here — the
+        # struct is never NULL, so those rows stay counted on both sides
+        chk = vals.where(F.col(order_col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(group_col, order_col))
+            .alias("nd")).collect()[0]
+        if chk["nd"] != chk["n"]:
+            raise ValueError(
+                f"min_k_per_group_scalable: {chk['n'] - chk['nd']} "
+                f"duplicate ({group_col}, {order_col}) pair(s) — the "
+                "semi join would return MORE than k rows for their "
+                "groups; pick a per-group-unique order column (the "
+                "documented total-order contract)")
     partial = (vals
                .groupBy(group_col, F.spark_partition_id().alias("__pid"))
                .agg(F.slice(F.array_sort(F.collect_list(order_col)),

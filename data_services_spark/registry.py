@@ -5052,8 +5052,11 @@ def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_packing with MODEL-REAL budgets (round-10): the exclusive
     prefix-sum sharding unchanged, but counting BPE subword tokens via
     the ``token_count=`` thread-through — the budget a training run
-    actually consumes. Same scalable two-pass prefix-sum shape; the
-    tokenizer adds zero exchanges to it."""
+    actually consumes. Round-11: the (doc_id, n_tokens) projection
+    persists one-slot before the prefix-sum machinery, so the replace
+    chain runs ONCE (1 parquet scan; the r10 plan re-tokenized the
+    corpus on each of 4 scans — at 100 TB, 3 redundant full-corpus
+    tokenizations). `sampling.pack_release()` frees the slot."""
     from data_services_spark.operators.bpe import bpe_token_count
     from data_services_spark.operators.sampling import pack_by_token_budget
     d = load_table(spark, sf_dir, "documents")

@@ -94,9 +94,13 @@ def ingest_crawl_batch(spark: SparkSession, batch: DataFrame,
         canonicalize_url(url_col).alias("curl"))
     canon = canon.withColumn("domain", url_domain(F.col("curl")))
     # NULL urls canonicalize to NULL; group them under a sentinel so
-    # every input row gets a decision (the neardup NULL-text contract)
+    # every input row gets a decision (the neardup NULL-text contract).
+    # The sentinel contains a SPACE, which canonicalize_url strips from
+    # every real URL — so no crawled page can ever collide with it
+    # (round-10 advice: 'invalid://null' was inside the canonical value
+    # space, since unknown schemes pass through unchanged).
     canon = canon.withColumn(
-        "curl", F.coalesce(F.col("curl"), F.lit("invalid://null")))
+        "curl", F.coalesce(F.col("curl"), F.lit("invalid url <null>")))
     canon = canon.persist()
     try:
         _decide_and_commit(spark, canon, state_dir, batch_id,
