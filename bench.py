@@ -31,6 +31,18 @@ BENCH_QUERIES = (
     "knn_cosine",              # brute-force cosine     (baseline 0.013s warm)
 )
 
+# LLM-pipeline headliners (round 11, r10 verdict ask #6): the surface
+# the brief centers — crawl curation, corpus dedup, tokenization — gets
+# per-round perf tracking against DuckDB exact-oracle baselines
+# (BASELINE_EXACT.json `queries_llm`), not just sweep pass/fail budgets.
+# Reported SEPARATELY (`value_llm`) so the 7-query headline total stays
+# comparable across every prior round's BENCH_r{N}.json.
+LLM_BENCH_QUERIES = (
+    "crawl_ingest",       # URL canon -> dedup -> extract -> classify
+    "text_dedup_exact",   # sha2 groupBy exact dedup
+    "bpe_tokenize",       # subword replace-chain tokenizer
+)
+
 
 def main() -> None:
     from data_services_spark.registry import RAW_QUERIES
@@ -66,7 +78,7 @@ def main() -> None:
     # 0.61s across all 7 queries, so the r3->r6 total drift was never
     # engine plan-build growth).
     for _ in range(2):
-        for name in BENCH_QUERIES:
+        for name in BENCH_QUERIES + LLM_BENCH_QUERIES:
             RAW_QUERIES[name](spark, sf_dir).toArrow()
 
     # RAW_QUERIES builds a FRESH DataFrame per timed run, so every run pays
@@ -80,7 +92,10 @@ def main() -> None:
     # a substitute for the other.
     timings: dict[str, float] = {}
     marginal: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    timings_llm: dict[str, float] = {}
+    marginal_llm: dict[str, float] = {}
+    for name in BENCH_QUERIES + LLM_BENCH_QUERIES:
+        is_llm = name in LLM_BENCH_QUERIES
         # Collect garbage between queries: the 600k-row Arrow fetches
         # otherwise leave enough JVM garbage that GC pauses land on
         # whichever small query runs next, inflating its min-of-3.
@@ -99,7 +114,7 @@ def main() -> None:
             # the pandas object-array conversion tax neither engine needs.
             RAW_QUERIES[name](spark, sf_dir).toArrow()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        (timings_llm if is_llm else timings)[name] = round(best, 4)
         # Marginal: median of 3 re-executions of ONE built plan — the
         # judge-readable split of per-plan constants (analysis, codegen
         # source generation, job floors) from repeatable work. Caveats,
@@ -126,7 +141,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df.toArrow()
             reps.append(time.perf_counter() - t0)
-        marginal[name] = round(sorted(reps)[len(reps) // 2], 4)
+        (marginal_llm if is_llm else marginal)[name] = \
+            round(sorted(reps)[len(reps) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -136,6 +152,10 @@ def main() -> None:
         "queries": timings,
         "queries_marginal": marginal,
         "value_marginal": round(sum(marginal.values()), 4),
+        "queries_llm": timings_llm,
+        "queries_llm_marginal": marginal_llm,
+        "value_llm": round(sum(timings_llm.values()), 4),
+        "value_llm_marginal": round(sum(marginal_llm.values()), 4),
         "sf": sf,
     }))
     spark.stop()

@@ -1,0 +1,208 @@
+"""Streaming per-domain document cap against persisted keep-list
+state (round-11; the r10 verdict's ask #7 — the M7/M9 generational
+device applied to W4's skew-safe bottom-k): enforce "at most k kept
+documents per registrable domain" over an UNBOUNDED feed, without
+ever recomputing over history and with NO domain ever funneling
+through one task.
+
+Reference semantics: the Gopher/FineWeb-class per-domain cap
+(operators/windows.py::min_k_per_group_scalable — keep the k smallest
+``doc_id`` values per domain), run incrementally.
+
+Contract per micro-batch of (doc_id, domain):
+
+1. batch-partial bottom-k per domain, two-pass — per
+   (domain, physical-partition) first, then per domain — so a hot
+   domain inside one batch is bounded by a scan split (the
+   min_k_per_group_scalable physics, inlined); at most k candidate
+   ids per domain survive to the probe;
+2. the persisted per-domain keep-list state is read BUCKET-PRUNED on
+   the batch's touched domains, time-traveled to the pre-batch
+   snapshot (replay-idempotent, the neardup contract);
+3. merged keep-list per touched domain = the k smallest of
+   (state ids ∪ batch candidate ids) — <= 2k rows per domain feed
+   this groupBy, never the corpus;
+4. state deltas: NEW keeps upsert; previously-kept ids displaced by
+   smaller arrivals are DELETED from the state (key-level
+   delete_flag — no tombstones) and logged as 'evicted';
+5. per-batch decisions land idempotently: 'kept' (in the merged
+   keep-list), 'capped' (lost the bottom-k), 'null_id' (NULL doc_id —
+   excluded from candidacy, exactly as the batch operator excludes
+   NULL order values).
+
+Equivalence contract (pytest-pinned): after ANY arrival order, the
+persisted state equals the batch ``min_k_per_group_scalable`` (equiv.
+the ROW_NUMBER cap) over the union of all batches, row for row — the
+bottom-k merge is losslessly prunable, so an evicted id can never
+re-qualify (the k ids that displaced it only ever get smaller). The
+DECISIONS log additionally equals the batch kept-set when arrivals
+respect doc-id order per domain (no late smaller id); under
+out-of-order arrival an early 'kept' may be followed by 'evicted' in
+a later batch — the streaming-native retraction record — and the
+state remains the batch-exact truth.
+
+Scale shape: per-batch cost is one micro-batch-sized two-pass groupBy
+plus a probe of O(touched buckets) state rows; the corpus never
+re-shuffles, a half-the-crawl hot domain contributes k rows to every
+stage past the partial, and the state holds <= k rows per domain
+(bounded by live domains, not by documents seen).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from data_services_spark.streaming.ingest import (
+    _read_manifest, merge_upsert_batch,
+)
+from data_services_spark.streaming.neardup import (
+    _probe_buckets, _state_before_batch,
+)
+
+DC_KEY = ("domain", "kept_id")
+BUCKET_COLS = ("domain",)  # state bucketed by the probe-able prefix
+
+# NULL domains form a group of their own (the min_k_per_group_scalable
+# NULL-group contract), but NULL cannot be a state key (key joins use
+# plain equality). The sentinel contains a space, which url_domain
+# never emits (hostnames are whitespace-free) — the crawl-sentinel
+# device, so no real domain can collide with it.
+NULL_DOMAIN = "no domain <null>"
+
+
+def _decisions_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "_decisions")
+
+
+def _bottom_k(vals: DataFrame, k: int) -> DataFrame:
+    """Two-pass partial bottom-k of ``doc_id`` per ``domain`` over a
+    (domain, doc_id) relation — the min_k_per_group_scalable shape:
+    partial per (domain, physical partition), <= k x P survivors
+    re-group. Returns (domain, doc_id) exploded keep rows."""
+    partial = (vals
+               .groupBy("domain", F.spark_partition_id().alias("__pid"))
+               .agg(F.slice(F.array_sort(F.collect_list("doc_id")),
+                            1, k).alias("__top")))
+    return (partial
+            .select("domain", F.explode("__top").alias("doc_id"))
+            .groupBy("domain")
+            .agg(F.slice(F.array_sort(F.collect_list("doc_id")),
+                         1, k).alias("__top"))
+            .select("domain", F.explode("__top").alias("doc_id")))
+
+
+def cap_domain_batch(spark: SparkSession, batch: DataFrame,
+                     state_dir: str, batch_id: int, k: int,
+                     domain_col: str = "domain",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 64,
+                     prune_state_read: bool = True) -> None:
+    """The foreachBatch body (callable directly for batch backfills):
+    decide kept/capped/evicted for ``batch`` against the per-domain
+    keep-list state, update the state, write decisions."""
+    rows = batch.select(
+        F.coalesce(F.col(domain_col).cast("string"),
+                   F.lit(NULL_DOMAIN)).alias("domain"),
+        F.col(id_col).cast("long").alias("doc_id"))
+    null_ids = rows.filter(F.col("doc_id").isNull()) \
+        .select("domain", "doc_id").distinct()
+    rows = rows.filter(F.col("doc_id").isNotNull()).distinct()
+    rows = rows.persist()
+    try:
+        _cap_and_commit(spark, rows, null_ids, state_dir, batch_id, k,
+                        num_buckets, prune_state_read)
+    finally:
+        rows.unpersist()
+
+
+def _cap_and_commit(spark: SparkSession, rows: DataFrame,
+                    null_ids: DataFrame, state_dir: str, batch_id: int,
+                    k: int, num_buckets: int,
+                    prune_state_read: bool) -> None:
+    cand = _bottom_k(rows, k)
+
+    probe = _probe_buckets(cand, _read_manifest(state_dir),
+                           bucket_cols=BUCKET_COLS) \
+        if prune_state_read else None
+    state = _state_before_batch(spark, state_dir, batch_id,
+                                buckets=probe)
+    if state is not None:
+        # only touched domains participate in the re-merge; untouched
+        # domains' keep-lists are not even read when pruning holds
+        old = (state.select("domain",
+                            F.col("kept_id").cast("long")
+                            .alias("doc_id"))
+               .join(F.broadcast(cand.select("domain").distinct()),
+                     "domain", "left_semi"))
+    else:  # first batch: no state yet — typed-empty, schema-stable
+        old = cand.limit(0)
+    old = old.persist()
+    merged = _bottom_k(old.unionByName(cand).distinct(), k).persist()
+
+    inserts = (merged.join(old, ["domain", "doc_id"], "left_anti")
+               .withColumn("__del", F.lit(False)))
+    evicted = (old.join(merged, ["domain", "doc_id"], "left_anti")
+               .withColumn("__del", F.lit(True))).persist()
+    delta = inserts.unionByName(evicted).select(
+        "domain", F.col("doc_id").alias("kept_id"), "__del")
+    merge_upsert_batch(spark, delta, state_dir, batch_id,
+                       scalar_props=(), list_props=(),
+                       key_cols=DC_KEY, bucket_cols=BUCKET_COLS,
+                       num_buckets=num_buckets, delete_flag="__del")
+
+    kept = rows.join(merged, ["domain", "doc_id"], "left_semi")
+    capped = rows.join(merged, ["domain", "doc_id"], "left_anti")
+    decisions = (kept.withColumn("status", F.lit("kept"))
+                 .unionByName(capped.withColumn("status",
+                                                F.lit("capped")))
+                 .unionByName(evicted.select(
+                     "domain", "doc_id",
+                     F.lit("evicted").alias("status")))
+                 .unionByName(null_ids.withColumn("status",
+                                                  F.lit("null_id")))
+                 .withColumn("batch_id", F.lit(batch_id).cast("long")))
+    (decisions.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(_decisions_dir(state_dir), f"b{batch_id}")))
+    evicted.unpersist()
+    merged.unpersist()
+    old.unpersist()
+
+
+def stream_domain_cap(doc_stream: DataFrame, state_dir: str,
+                      checkpoint_dir: str, k: int,
+                      domain_col: str = "domain",
+                      id_col: str = "doc_id",
+                      num_buckets: int = 64):
+    """Attach the domain-cap sink to a streaming (doc_id, domain)
+    DataFrame; returns the started StreamingQuery."""
+    os.makedirs(state_dir, exist_ok=True)
+    spark = doc_stream.sparkSession
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        cap_domain_batch(spark, batch, state_dir, batch_id, k,
+                         domain_col, id_col, num_buckets=num_buckets)
+
+    return (doc_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_domain_cap_state(spark: SparkSession,
+                          state_dir: str) -> DataFrame:
+    """The live keep-list: (domain, doc_id) — batch-exact: equals
+    min_k_per_group_scalable over the union of every ingested batch,
+    whatever the arrival order (module contract)."""
+    from data_services_spark.streaming.ingest import read_merged_state
+    state = read_merged_state(spark, state_dir)
+    return state.select("domain",
+                        F.col("kept_id").cast("long").alias("doc_id"))
+
+
+def read_domain_cap_decisions(spark: SparkSession,
+                              state_dir: str) -> DataFrame:
+    """All per-batch decisions (domain, doc_id, status, batch_id)."""
+    return spark.read.parquet(os.path.join(_decisions_dir(state_dir),
+                                           "b*"))

@@ -153,3 +153,111 @@ def test_chunk_documents_bpe_windows_cover_all_subwords(spark):
     assert stream == ["st", "at", "ion"] * 40
     assert rows[2][0]["chunk_text"] == "q"
     assert 3 not in rows  # empty text -> zero chunks, no fabricated id
+
+
+# ---------------------------------------------------------------------------
+# Learned merge tables (round 11): trainer decision parity
+
+
+def _sennrich_train(word_counts, num_merges, min_count=2):
+    """Independent reference trainer, Sennrich'16 Figure-1 style
+    (get_stats over symbol-tuple vocab + merge_vocab), sharing only
+    the DECISION RULES with the shipped implementations: all-adjacent
+    pair counting weighted by word frequency, argmax by (count desc,
+    pair asc), stop under min_count, skip output-string collisions."""
+    vocab = {tuple(w): c for w, c in word_counts.items() if w}
+    merges, outputs = [], set()
+    for _ in range(num_merges):
+        stats = {}
+        for syms, c in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                stats[pair] = stats.get(pair, 0) + c
+        best, best_key = None, None
+        for (a, b), cnt in stats.items():
+            if cnt < min_count or a + b in outputs:
+                continue
+            key = (-cnt, a, b)
+            if best_key is None or key < best_key:
+                best, best_key = (a, b), key
+        if best is None:
+            break
+        a, b = best
+        merges.append((a, b))
+        outputs.add(a + b)
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return tuple(merges)
+
+
+TRAIN_FIXTURES = (
+    # ordinary English-ish Zipf
+    {"the": 40, "then": 12, "there": 9, "station": 7, "nation": 7,
+     "that": 15, "with": 11, "singing": 5, "ringing": 4, "thing": 8},
+    # tie-break stress: equal counts force the lexicographic rule
+    {"ab": 5, "cd": 5, "ef": 5, "abcd": 5, "cdef": 5},
+    # output-collision stress: "ab"+"c" vs "a"+"bc" both reachable
+    {"abc": 9, "ab": 8, "bc": 8, "zabcz": 6},
+    # degenerate: repeats within one word (overlap counting)
+    {"aaaa": 7, "aa": 3, "baab": 4},
+)
+
+
+def test_train_merges_py_equals_independent_reference():
+    """The shipped pure-Python trainer (the import-time TRAINED_MERGES
+    builder) decision-matches the independent Sennrich-style reference
+    on every fixture, at two table sizes."""
+    from data_services_spark.operators.bpe import train_merges_py
+
+    for wc in TRAIN_FIXTURES:
+        for r in (5, 30):
+            assert train_merges_py(wc, r) == _sennrich_train(wc, r), wc
+
+
+def test_bpe_train_distributed_equals_reference(spark):
+    """The DISTRIBUTED trainer learns the identical table from a real
+    corpus DataFrame — including the word-frequency compression pass
+    (explode+groupBy) the Python side mirrors."""
+    from data_services_spark.operators.bpe import (
+        _corpus_word_counts, bpe_train, train_merges_py)
+
+    texts = ["the station, that was THE thing!",
+             "singing and ringing, there and then",
+             "aaaa aa baab abc ab bc zabcz", "", "the the the"]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                              "doc_id long, text string")
+    want = train_merges_py(_corpus_word_counts(texts), 25)
+    assert want == _sennrich_train(_corpus_word_counts(texts), 25)
+    assert bpe_train(d, num_merges=25, checkpoint_every=4) == want
+
+
+def test_trained_artifact_matches_reference_and_tokenizes_textbook(spark):
+    """TRAINED_MERGES is exactly the reference-trained table over the
+    fixed corpus, is well-formed, and the ascending-pass tokenizer
+    equals textbook min-rank BPE under it (the equivalence holds for
+    ANY well-formed table — re-pinned on the learned one)."""
+    from data_services_spark.operators.bpe import (
+        TRAIN_CORPUS, TRAINED_MERGES, _corpus_word_counts, bpe_tokenize)
+
+    assert TRAINED_MERGES == _sennrich_train(
+        _corpus_word_counts(TRAIN_CORPUS), 40)
+    _validate_merges(TRAINED_MERGES)
+
+    d = spark.createDataFrame([(i, w) for i, w in enumerate(WORDS)],
+                              "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_text"].split(" ")
+           for r in bpe_tokenize(d, merges=TRAINED_MERGES).collect()}
+    for i, w in enumerate(WORDS):
+        norm = "".join(ch if ch.isalnum() else " " for ch in w.lower())
+        expect = [t for part in norm.split()
+                  for t in _ref_bpe(part, TRAINED_MERGES)]
+        assert got[i] == expect, (w, got[i], expect)

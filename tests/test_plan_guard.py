@@ -300,6 +300,11 @@ EXPECTED = {
     # unchanged (the tokenizer swap adds NO exchange).
     "bpe_tokenize": dict(scans=1, pushed_min=0, joins=set(),
                          exchanges_max=0, single_max=0, py=0),
+    # round-11 learned-table twin: training happens at plan-BUILD time
+    # (bounded driver artifact, memoized per session); the SCORING plan
+    # this pins is the same map-only replace chain as bpe_tokenize.
+    "bpe_tokenize_trained": dict(scans=1, pushed_min=0, joins=set(),
+                                 exchanges_max=0, single_max=0, py=0),
     # round-11: the (doc_id, n_tokens) projection persists one-slot
     # (sampling._PACK_CACHE) before the prefix-sum machinery, so the
     # ~R-pass BPE replace chain executes ONCE — exactly one parquet

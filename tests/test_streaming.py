@@ -1199,3 +1199,136 @@ def test_stream_crawl_ingest_null_url_gets_decision(spark, tmp_path):
     dec = {r.doc_id: r.status for r in
            read_crawl_decisions(spark, state_dir).collect()}
     assert dec == {1: "kept", 2: "dup_in_batch", 3: "kept"}
+
+
+def test_stream_domain_cap_in_order_equals_batch(spark, tmp_path):
+    """Round-11 M10: streaming per-domain cap vs persisted keep-list
+    state. In-order arrival (every id later than all previously kept
+    ids): the union of 'kept' decisions AND the final state both equal
+    the batch min_k_per_group_scalable over the union of the batches,
+    and no eviction ever fires."""
+    import time
+
+    from data_services_spark.operators.windows import (
+        min_k_per_group_scalable,
+    )
+    from data_services_spark.streaming.domaincap import (
+        read_domain_cap_decisions, read_domain_cap_state,
+        stream_domain_cap,
+    )
+
+    SCHEMA = "doc_id long, domain string"
+    batches = [
+        [(1, "a.com"), (2, "a.com"), (3, "b.org"), (4, "a.com")],
+        [(5, "a.com"), (6, "b.org"), (7, "c.net")],   # a.com now over cap
+        [(8, "a.com"), (9, "b.org"), (10, "c.net")],  # b.org over cap
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        d = src / f"batch{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.parquet(str(d))
+        _utime_tree(d, now - 300 + 100 * i)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/batch*/"))
+    q = stream_domain_cap(stream, str(tmp_path / "state"),
+                          str(tmp_path / "ckpt"), k=3)
+    q.awaitTermination()
+
+    state = {(r.domain, r.doc_id) for r in read_domain_cap_state(
+        spark, str(tmp_path / "state")).collect()}
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA)
+    want = {(r.domain, r.doc_id) for r in min_k_per_group_scalable(
+        union, "domain", "doc_id", 3).collect()}
+    assert state == want
+    dec = read_domain_cap_decisions(spark, str(tmp_path / "state"))
+    by_status = {(r.domain, r.doc_id, r.status) for r in dec.collect()}
+    kept = {(d, i) for d, i, s in by_status if s == "kept"}
+    assert kept == want
+    assert not any(s == "evicted" for _, _, s in by_status)
+    capped = {(d, i) for d, i, s in by_status if s == "capped"}
+    assert capped == {("a.com", 5), ("a.com", 8)}
+
+
+def test_stream_domain_cap_out_of_order_state_exact_and_evicts(
+        spark, tmp_path):
+    """Out-of-order arrival: a late SMALLER id displaces an already-
+    kept larger one. The state must still equal the batch operator
+    over the union (lossless bottom-k merge), and the displaced id
+    gets an 'evicted' retraction decision in the displacing batch."""
+    from data_services_spark.operators.windows import (
+        min_k_per_group_scalable,
+    )
+    from data_services_spark.streaming.domaincap import (
+        cap_domain_batch, read_domain_cap_decisions,
+        read_domain_cap_state,
+    )
+
+    SCHEMA = "doc_id long, domain string"
+    state_dir = str(tmp_path / "state")
+    b0 = [(10, "a.com"), (20, "a.com"), (30, "b.org")]
+    b1 = [(5, "a.com"), (40, "b.org")]   # 5 evicts 20 under k=2
+    cap_domain_batch(spark, spark.createDataFrame(b0, SCHEMA),
+                     state_dir, 0, k=2)
+    cap_domain_batch(spark, spark.createDataFrame(b1, SCHEMA),
+                     state_dir, 1, k=2)
+
+    state = {(r.domain, r.doc_id)
+             for r in read_domain_cap_state(spark, state_dir).collect()}
+    union = spark.createDataFrame(b0 + b1, SCHEMA)
+    want = {(r.domain, r.doc_id) for r in min_k_per_group_scalable(
+        union, "domain", "doc_id", 2).collect()}
+    assert state == want
+    assert ("a.com", 5) in state and ("a.com", 20) not in state
+
+    dec = {(r.domain, r.doc_id, r.status, r.batch_id)
+           for r in read_domain_cap_decisions(spark, state_dir).collect()}
+    assert ("a.com", 20, "kept", 0) in dec      # honest history...
+    assert ("a.com", 20, "evicted", 1) in dec   # ...then retracted
+    assert ("a.com", 5, "kept", 1) in dec
+    assert ("b.org", 40, "kept", 1) in dec
+
+
+def test_stream_domain_cap_replay_idempotent_and_nulls(spark, tmp_path):
+    """Replaying a batch id reproduces the original decisions (state
+    reads time-travel to the pre-batch snapshot) and leaves the state
+    unchanged; NULL domains cap as their own group, NULL ids are
+    excluded from candidacy with an explicit decision."""
+    from data_services_spark.streaming.domaincap import (
+        NULL_DOMAIN, cap_domain_batch, read_domain_cap_decisions,
+        read_domain_cap_state,
+    )
+
+    SCHEMA = "doc_id long, domain string"
+    state_dir = str(tmp_path / "state")
+    b0 = [(1, None), (2, None), (3, None), (None, "x.com"), (4, "x.com")]
+    b1 = [(5, "x.com"), (6, None)]
+    cap_domain_batch(spark, spark.createDataFrame(b0, SCHEMA),
+                     state_dir, 0, k=2)
+    cap_domain_batch(spark, spark.createDataFrame(b1, SCHEMA),
+                     state_dir, 1, k=2)
+    state1 = {(r.domain, r.doc_id) for r in read_domain_cap_state(
+        spark, state_dir).collect()}
+    dec1 = {(r.domain, r.doc_id, r.status, r.batch_id)
+            for r in read_domain_cap_decisions(
+                spark, state_dir).collect()}
+    # NULL domain caps as a group of its own; NULL id decisioned
+    assert (NULL_DOMAIN, 1) in state1 and (NULL_DOMAIN, 2) in state1
+    assert (NULL_DOMAIN, 3) not in state1
+    assert ("x.com", None, "null_id", 0) in dec1
+    assert (NULL_DOMAIN, 6, "capped", 1) in dec1
+
+    # replay the crash window: re-run batch 1 verbatim
+    cap_domain_batch(spark, spark.createDataFrame(b1, SCHEMA),
+                     state_dir, 1, k=2)
+    state2 = {(r.domain, r.doc_id) for r in read_domain_cap_state(
+        spark, state_dir).collect()}
+    dec2 = {(r.domain, r.doc_id, r.status, r.batch_id)
+            for r in read_domain_cap_decisions(
+                spark, state_dir).collect()}
+    assert state2 == state1
+    assert dec2 == dec1

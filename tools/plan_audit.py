@@ -42,9 +42,12 @@ AUDIT_QUERIES = (
     "quality_classifier", "jaccard_prefix_join", "kgx_two_hop",
     "kg_negative_sample", "html_extract", "url_canonicalize",
     "embedding_project", "crawl_ingest",
-    # round 10
+    # round 10 (domain_cap/bpe_fertility regenerated in round 11 —
+    # r10's PLANS.md predated them, r10 verdict What's-wrong #2)
     "bpe_tokenize", "token_packing_bpe", "doc_chunks_bpe",
-    "vocab_topk_bpe",
+    "vocab_topk_bpe", "bpe_fertility", "domain_cap",
+    # round 11
+    "bpe_tokenize_trained",
 )
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -53,6 +56,14 @@ SF_DIR = "/root/testdata/sf0.1"
 # shapes whose TEXTUAL counts mislead (the counts above are regex over
 # the plan print).
 NOTES = {
+    "token_packing_bpe": (
+        "- NOTE (round 11): the (doc_id, n_tokens) projection persists "
+        "one-slot before the prefix-sum machinery, so the BPE replace "
+        "chain executes ONCE (1 parquet scan; r10 measured 4) — the "
+        "remaining branches are InMemoryTableScan cache reads; the +1 "
+        "exchange vs token_packing is a duplicated 1-row min/max "
+        "bounds agg (the cached subtrees no longer fuse into one "
+        "ReusedExchange)."),
     "image_near_dup": (
         "- NOTE (round 10): the 4 textual Arrow operators are a PRINT "
         "artifact — the dHash relation persists (one-slot) and "

@@ -40,6 +40,15 @@ BENCH_QUERIES = (
     "knn_cosine",
 )
 
+# LLM-pipeline headliners (round 11) — mirrors bench.py's
+# LLM_BENCH_QUERIES; totaled separately (`value_llm`) so `value` stays
+# comparable to every prior BASELINE_EXACT measurement.
+LLM_BENCH_QUERIES = (
+    "crawl_ingest",
+    "text_dedup_exact",
+    "bpe_tokenize",
+)
+
 
 def main() -> None:
     from data_services_spark.registry import ORACLES
@@ -51,8 +60,9 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     timings: dict[str, float] = {}
+    timings_llm: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + LLM_BENCH_QUERIES:
         sql = ORACLES[name]
         res = con.execute(sql).arrow()  # untimed warmup
         rows[name] = res.num_rows
@@ -61,13 +71,16 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(sql).arrow()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        (timings_llm if name in LLM_BENCH_QUERIES
+         else timings)[name] = round(best, 4)
 
     print(json.dumps({
         "metric": "duckdb_oracle_sql_warm",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_llm": timings_llm,
+        "value_llm": round(sum(timings_llm.values()), 4),
         "rows": rows,
         "sf_dir": sf_dir,
         "duckdb": duckdb.__version__,
