@@ -261,3 +261,19 @@ def test_trained_artifact_matches_reference_and_tokenizes_textbook(spark):
         expect = [t for part in norm.split()
                   for t in _ref_bpe(part, TRAINED_MERGES)]
         assert got[i] == expect, (w, got[i], expect)
+
+
+def test_bpe_train_on_real_corpus_matches_reference(spark):
+    """Trainer parity on the actual documents table (sf0.001): the
+    distributed loop's word-frequency compression + pair counting over
+    a real Zipf corpus decision-match the Python reference fed the
+    same word counts."""
+    from data_services_spark.operators.bpe import (
+        _corpus_word_counts, bpe_train, train_merges_py)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()
+             if r["text"] is not None]
+    want = train_merges_py(_corpus_word_counts(texts), 12)
+    assert len(want) == 12  # the corpus supports a full table
+    assert bpe_train(docs, num_merges=12) == want
