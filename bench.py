@@ -43,6 +43,12 @@ LLM_BENCH_QUERIES = (
     "bpe_tokenize",       # subword replace-chain tokenizer
 )
 
+# SPARK_GRAFT_BENCH_SKIP_LLM=1 drops the LLM leg (the sf1 refresh runs
+# the comparable 7-query headline only: the CPU-bound string folds
+# serialize over the single sf1 parquet split — the measured local-
+# split artifact SCALE.md documents — so a min-of-5 protocol there
+# costs ~an hour for a number the sf1 SWEEP already records once).
+
 
 def main() -> None:
     from data_services_spark.registry import RAW_QUERIES
@@ -77,8 +83,10 @@ def main() -> None:
     # (tools/bench_phases.py decomposes the same effect: plan-build totals
     # 0.61s across all 7 queries, so the r3->r6 total drift was never
     # engine plan-build growth).
+    llm_queries = () if os.environ.get("SPARK_GRAFT_BENCH_SKIP_LLM") \
+        else LLM_BENCH_QUERIES
     for _ in range(2):
-        for name in BENCH_QUERIES + LLM_BENCH_QUERIES:
+        for name in BENCH_QUERIES + llm_queries:
             RAW_QUERIES[name](spark, sf_dir).toArrow()
 
     # RAW_QUERIES builds a FRESH DataFrame per timed run, so every run pays
@@ -94,7 +102,7 @@ def main() -> None:
     marginal: dict[str, float] = {}
     timings_llm: dict[str, float] = {}
     marginal_llm: dict[str, float] = {}
-    for name in BENCH_QUERIES + LLM_BENCH_QUERIES:
+    for name in BENCH_QUERIES + llm_queries:
         is_llm = name in LLM_BENCH_QUERIES
         # Collect garbage between queries: the 600k-row Arrow fetches
         # otherwise leave enough JVM garbage that GC pauses land on
