@@ -5126,8 +5126,7 @@ def bpe_tokenize_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation hash-mismatches. Scoring itself stays the map-only
     1-scan/0-exchange/0-Python replace chain (plan-pinned)."""
     from data_services_spark.operators.bpe import (
-        TRAIN_CORPUS, TRAINED_MERGES, bpe_token_count, bpe_subwords,
-        bpe_train)
+        TRAIN_CORPUS, TRAINED_MERGES, bpe_train)
     # train once per session (the ivf_topk trained-artifact device):
     # the loop is deterministic, so re-calls — RAW_QUERIES rebuilds,
     # plan-guard probes, bench reps — reuse the session's table
@@ -5147,12 +5146,12 @@ def bpe_tokenize_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distributed bpe_train diverged from the reference-trained "
             f"artifact: lengths {len(learned)}/{len(TRAINED_MERGES)}, "
             f"first differing rule {diff[0] if diff else 'none'}")
+    from data_services_spark.operators.bpe import bpe_tokenize
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.select(
-        "doc_id",
-        bpe_token_count("text", learned).alias("n_bpe_tokens"),
-        F.array_join(bpe_subwords("text", learned), " ")
-        .alias("bpe_text"))
+    # the staged tokenizer evaluates the learned chain ONCE per row
+    # (bpe_tokenize docstring); pruning drops the word/char columns
+    return bpe_tokenize(d, merges=learned).select(
+        "doc_id", "n_bpe_tokens", "bpe_text")
 
 
 @register("graph_bfs", """
