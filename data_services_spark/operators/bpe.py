@@ -318,33 +318,48 @@ TRAINED_MERGES: tuple[tuple[str, str], ...] = train_merges_py(
 
 def bpe_train(docs: "DataFrame", num_merges: int,
               text_col: str = "text", min_count: int = 2,
-              checkpoint_every: int = 16
+              checkpoint_every: int = 16,
+              max_driver_vocab: int = 1_000_000
               ) -> tuple[tuple[str, str], ...]:
-    """Learn a BPE merge table FROM the corpus, distributed (Sennrich
-    2016 §3; decision rules in the section comment above). Returns the
+    """Learn a BPE merge table FROM the corpus (Sennrich 2016 §3;
+    decision rules in the section comment above). Returns the
     driver-side artifact — a well-formed merge table ready for
     :func:`bpe_tokenize`/:func:`bpe_token_count` (the ``pq_train``
     pattern: train once, re-enter as literals).
 
-    Shape, per iteration, ALL on the word vocabulary (the corpus is
-    compressed to (word, freq) by one explode+groupBy up front —
-    at 100 TB the only corpus-sized work is that single shuffle;
-    every training step after it touches ~|V| rows):
+    The only corpus-sized work is ONE distributed explode+groupBy
+    compressing the corpus to (word, freq) — at 100 TB that single
+    shuffle is the whole corpus pass. The merge loop then runs on the
+    compressed vocabulary, picking its venue by size:
 
-    1. explode each vocab word's adjacent symbol pairs, groupBy(a, b),
-       freq-weighted count — one vocab-sized shuffle;
-    2. argmax by (count desc, pair asc), skipping output collisions —
-       a 1-row collect (bounded driver artifact);
-    3. one replace() pass re-encodes the vocab; persist the new
-       generation, drop the old (lineage localCheckpoints every
-       ``checkpoint_every`` rounds so the plan never accretes R
-       replace passes).
+    - vocab <= ``max_driver_vocab`` rows: collect it and run the
+      merge loop DRIVER-SIDE (:func:`train_merges_py`) — decision-
+      identical by the pinned parity proof, zero further Spark jobs.
+      Web-scale vocabularies after a min-frequency floor are a few
+      million rows (tens of MB) — the standard BPE-trainer shape, and
+      the same artifact-out venue pq_train uses for its codebooks.
+      This is also the path that keeps the trainer harness-safe: the
+      distributed loop's ~R collect jobs accumulated enough plan/
+      codegen state to OOM a bare default-heap driver session
+      (measured on the 1 GiB driver-sim harness), which the
+      one-collect driver path cannot.
+    - larger: the DISTRIBUTED loop below, per merge one vocab-sized
+      pair-count shuffle + a 1-row argmax collect + one replace()
+      re-encode (lineage localCheckpoints every ``checkpoint_every``
+      rounds); pass ``max_driver_vocab=0`` to force it (the parity
+      pytest does, so both venues stay decision-pinned).
     """
     words = (docs
              .select(F.explode(F.split(bpe_norm(text_col), " "))
                      .alias("w"))
              .where(F.col("w") != "")
              .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    if max_driver_vocab:
+        # bounded probe: never counts past the threshold + 1
+        n = words.limit(max_driver_vocab + 1).count()
+        if n <= max_driver_vocab:
+            wc = {r["w"]: r["c"] for r in words.collect()}
+            return train_merges_py(wc, num_merges, min_count)
     vocab = words.select(
         F.regexp_replace("w", "(.)", f"{_D}$1{_D}").alias("enc"),
         F.col("c")).persist()

@@ -5113,15 +5113,16 @@ FROM documents
 """)
 def bpe_tokenize_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-11 LEARNED-table BPE (the r10 verdict's missing #1,
-    operators/bpe.py:bpe_train): the Sennrich'16 learn loop runs
-    DISTRIBUTED each session over the fixed literal TRAIN_CORPUS —
-    one corpus-compressing explode+groupBy, then per merge one
-    vocab-sized pair-count shuffle + a 1-row argmax collect + one
-    replace() re-encode — and the resulting table must EQUAL the
-    import-time pure-Python-trained TRAINED_MERGES artifact (asserted
-    here, decision-parity also pytest-pinned), whose replace chain the
+    operators/bpe.py:bpe_train): the Sennrich'16 trainer re-learns the
+    fixed literal TRAIN_CORPUS each session — the corpus-compressing
+    explode+groupBy word-count pass runs on Spark, and the merge loop
+    auto-selects its venue by vocabulary size (driver-side here, the
+    vocab is ~120 rows; the distributed loop is the large-vocab path,
+    decision-parity pytest-pinned between venues) — and the resulting
+    table must EQUAL the import-time pure-Python-trained
+    TRAINED_MERGES artifact (asserted here), whose replace chain the
     oracle emits statically. A green driver hash therefore verifies
-    the trainer end to end, not just the tokenizer: if either trainer
+    the trainer end to end, not just the tokenizer: if the trainer
     drifted by one decision, the chains diverge and every document's
     segmentation hash-mismatches. Scoring itself stays the map-only
     1-scan/0-exchange/0-Python replace chain (plan-pinned)."""

@@ -237,7 +237,11 @@ def test_bpe_train_distributed_equals_reference(spark):
                               "doc_id long, text string")
     want = train_merges_py(_corpus_word_counts(texts), 25)
     assert want == _sennrich_train(_corpus_word_counts(texts), 25)
-    assert bpe_train(d, num_merges=25, checkpoint_every=4) == want
+    # both venues: the distributed loop (forced) and the auto-selected
+    # driver path over the distributed word-count pass
+    assert bpe_train(d, num_merges=25, checkpoint_every=4,
+                     max_driver_vocab=0) == want
+    assert bpe_train(d, num_merges=25) == want
 
 
 def test_trained_artifact_matches_reference_and_tokenizes_textbook(spark):
@@ -276,4 +280,5 @@ def test_bpe_train_on_real_corpus_matches_reference(spark):
              if r["text"] is not None]
     want = train_merges_py(_corpus_word_counts(texts), 12)
     assert len(want) == 12  # the corpus supports a full table
+    assert bpe_train(docs, num_merges=12, max_driver_vocab=0) == want
     assert bpe_train(docs, num_merges=12) == want
