@@ -83,8 +83,11 @@ def main() -> None:
     # (tools/bench_phases.py decomposes the same effect: plan-build totals
     # 0.61s across all 7 queries, so the r3->r6 total drift was never
     # engine plan-build growth).
-    llm_queries = () if os.environ.get("SPARK_GRAFT_BENCH_SKIP_LLM") \
-        else LLM_BENCH_QUERIES
+    # Parsed as a real boolean (r11 advice): "0"/"false"/"" keep the
+    # leg — raw truthiness made SKIP_LLM=0 skip it.
+    skip_llm = os.environ.get("SPARK_GRAFT_BENCH_SKIP_LLM", "") \
+        .strip().lower() in ("1", "true", "yes")
+    llm_queries = () if skip_llm else LLM_BENCH_QUERIES
     for _ in range(2):
         for name in BENCH_QUERIES + llm_queries:
             RAW_QUERIES[name](spark, sf_dir).toArrow()
@@ -153,19 +156,25 @@ def main() -> None:
             round(sorted(reps)[len(reps) // 2], 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_warm",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_marginal": marginal,
         "value_marginal": round(sum(marginal.values()), 4),
-        "queries_llm": timings_llm,
-        "queries_llm_marginal": marginal_llm,
-        "value_llm": round(sum(timings_llm.values()), 4),
-        "value_llm_marginal": round(sum(marginal_llm.values()), 4),
+        # When the LLM leg is skipped these are null, never 0 — a
+        # cross-round consumer must not read "0 seconds measured"
+        # (r11 advice).
+        "queries_llm": timings_llm if llm_queries else None,
+        "queries_llm_marginal": marginal_llm if llm_queries else None,
+        "value_llm": round(sum(timings_llm.values()), 4)
+        if llm_queries else None,
+        "value_llm_marginal": round(sum(marginal_llm.values()), 4)
+        if llm_queries else None,
         "sf": sf,
-    }))
+    }
+    print(json.dumps(out))
     spark.stop()
 
 

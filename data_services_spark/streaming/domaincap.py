@@ -26,9 +26,14 @@ Contract per micro-batch of (doc_id, domain):
    smaller arrivals are DELETED from the state (key-level
    delete_flag — no tombstones) and logged as 'evicted';
 5. per-batch decisions land idempotently: 'kept' (in the merged
-   keep-list), 'capped' (lost the bottom-k), 'null_id' (NULL doc_id —
-   excluded from candidacy, exactly as the batch operator excludes
-   NULL order values).
+   keep-list), 'capped' (lost the bottom-k), 'evicted' (a previously
+   kept id displaced from the state — takes precedence over 'capped'
+   when the same id also re-arrived in the displacing batch, so each
+   (domain, doc_id, batch_id) carries exactly one status), 'null_id'
+   (NULL doc_id — excluded from candidacy, exactly as the batch
+   operator excludes NULL order values). Input ids must be castable
+   to long and input domains must not equal the NULL sentinel — both
+   are validated per batch (loud fail, never silent reclassification).
 
 Equivalence contract (pytest-pinned): after ANY arrival order, the
 persisted state equals the batch ``min_k_per_group_scalable`` (equiv.
@@ -103,6 +108,30 @@ def cap_domain_batch(spark: SparkSession, batch: DataFrame,
     """The foreachBatch body (callable directly for batch backfills):
     decide kept/capped/evicted for ``batch`` against the per-domain
     keep-list state, update the state, write decisions."""
+    # Input-contract validation (r11 advice): ids must be numeric —
+    # a non-NULL id whose long cast is NULL would otherwise be
+    # silently reclassified 'null_id' and dropped from candidacy —
+    # and a caller-supplied domain may not equal the NULL sentinel
+    # (it would merge with the NULL group; url_domain-derived domains
+    # can never collide, but arbitrary domain_col input could). One
+    # bounded limit(1) probe per micro-batch.
+    bad = (batch.select(
+        F.col(domain_col).cast("string").alias("__d"),
+        F.col(id_col).alias("__raw"),
+        F.col(id_col).try_cast("long").alias("__cid"))
+        .where((F.col("__d") == NULL_DOMAIN) |
+               (F.col("__raw").isNotNull() & F.col("__cid").isNull()))
+        .limit(1).collect())
+    if bad:
+        r = bad[0]
+        if r["__d"] == NULL_DOMAIN:
+            raise ValueError(
+                f"domain value equals the NULL-group sentinel "
+                f"{NULL_DOMAIN!r}; reject or remap it upstream")
+        raise ValueError(
+            f"doc_id {r['__raw']!r} is not castable to long; the "
+            "domain-cap state keys ids as longs (same contract as "
+            "min_k_per_group_scalable's numeric order column)")
     rows = batch.select(
         F.coalesce(F.col(domain_col).cast("string"),
                    F.lit(NULL_DOMAIN)).alias("domain"),
@@ -154,7 +183,14 @@ def _cap_and_commit(spark: SparkSession, rows: DataFrame,
                        num_buckets=num_buckets, delete_flag="__del")
 
     kept = rows.join(merged, ["domain", "doc_id"], "left_semi")
-    capped = rows.join(merged, ["domain", "doc_id"], "left_anti")
+    # 'evicted' takes precedence over 'capped' (r11 advice): a state-
+    # kept id that re-arrives in the very batch that displaces it
+    # would otherwise log BOTH rows for one (domain, doc_id,
+    # batch_id); the eviction is the informative record — it retracts
+    # a previous 'kept', which subsumes "lost the bottom-k".
+    capped = (rows.join(merged, ["domain", "doc_id"], "left_anti")
+              .join(evicted.select("domain", "doc_id"),
+                    ["domain", "doc_id"], "left_anti"))
     decisions = (kept.withColumn("status", F.lit("kept"))
                  .unionByName(capped.withColumn("status",
                                                 F.lit("capped")))
@@ -194,7 +230,13 @@ def read_domain_cap_state(spark: SparkSession,
                           state_dir: str) -> DataFrame:
     """The live keep-list: (domain, doc_id) — batch-exact: equals
     min_k_per_group_scalable over the union of every ingested batch,
-    whatever the arrival order (module contract)."""
+    whatever the arrival order (module contract), MODULO the NULL
+    mapping: input rows with a NULL domain are stored (and returned
+    here) under the sentinel ``NULL_DOMAIN`` string, where the batch
+    operator keeps a literal NULL group — compare with
+    ``F.coalesce(domain, F.lit(NULL_DOMAIN))`` on the batch side.
+    ``cap_domain_batch`` rejects caller-supplied domains equal to the
+    sentinel, so the mapping is unambiguous by construction."""
     from data_services_spark.streaming.ingest import read_merged_state
     state = read_merged_state(spark, state_dir)
     return state.select("domain",

@@ -1332,3 +1332,41 @@ def test_stream_domain_cap_replay_idempotent_and_nulls(spark, tmp_path):
                 spark, state_dir).collect()}
     assert state2 == state1
     assert dec2 == dec1
+
+
+def test_stream_domain_cap_input_contract_and_one_status_per_key(
+        spark, tmp_path):
+    """r11-advice hardening: (1) a same-batch re-arrival of a state-
+    kept id that the batch displaces yields exactly ONE decision row
+    ('evicted' takes precedence over 'capped'); (2) non-long-castable
+    ids fail loudly instead of silently becoming 'null_id'; (3) a
+    caller-supplied domain equal to the NULL sentinel is rejected."""
+    import pytest
+
+    from data_services_spark.streaming.domaincap import (
+        NULL_DOMAIN, cap_domain_batch, read_domain_cap_decisions,
+    )
+
+    SCHEMA = "doc_id long, domain string"
+    state_dir = str(tmp_path / "state")
+    cap_domain_batch(spark, spark.createDataFrame(
+        [(10, "a.com"), (20, "a.com")], SCHEMA), state_dir, 0, k=2)
+    # batch 1 re-sends 20 AND displaces it (5, 7 are both smaller)
+    cap_domain_batch(spark, spark.createDataFrame(
+        [(5, "a.com"), (7, "a.com"), (20, "a.com")], SCHEMA),
+        state_dir, 1, k=2)
+    dec = [(r.domain, r.doc_id, r.status, r.batch_id)
+           for r in read_domain_cap_decisions(spark, state_dir).collect()]
+    twenty_b1 = [d for d in dec if d[1] == 20 and d[3] == 1]
+    assert twenty_b1 == [("a.com", 20, "evicted", 1)]
+    # every (domain, doc_id, batch_id) carries exactly one status
+    keys = [(d[0], d[1], d[3]) for d in dec]
+    assert len(keys) == len(set(keys))
+
+    with pytest.raises(ValueError, match="not castable to long"):
+        cap_domain_batch(spark, spark.createDataFrame(
+            [("docA", "a.com")], "doc_id string, domain string"),
+            state_dir, 2, k=2, id_col="doc_id")
+    with pytest.raises(ValueError, match="sentinel"):
+        cap_domain_batch(spark, spark.createDataFrame(
+            [(1, NULL_DOMAIN)], SCHEMA), state_dir, 2, k=2)
