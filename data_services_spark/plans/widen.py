@@ -1,0 +1,78 @@
+"""Narrow-scan widening guard (round-12; the r11 verdict's What's-wrong
+#1): serial per-row chains — the BPE replace chain, the crawl regex
+stack, Arrow mapInPandas kernels — are map-only and ride the scan at
+cluster scale, but ONLY when input splits >= cores. A single parquet
+file under ``spark.sql.files.maxPartitionBytes`` is one split, so at
+local sf1 the ~90-pass chain ran on 1 of 32 cores (424s Spark vs
+111.6s DuckDB, BASELINE_EXACT_sf1.json). One cheap round-robin
+shuffle of the slim pre-chain projection buys cores-wide parallelism
+on exactly the inputs where the chain dominates.
+
+Policy (why both conditions):
+
+- ``partitions < defaultParallelism`` — if the scan already yields
+  >= cores splits (any real multi-file/multi-row-group dataset, and
+  any 100 TB table), widening is a no-op shuffle: skip it.
+- input size >= ``min_bytes`` (default 2 MB, env-overridable via
+  SPARK_GRAFT_WIDEN_MIN_BYTES) — sub-second small-sf runs keep their
+  pinned 0-exchange map-only plans (the shuffle would cost more than
+  it saves, and the plan-guard suite pins those shapes). When the
+  input size cannot be determined (non-local URIs — object stores,
+  HDFS), the guard WIDENS: splits < cores under a serial chain is
+  always worth one bounded shuffle at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+DEFAULT_MIN_BYTES = 2 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total size of the plan's input files, or None when unknowable
+    (non-local storage). Driver-side stat calls only — no job."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" not in uri:
+            path = uri
+        else:
+            return None  # remote storage: size unknown here
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
+                    ) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism`` iff the scan is
+    narrower than the core count AND the input is big enough that a
+    serial chain over it dominates the shuffle cost (module policy).
+    Returns ``df`` unchanged otherwise — small-sf plan pins hold."""
+    if min_bytes is None:
+        min_bytes = int(os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES",
+                                       DEFAULT_MIN_BYTES))
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts >= cores:
+        return df
+    size = _input_bytes(df)
+    if size is not None and size < min_bytes:
+        return df
+    return df.repartition(cores)

@@ -305,6 +305,14 @@ EXPECTED = {
     # this pins is the same map-only replace chain as bpe_tokenize.
     "bpe_tokenize_trained": dict(scans=1, pushed_min=0, joins=set(),
                                  exchanges_max=0, single_max=0, py=0),
+    # round-12 real-vocabulary form: ONE scan feeding ONE Arrow
+    # mapInPandas kernel (the py=1 is the design, not a leak — the
+    # merge loop must run in Python to stay flat in merge-table size);
+    # still zero exchanges/joins at pinned small-sf shape (the widen
+    # guard adds its round-robin exchange only past the size
+    # threshold, pinned separately in test_widen.py).
+    "bpe_tokenize_dict": dict(scans=1, pushed_min=0, joins=set(),
+                              exchanges_max=0, single_max=0, py=1),
     # round-11: the (doc_id, n_tokens) projection persists one-slot
     # (sampling._PACK_CACHE) before the prefix-sum machinery, so the
     # ~R-pass BPE replace chain executes ONCE — exactly one parquet

@@ -1,0 +1,81 @@
+"""Narrow-scan widening guard (plans/widen.py, round 12 — the r11
+verdict's What's-wrong #1): the serial-chain queries repartition to
+cores exactly when (splits < cores) AND (input >= threshold), and the
+small-sf pinned 0-exchange plans stay untouched."""
+
+from __future__ import annotations
+
+import os
+
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _n_parts(df) -> int:
+    return df.rdd.getNumPartitions()
+
+
+def test_widen_noop_below_threshold(spark):
+    """sf0.01 documents (65 KB) sits under the 2 MB default: the scan
+    keeps its single split and the plan gains no exchange — the
+    pinned map-only shapes hold."""
+    from data_services_spark.plans.widen import widen_if_narrow
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+    out = widen_if_narrow(d)
+    assert out is d  # unchanged handle: no Repartition node at all
+
+
+def test_widen_repartitions_large_narrow_scan(spark):
+    """Past the threshold a 1-split scan widens to defaultParallelism
+    via ONE round-robin exchange; results are identical row-for-row
+    (repartition changes partitioning, never values)."""
+    from data_services_spark.operators.bpe import bpe_tokenize
+    from data_services_spark.plans.widen import widen_if_narrow
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    wide = widen_if_narrow(d, min_bytes=1)  # force: any size qualifies
+    assert _n_parts(wide) == cores
+    plan = wide._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan
+
+    base = sorted(tuple(r) for r in bpe_tokenize(d).collect())
+    widened = sorted(tuple(r) for r in bpe_tokenize(wide).collect())
+    assert widened == base
+
+
+def test_widen_noop_when_already_wide(spark):
+    """splits >= cores: no shuffle is ever added, whatever the size."""
+    from data_services_spark.plans.widen import widen_if_narrow
+
+    d = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert widen_if_narrow(d, min_bytes=1) is d
+
+
+def test_widened_tokenizers_stay_value_exact(spark):
+    """End to end at a forced-low threshold: bpe_tokenize and
+    bpe_tokenize_dict both gain the exchange and still produce the
+    exact same rows as their unwidened forms (the sf1 correctness
+    contract for the widen fix)."""
+    from data_services_spark.operators.bpe import (
+        bpe_tokenize, bpe_tokenize_dict,
+    )
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+    os.environ["SPARK_GRAFT_WIDEN_MIN_BYTES"] = "1"
+    try:
+        chain = bpe_tokenize(d)
+        kern = bpe_tokenize_dict(d)
+        assert _n_parts(chain) == spark.sparkContext.defaultParallelism
+        assert _n_parts(kern) == spark.sparkContext.defaultParallelism
+        rows_c = sorted(tuple(r) for r in chain.collect())
+        rows_k = sorted(tuple(r) for r in kern.collect())
+    finally:
+        del os.environ["SPARK_GRAFT_WIDEN_MIN_BYTES"]
+    base = sorted(tuple(r) for r in bpe_tokenize(d).collect())
+    assert rows_c == base
+    assert rows_k == base
