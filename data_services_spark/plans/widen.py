@@ -55,6 +55,35 @@ def _input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def rebalance_if_small(df: DataFrame, source: DataFrame,
+                       max_bytes: int | None = None) -> DataFrame:
+    """Round-robin repartition to cores AFTER a shuffle-producing
+    stage, gated on the SOURCE scan being SMALL (default <= 64 MB,
+    env SPARK_GRAFT_REBALANCE_MAX_BYTES).
+
+    The inverse gate of :func:`widen_if_narrow`, for the stage AFTER
+    a groupBy: AQE's coalescing is byte-based (advisory /
+    minPartitionSize), so a tiny shuffle output collapses to one
+    task — correct when the downstream is cheap, serializing when it
+    carries a heavy per-row chain (measured: crawl_ingest's
+    synth+extract+classifier stages all ran 1-task at sf0.1, the
+    whole post-dedup pipeline on one core). At bench scale the extra
+    explicit exchange costs ~ms and buys cores-wide parallelism; at
+    real scale the gate is OFF (input unknown or large) and AQE's own
+    sizing already yields wide stages — the explicit shuffle would be
+    a pure corpus-sized waste, which is why this is size-gated rather
+    than unconditional. ``repartition(n)`` with an explicit count is
+    REPARTITION_BY_NUM, which AQE never re-coalesces."""
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("SPARK_GRAFT_REBALANCE_MAX_BYTES",
+                                       64 * 1024 * 1024))
+    size = _input_bytes(source)
+    if size is None or size > max_bytes:
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(cores)
+
+
 def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
                     ) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff the scan is

@@ -3106,11 +3106,13 @@ def crawl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonicalize_url, html_to_text, synth_html, synth_url,
         url_domain,
     )
-    from data_services_spark.plans.widen import widen_if_narrow
+    from data_services_spark.plans.widen import (
+        rebalance_if_small, widen_if_narrow,
+    )
     # widen guard (round 12): the pre-shuffle half (URL synth +
     # canonicalization regexes) runs on the scan's splits — a 1-split
-    # sf1 file would serialize it on one core; post-shuffle stages
-    # already run at shuffle parallelism (plans/widen.py)
+    # sf1 file would serialize it on one core; the post-shuffle half
+    # gets the inverse treatment below (plans/widen.py)
     d = widen_if_narrow(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     half = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
@@ -3122,6 +3124,11 @@ def crawl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.min_by("text", "doc_id").alias("text"),
         F.min_by("domain", "doc_id").alias("domain"))
+    # post-shuffle rebalance (round 12, measured): AQE byte-coalesced
+    # the tiny dedup shuffle to ONE task, serializing the heavy
+    # synth->extract->classify chain on one core at bench scale;
+    # size-gated so real-scale plans never pay an extra corpus shuffle
+    surv = rebalance_if_small(surv, d)
     page = surv.select("doc_id", "domain",
                        synth_html("text", "doc_id").alias("page"))
     x = page.select("doc_id", "domain",

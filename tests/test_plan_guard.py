@@ -360,12 +360,17 @@ EXPECTED = {
                               exchanges_max=0, single_max=0, py=0),
     # round-9 ingest capstone: URL synth -> canonicalize -> exact-URL
     # dedup -> HTML synth -> extract -> classifier gate fuses into ONE
-    # scan and ONE exchange (the first-wins dedup groupBy) — the
-    # min_by merge device carries text/domain through the shuffle so
-    # no stage needs a join, and every other stage is map-side string
-    # algebra or a per-row fold. Zero Python.
+    # scan and ONE+ONE exchanges — the first-wins dedup groupBy plus
+    # (round 12) the size-gated post-shuffle rebalance that stops AQE
+    # byte-coalescing from serializing the heavy synth/extract/
+    # classify chain on one task at bench scale (plans/widen.py:
+    # rebalance_if_small; OFF at real scale, so 100 TB plans keep the
+    # single dedup exchange). The min_by merge device carries
+    # text/domain through the shuffle so no stage needs a join, and
+    # every other stage is map-side string algebra or a per-row fold.
+    # Zero Python.
     "crawl_ingest": dict(scans=1, pushed_min=0, joins=set(),
-                         exchanges_max=1, single_max=0, py=0),
+                         exchanges_max=2, single_max=0, py=0),
 }
 
 
