@@ -6352,41 +6352,37 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # ROUND 11 window. Never driver-hash-verified oracle-bearing
-    # names first: the four round-10 post-rotation additions
-    # (bpe_fertility, doc_chunks_bpe, domain_cap, vocab_topk_bpe —
-    # each sweep-strict-green at both sfs since they landed) plus the
-    # round-11 learned-table trainer query. A green here closes the
-    # cumulative driver-hash union at 173/173 oracle-bearing (r10
-    # closed it at 168/168; these five are the only additions).
-    "bpe_fertility", "doc_chunks_bpe", "domain_cap", "vocab_topk_bpe",
-    "bpe_tokenize_trained",
-    # stalest re-checks: after the all-strict r10 window, the oldest
-    # standing greens are the 29 names last verified in ROUND 6 (they
-    # held r4-era slots and have rotated through sweeps since) — all
-    # 29 re-enter — then 6 of the 12 r8-green names, chosen for
-    # family breadth (F1/F2 string/date kernels, the quality/diff/
-    # order/build capstones). The 6 r8 names left for r12 are
-    # in-family demos with in-window proxies: q5/q17/q22 (J5/J6 have
-    # q1/q3/kgx_connected_subset pinned plus the full r9-green TPC-H
-    # block), agg_hyperedge/agg_incremental/stats_corr (A-family:
-    # record_counts pinned, hist/stats_exact/percentile in-window).
-    # Every rotated-out name keeps its last green + the per-round
-    # Arrow-strict sweeps at two scale factors.
-    # last green r6 (29)
-    "cohort_retention", "cond_agg_priority", "conditional_null",
-    "corpus_report", "dataset_split", "event_funnel", "fuzzy_dedup",
-    "graph_build_nodes", "hist_prices", "join_asof_forward",
-    "join_asof_nearest", "knn_per_label", "length_batching",
-    "length_batching_scalable", "outlier_zscore", "pagerank_parts",
-    "percentile_qty", "pivot_status", "q12_priority_lines",
-    "quality_report", "resample_gapfill", "sample_stratified",
-    "stats_exact", "stream_interval_join", "table_checksum",
-    "text_redact", "token_count_regex", "unpivot_metrics",
-    "winsorize_qty",
-    # last green r8 (6 of 12)
-    "string_functions", "date_functions", "quality_fk", "table_diff",
-    "order_export", "graph_build",
+    # ROUND 12 window. The one never-driver-verified oracle-bearing
+    # addition first: the round-12 real-vocabulary tokenizer form
+    # (bpe_tokenize_dict — shares bpe_tokenize's oracle verbatim, so
+    # its green hash proves the two physical forms row-for-row
+    # equal). A green here closes the cumulative driver-hash union at
+    # 174/174 oracle-bearing.
+    "bpe_tokenize_dict",
+    # the 6 names COVERAGE.md scheduled for r12 (last green r8 —
+    # q5/q17/q22, agg_hyperedge, agg_incremental, stats_corr)
+    "q5_region_revenue", "q17_small_qty", "q22_lost_customers",
+    "agg_hyperedge", "agg_incremental", "stats_corr",
+    # then the stalest standing greens: 33 of the 38 last-green-r7
+    # names. The 5 left for r13 are in-family demos with in-window
+    # proxies: agg_rollup (A9: agg_grouping_sets in-window),
+    # filter_threshold (P4: q1 pinned), join_anti (J6: join_semi
+    # in-window + kgx_norm_failures' anti), set_intersect (U2:
+    # union_merge in-window), winnow_pairs (L9: winnow_rows +
+    # winnow_clone_clusters in-window). Every rotated-out name keeps
+    # its last green + the per-round Arrow-strict sweeps at two
+    # scale factors.
+    "agg_grouping_sets", "agg_stats", "array_functions",
+    "cluster_collect", "corpus_curate", "corpus_dedup",
+    "dedup_components", "distinct_rows", "doc_fingerprint",
+    "filter_membership", "filter_validity", "ivf_fixed_topk",
+    "join_semi", "kgx_edge_normalize", "kgx_norm_failures",
+    "knn_cosine", "lang_id", "minhash_lsh_md5", "multimodal_decode",
+    "multimodal_meta", "near_dup_jaccard", "proj_curie",
+    "session_window", "source_mixture", "text_quality", "top_k",
+    "udtf_tokenize", "union_merge", "window_analytics",
+    "window_running_sum", "winnow_clone_clusters", "winnow_rows",
+    "zorder_cluster",
 )
 
 
