@@ -41,6 +41,7 @@ LLM_BENCH_QUERIES = (
     "crawl_ingest",       # URL canon -> dedup -> extract -> classify
     "text_dedup_exact",   # sha2 groupBy exact dedup
     "bpe_tokenize",       # subword replace-chain tokenizer
+    "bpe_tokenize_dict",  # real-vocab Arrow kernel twin (round 12)
 )
 
 # SPARK_GRAFT_BENCH_SKIP_LLM=1 drops the LLM leg (the sf1 refresh runs

@@ -47,6 +47,9 @@ LLM_BENCH_QUERIES = (
     "crawl_ingest",
     "text_dedup_exact",
     "bpe_tokenize",
+    # the dict-kernel twin shares bpe_tokenize's oracle SQL verbatim,
+    # so its DuckDB baseline is the same chain run under its own name
+    "bpe_tokenize_dict",
 )
 
 
