@@ -5070,7 +5070,7 @@ def bpe_tokenize_dict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize_dict(d)
 
 
-@register("token_packing_bpe", f"""
+_TOKEN_PACKING_BPE_SQL = f"""
 WITH toks AS (
     SELECT doc_id, {_bpe_frag()['n_bpe']} AS n_tokens
     FROM documents
@@ -5083,7 +5083,10 @@ WITH toks AS (
     FROM toks
 )
 SELECT doc_id, n_tokens, CAST(p // 512 AS BIGINT) AS chunk_id FROM pre
-""")
+"""
+
+
+@register("token_packing_bpe", _TOKEN_PACKING_BPE_SQL)
 def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_packing with MODEL-REAL budgets (round-10): the exclusive
     prefix-sum sharding unchanged, but counting BPE subword tokens via
@@ -5098,6 +5101,26 @@ def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return pack_by_token_budget(
         d, budget=512, token_count=bpe_token_count("text"))
+
+
+@register("token_packing_dict", _TOKEN_PACKING_BPE_SQL)
+def token_packing_dict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 composition proof for the real-vocabulary kernel:
+    token_packing_bpe's EXACT oracle (same SQL verbatim) fed by
+    bpe_tokenize_dict's Arrow-kernel counts instead of the replace
+    chain — a green driver hash proves the kernel's per-document
+    token counts are bit-equal to the chain's through the whole
+    scalable prefix-sum machinery. The (doc_id, n_tokens) projection
+    persists one-slot exactly as token_packing_bpe's does, so the
+    kernel executes once."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.operators.bpe import bpe_tokenize_dict
+    from data_services_spark.operators.sampling import pack_by_token_budget
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = bpe_tokenize_dict(d).select("doc_id", "n_bpe_tokens")
+    return pack_by_token_budget(
+        toks, budget=512, token_count=F.col("n_bpe_tokens"))
 
 
 @register("doc_chunks_bpe", f"""
@@ -6352,27 +6375,30 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # ROUND 12 window. The one never-driver-verified oracle-bearing
-    # addition first: the round-12 real-vocabulary tokenizer form
+    # ROUND 12 window. The never-driver-verified oracle-bearing
+    # additions first: the round-12 real-vocabulary tokenizer form
     # (bpe_tokenize_dict — shares bpe_tokenize's oracle verbatim, so
-    # its green hash proves the two physical forms row-for-row
-    # equal). A green here closes the cumulative driver-hash union at
-    # 174/174 oracle-bearing.
-    "bpe_tokenize_dict",
+    # its green hash proves the two physical forms row-for-row equal)
+    # and token_packing_dict (the composition proof feeding the
+    # kernel's counts through token_packing_bpe's exact oracle). A
+    # green here closes the cumulative driver-hash union at 175/175
+    # oracle-bearing.
+    "bpe_tokenize_dict", "token_packing_dict",
     # the 6 names COVERAGE.md scheduled for r12 (last green r8 —
     # q5/q17/q22, agg_hyperedge, agg_incremental, stats_corr)
     "q5_region_revenue", "q17_small_qty", "q22_lost_customers",
     "agg_hyperedge", "agg_incremental", "stats_corr",
-    # then the stalest standing greens: 33 of the 38 last-green-r7
-    # names. The 5 left for r13 are in-family demos with in-window
-    # proxies: agg_rollup (A9: agg_grouping_sets in-window),
+    # then the stalest standing greens: 32 of the 38 last-green-r7
+    # names. The 6 left for r13 are in-family demos with in-window
+    # proxies: agg_stats (A8 moments: stats_corr + agg_incremental
+    # in-window), agg_rollup (A9: agg_grouping_sets in-window),
     # filter_threshold (P4: q1 pinned), join_anti (J6: join_semi
     # in-window + kgx_norm_failures' anti), set_intersect (U2:
     # union_merge in-window), winnow_pairs (L9: winnow_rows +
     # winnow_clone_clusters in-window). Every rotated-out name keeps
     # its last green + the per-round Arrow-strict sweeps at two
     # scale factors.
-    "agg_grouping_sets", "agg_stats", "array_functions",
+    "agg_grouping_sets", "array_functions",
     "cluster_collect", "corpus_curate", "corpus_dedup",
     "dedup_components", "distinct_rows", "doc_fingerprint",
     "filter_membership", "filter_validity", "ivf_fixed_topk",

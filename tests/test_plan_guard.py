@@ -326,6 +326,18 @@ EXPECTED = {
         scans=1, pushed_min=0,
         joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         exchanges_max=5, single_max=3, py=0),
+    # round-12 composition twin: identical packing machinery fed by
+    # the Arrow kernel's counts. scans=1 as in token_packing_bpe (the
+    # one-slot persist); py=4 is TEXTUAL duplication of the cached
+    # kernel subtree across the prefix-sum branches — the EXECUTED
+    # kernel runs once (the cache materializes on the first branch;
+    # the same textual-vs-executed distinction token_packing_bpe's
+    # r11 scans note documents), pinned so a second REAL Python
+    # boundary appearing would still fail loudly.
+    "token_packing_dict": dict(
+        scans=1, pushed_min=0,
+        joins={"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        exchanges_max=5, single_max=3, py=4),
     # the subword vocab audit: explode rides the scan, ONE groupBy
     # exchange, top-k via TakeOrderedAndProject (asserted with the
     # dsir/bm25 pin below), zero Python.
