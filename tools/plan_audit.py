@@ -48,6 +48,8 @@ AUDIT_QUERIES = (
     "vocab_topk_bpe", "bpe_fertility", "domain_cap",
     # round 11
     "bpe_tokenize_trained",
+    # round 12
+    "bpe_tokenize_dict", "token_packing_dict",
 )
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -56,6 +58,26 @@ SF_DIR = "/root/testdata/sf0.1"
 # shapes whose TEXTUAL counts mislead (the counts above are regex over
 # the plan print).
 NOTES = {
+    "bpe_tokenize_dict": (
+        "- NOTE (round 12): the MapInPandas boundary IS the design — "
+        "the min-rank merge loop must run in Python to stay flat in "
+        "merge-table size (the chain form is linear in it); the "
+        "per-task distinct-word cache makes kernel cost O(distinct "
+        "words per task) under Zipf. Zero exchanges at this sf; the "
+        "widen guard adds one round-robin exchange only past the "
+        "2 MB input gate (plans/widen.py)."),
+    "token_packing_dict": (
+        "- NOTE (round 12): same one-slot persist as "
+        "token_packing_bpe — the Arrow kernel executes ONCE (textual "
+        "duplication of the cached subtree across prefix-sum branches "
+        "is a print artifact, same class as image_near_dup's note)."),
+    "crawl_ingest": (
+        "- NOTE (round 12): the second exchange is the size-gated "
+        "post-dedup rebalance_if_small (plans/widen.py) — AQE "
+        "byte-coalescing otherwise serialized the synth/extract/"
+        "classify chain on one task at bench scale; the gate is OFF "
+        "for large inputs, so a 100 TB plan keeps the single dedup "
+        "exchange."),
     "token_packing_bpe": (
         "- NOTE (round 11): the (doc_id, n_tokens) projection persists "
         "one-slot before the prefix-sum machinery, so the BPE replace "
