@@ -2580,7 +2580,11 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums, so the double is bit-stable cross-engine."""
     from data_services_spark.operators.bpe import bpe_norm, bpe_token_count
     from data_services_spark.operators.text import lang_id
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from data_services_spark.plans.widen import widen_if_narrow
+    # round 12: the per-row chain rides the scan — widen a 1-split
+    # large input so it does not serialize on one core (plans/widen.py)
+    d = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     norm = bpe_norm("text")
     nw = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
         F.size(F.split(norm, " "))).cast("long")
@@ -4752,7 +4756,11 @@ def vocab_topk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the top-k is TakeOrderedAndProject, never a global
     sort."""
     from data_services_spark.operators.bpe import bpe_subwords
-    d = load_table(spark, sf_dir, "documents")
+    from data_services_spark.plans.widen import widen_if_narrow
+    # round 12: the segmentation chain runs map-side BEFORE the
+    # groupBy — widen a 1-split large input (plans/widen.py)
+    d = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return (d.select(F.explode(bpe_subwords("text")).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "token").limit(100))
@@ -5149,7 +5157,11 @@ def doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     from data_services_spark.operators.bpe import bpe_subwords
     from data_services_spark.operators.text import chunk_documents
-    d = load_table(spark, sf_dir, "documents")
+    from data_services_spark.plans.widen import widen_if_narrow
+    # round 12: the segmentation chain evaluates inside the chunk
+    # explode — widen a 1-split large input (plans/widen.py)
+    d = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return chunk_documents(d, chunk_tokens=64, stride=48,
                            tokens=bpe_subwords("text"))
 
