@@ -201,7 +201,12 @@ def bpe_tokenize(docs: DataFrame, text_col: str = "text",
     """Per-document BPE accounting: (id, n_words, n_chars,
     n_bpe_tokens, bpe_text) where ``bpe_text`` is the space-joined
     subword segmentation. One map-only projection — zero shuffle,
-    zero Python.
+    zero Python. DEMO-TABLE SCALE ONLY in merge count: the nested
+    replace() expression tree overflows the JVM stack at a few
+    hundred rules during plan CONSTRUCTION (measured: 400 merges ->
+    StackOverflowError; SCALE.md round 12) — use
+    :func:`bpe_tokenize_dict` for real vocabularies; the two forms
+    are oracle-hash-equal where both run.
 
     STAGED (round 11, measured 1.65x): the replace chain materializes
     ONCE as a first-Project column (``__enc``) and every output
