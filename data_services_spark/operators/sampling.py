@@ -207,8 +207,18 @@ def pack_by_token_budget(docs: DataFrame, budget: int,
         persist = token_count is not None
     if token_count is None:
         token_count = F.size(tokenize(text_col))
-    toks = docs.select(F.col(doc_id),
-                       token_count.cast("long").alias("n_tokens"))
+    src = docs
+    if persist:
+        # round 12: an expensive token_count riding a 1-split large
+        # scan would materialize the persist slot on ONE core (the
+        # widen_if_narrow contract; measured 157s serial at sf1).
+        # Widening the SOURCE (not the projection) keeps the chain
+        # post-shuffle: the exchange carries raw rows, column pruning
+        # still reaches the scan, and small-sf plans are unchanged.
+        from data_services_spark.plans.widen import widen_if_narrow
+        src = widen_if_narrow(docs)
+    toks = src.select(F.col(doc_id),
+                      token_count.cast("long").alias("n_tokens"))
     if persist:
         from data_services_spark.functions.cache import persist_slot
         toks = persist_slot(_PACK_CACHE, toks)
