@@ -5094,6 +5094,32 @@ SELECT doc_id, n_tokens, CAST(p // 512 AS BIGINT) AS chunk_id FROM pre
 """
 
 
+@register("stream_tokenize", _BPE_TOKENIZE_SQL,
+          cache_plan=False)  # drains a stream per call
+def stream_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-family x L26 (round 12): BPE tokenization on the STREAMING
+    ingest path — a stateless map over a REAL readStream of the
+    documents table (file source, availableNow drain to a memory
+    sink), segmenting each arriving document with the same staged
+    replace chain as the batch `bpe_tokenize`, whose oracle this
+    query shares — every streamed row hash-matches the batch result.
+    This is where token accounting actually runs at 100 TB/day: on
+    ingest, before anything lands, with no state store and no
+    watermark because the segmentation is a pure per-row function
+    (the stream_classify device applied to the tokenizer). The widen
+    guard no-ops on a streaming plan by design (plans/widen.py
+    falls back when .rdd is unavailable) — parallelism follows the
+    micro-batch's file splits."""
+    from data_services_spark.operators.bpe import bpe_tokenize
+    from data_services_spark.streaming.events import run_to_memory_sink
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    stream = (spark.readStream.schema(schema)
+              .parquet(_stream_table_dir(sf_dir, "documents")))
+    toks = bpe_tokenize(stream.select("doc_id", "text"))
+    return run_to_memory_sink(toks, name="__bench_stream_tokenize")
+
+
 @register("token_packing_bpe", _TOKEN_PACKING_BPE_SQL)
 def token_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_packing with MODEL-REAL budgets (round-10): the exclusive
@@ -6395,22 +6421,24 @@ PRIORITY = (
     # kernel's counts through token_packing_bpe's exact oracle). A
     # green here closes the cumulative driver-hash union at 175/175
     # oracle-bearing.
-    "bpe_tokenize_dict", "token_packing_dict",
+    "bpe_tokenize_dict", "token_packing_dict", "stream_tokenize",
     # the 6 names COVERAGE.md scheduled for r12 (last green r8 —
     # q5/q17/q22, agg_hyperedge, agg_incremental, stats_corr)
     "q5_region_revenue", "q17_small_qty", "q22_lost_customers",
     "agg_hyperedge", "agg_incremental", "stats_corr",
-    # then the stalest standing greens: 32 of the 38 last-green-r7
-    # names. The 6 left for r13 are in-family demos with in-window
+    # then the stalest standing greens: 31 of the 38 last-green-r7
+    # names. The 7 left for r13 are in-family demos with in-window
     # proxies: agg_stats (A8 moments: stats_corr + agg_incremental
-    # in-window), agg_rollup (A9: agg_grouping_sets in-window),
+    # in-window), array_functions (F4: proj_curie in-window +
+    # json_props pinned + r11-green string/date kernels),
+    # agg_rollup (A9: agg_grouping_sets in-window),
     # filter_threshold (P4: q1 pinned), join_anti (J6: join_semi
     # in-window + kgx_norm_failures' anti), set_intersect (U2:
     # union_merge in-window), winnow_pairs (L9: winnow_rows +
     # winnow_clone_clusters in-window). Every rotated-out name keeps
     # its last green + the per-round Arrow-strict sweeps at two
     # scale factors.
-    "agg_grouping_sets", "array_functions",
+    "agg_grouping_sets",
     "cluster_collect", "corpus_curate", "corpus_dedup",
     "dedup_components", "distinct_rows", "doc_fingerprint",
     "filter_membership", "filter_validity", "ivf_fixed_topk",
