@@ -461,3 +461,109 @@ def test_bpe_train_batched_rounds_and_parity(spark):
         [("a", "b"), ("c", "d"), ("e", "f")]
     stats = [("a", "b", 10), ("b", "c", 9)]
     assert _safe_merge_batch(stats, False, set(), 10) == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# Property tests (round 12): the batched-selector and the two-form
+# equivalence under RANDOM vocabularies — pure-Python simulations of
+# the Spark loops, so hypothesis can afford hundreds of cases.
+
+
+def _stats_of(vocab):
+    st_ = {}
+    for syms, c in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            st_[p] = st_.get(p, 0) + c
+    return st_
+
+
+def _simulate_batched(wc, num_merges, min_count=2, stats_width=512):
+    """Driver-side mirror of bpe_train's distributed strict-order
+    loop: per round, priority-sorted (truncated) stats ->
+    _safe_merge_batch -> apply the batch sequentially."""
+    from data_services_spark.operators.bpe import (
+        _merge_word, _safe_merge_batch,
+    )
+
+    vocab = {tuple(w): c for w, c in wc.items() if w}
+    merges, outputs = [], set()
+    while len(merges) < num_merges:
+        st_ = _stats_of(vocab)
+        cands = sorted(
+            ((a, b, c) for (a, b), c in st_.items()
+             if c >= min_count and a + b not in outputs),
+            key=lambda t: (-t[2], t[0], t[1]))[:stats_width]
+        if not cands:
+            break
+        batch = _safe_merge_batch(
+            cands, truncated=len(cands) >= stats_width,
+            outputs=outputs, limit=num_merges - len(merges))
+        if not batch:
+            break
+        for a, b in batch:
+            merges.append((a, b))
+            outputs.add(a + b)
+            nv = {}
+            for syms, c in vocab.items():
+                m = _merge_word(syms, a, b)
+                nv[m] = nv.get(m, 0) + c
+            vocab = nv
+    return tuple(merges)
+
+
+def test_safe_batch_property_random_vocabs():
+    """THE decision-parity property for the batched trainer: on
+    hundreds of random Zipf-ish vocabularies over a tiny alphabet
+    (maximally conflict- and tie-prone), the batched strict-order
+    simulation produces the IDENTICAL merge table to the sequential
+    reference — at full stats width AND under aggressive truncation
+    (width 3, where the tail bound must hold)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_services_spark.operators.bpe import train_merges_py
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+    wc_strategy = st.dictionaries(word, st.integers(1, 30),
+                                  min_size=1, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(wc=wc_strategy, n=st.integers(1, 20),
+           width=st.sampled_from([3, 5, 512]))
+    def prop(wc, n, width):
+        want = train_merges_py(wc, n)
+        got = _simulate_batched(wc, n, stats_width=width)
+        assert got == want, (wc, n, width)
+
+    prop()
+
+
+def test_min_rank_equals_ascending_pass_random_tables():
+    """The two-form equivalence (module-docstring proof) on RANDOM
+    learned tables: _bpe_word's min-rank loop == the ascending-pass
+    evaluation the replace chain implements, word by word, for
+    tables trained from random corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_services_spark.operators.bpe import (
+        _bpe_word, _merge_word, train_merges_py,
+    )
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+    wc_strategy = st.dictionaries(word, st.integers(1, 20),
+                                  min_size=1, max_size=10)
+
+    @settings(max_examples=300, deadline=None)
+    @given(wc=wc_strategy, n=st.integers(1, 25),
+           probe=st.text(alphabet="abcd", min_size=0, max_size=12))
+    def prop(wc, n, probe):
+        table = train_merges_py(wc, n, min_count=1)
+        ranks = {p: i for i, p in enumerate(table)}
+        got = list(_bpe_word(probe, table, ranks)) if probe else []
+        # ascending-pass: one left-to-right pass per rule, in rank order
+        syms = tuple(probe)
+        for a, b in table:
+            syms = _merge_word(syms, a, b)
+        assert got == list(syms), (wc, n, probe, table)
+
+    prop()
