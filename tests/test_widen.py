@@ -79,3 +79,27 @@ def test_widened_tokenizers_stay_value_exact(spark):
     base = sorted(tuple(r) for r in bpe_tokenize(d).collect())
     assert rows_c == base
     assert rows_k == base
+
+
+def test_rebalance_if_small_gate(spark):
+    """rebalance_if_small: repartitions to cores when the SOURCE scan
+    is under the gate, is a no-op above it (a real-scale plan must
+    never pay the extra shuffle), and never changes values."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.plans.widen import rebalance_if_small
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+    grouped = src.groupBy((F.col("doc_id") % 7).alias("g")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+
+    on = rebalance_if_small(grouped, src)  # 65 KB source: gate ON
+    assert "Repartition" in on._jdf.queryExecution().optimizedPlan() \
+        .toString()
+    off = rebalance_if_small(grouped, src, max_bytes=1)  # gate OFF
+    assert off is grouped
+
+    rows_on = sorted(tuple(r) for r in on.collect())
+    rows_off = sorted(tuple(r) for r in grouped.collect())
+    assert rows_on == rows_off
