@@ -81,19 +81,21 @@ def html_to_text(html: Column | str) -> Column:
     pair this with quality_score/quality_classifier downstream, which
     is where crawl pipelines put that judgement anyway)."""
     c = F.col(html) if isinstance(html, str) else html
-    # head/script/style subtree removal FUSED into one alternation
-    # pass (round 12 — one scan of the page instead of three; no
-    # backreference, so the pattern stays in the Java/RE2 common
-    # subset). Equivalent to the sequential head-then-script-then-
-    # style passes the oracle replays: alternation matches the
-    # LEFTMOST opening tag and consumes to its own non-greedy closer,
-    # which removes any block nested inside another in the same span —
-    # exactly what the sequential order produced (pinned by the
-    # crawl_ingest/html_extract hash oracles, which still run the
-    # three-pass SQL form).
-    c = F.regexp_replace(
-        c, "(?s)<head[^>]*>.*?</head>|<script[^>]*>.*?</script>"
-           "|<style[^>]*>.*?</style>", " ")
+    # <head> first (title/meta are metadata, not body text — html_title
+    # extracts the title separately); script/style again AFTER, since
+    # both also legally appear inside <body>. SEQUENTIAL passes on
+    # purpose (round 12 tried fusing the three into one alternation —
+    # reverted): on CROSSED/malformed tag spans the two orders
+    # diverge ('X<script>A<head>B</script>C</head>D' is 'X A D'
+    # sequentially but 'X C D' fused, leftmost-opener-wins), and the
+    # DuckDB oracle replays the sequential order, so the fused form
+    # would silently diverge from the oracle on exactly the malformed
+    # pages real crawls carry. The three passes cost ~0.1s at sf0.1 —
+    # the measured crawl bottleneck was AQE task coalescing, not
+    # these regexes (ROUND12_NOTES #4).
+    c = F.regexp_replace(c, "(?s)<head[^>]*>.*?</head>", " ")
+    c = F.regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?s)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, "<[^>]*>", " ")
     return F.trim(F.regexp_replace(_decode_entities(c), _WS + "+", " "))
 

@@ -6413,14 +6413,15 @@ PRIORITY = (
     "kgx_node_merge", "kgx_edge_merge", "kgx_normalize",
     "kgx_connected_subset", "q1_pricing_summary", "q3_shipping_priority",
     "record_counts", "json_props", "join_asof", "stream_tumbling",
-    # ROUND 12 window. The never-driver-verified oracle-bearing
+    # ROUND 12 window. The THREE never-driver-verified oracle-bearing
     # additions first: the round-12 real-vocabulary tokenizer form
     # (bpe_tokenize_dict — shares bpe_tokenize's oracle verbatim, so
-    # its green hash proves the two physical forms row-for-row equal)
-    # and token_packing_dict (the composition proof feeding the
-    # kernel's counts through token_packing_bpe's exact oracle). A
-    # green here closes the cumulative driver-hash union at 175/175
-    # oracle-bearing.
+    # its green hash proves the two physical forms row-for-row
+    # equal), token_packing_dict (the composition proof feeding the
+    # kernel's counts through token_packing_bpe's exact oracle), and
+    # stream_tokenize (the tokenizer draining a REAL readStream
+    # against the batch oracle). A green here closes the cumulative
+    # driver-hash union at 176/176 oracle-bearing.
     "bpe_tokenize_dict", "token_packing_dict", "stream_tokenize",
     # the 6 names COVERAGE.md scheduled for r12 (last green r8 —
     # q5/q17/q22, agg_hyperedge, agg_incremental, stats_corr)

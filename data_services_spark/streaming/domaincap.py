@@ -108,42 +108,58 @@ def cap_domain_batch(spark: SparkSession, batch: DataFrame,
     """The foreachBatch body (callable directly for batch backfills):
     decide kept/capped/evicted for ``batch`` against the per-domain
     keep-list state, update the state, write decisions."""
-    # Input-contract validation (r11 advice): ids must be numeric —
-    # a non-NULL id whose long cast is NULL would otherwise be
-    # silently reclassified 'null_id' and dropped from candidacy —
-    # and a caller-supplied domain may not equal the NULL sentinel
-    # (it would merge with the NULL group; url_domain-derived domains
-    # can never collide, but arbitrary domain_col input could). One
-    # bounded limit(1) probe per micro-batch.
-    bad = (batch.select(
-        F.col(domain_col).cast("string").alias("__d"),
-        F.col(id_col).alias("__raw"),
-        F.col(id_col).try_cast("long").alias("__cid"))
-        .where((F.col("__d") == NULL_DOMAIN) |
-               (F.col("__raw").isNotNull() & F.col("__cid").isNull()))
-        .limit(1).collect())
-    if bad:
-        r = bad[0]
-        if r["__d"] == NULL_DOMAIN:
+    # Input-contract validation (r11 advice, cost-gated r12): ids
+    # must be numeric — a non-NULL id whose long cast is NULL would
+    # otherwise be silently reclassified 'null_id' and dropped from
+    # candidacy — and a caller-supplied domain may not equal the
+    # NULL sentinel (it would merge with the NULL group;
+    # url_domain-derived domains can never collide, but arbitrary
+    # domain_col input could). The id probe is STATICALLY skipped
+    # when the column is already a numeric type (the steady-state
+    # case — no extra scan); non-numeric id columns pay one bounded
+    # pre-scan probe, since the ANSI cast in the projection below
+    # would otherwise throw without this contract message. The
+    # sentinel check rides the PERSISTED projection (a __was_null
+    # marker distinguishes genuine NULLs from caller-supplied
+    # sentinel strings), so it costs one cached-scan filter job,
+    # never a second pass over the input.
+    id_type = batch.schema[id_col].dataType.typeName()
+    if id_type not in ("long", "integer", "short", "byte"):
+        bad = (batch.select(
+            F.col(id_col).alias("__raw"),
+            F.col(id_col).try_cast("long").alias("__cid"))
+            .where(F.col("__raw").isNotNull() & F.col("__cid").isNull())
+            .limit(1).collect())
+        if bad:
             raise ValueError(
-                f"domain value equals the NULL-group sentinel "
-                f"{NULL_DOMAIN!r}; reject or remap it upstream")
-        raise ValueError(
-            f"doc_id {r['__raw']!r} is not castable to long; the "
-            "domain-cap state keys ids as longs (same contract as "
-            "min_k_per_group_scalable's numeric order column)")
+                f"doc_id {bad[0]['__raw']!r} is not castable to long; "
+                "the domain-cap state keys ids as longs (same contract "
+                "as min_k_per_group_scalable's numeric order column)")
     rows = batch.select(
         F.coalesce(F.col(domain_col).cast("string"),
                    F.lit(NULL_DOMAIN)).alias("domain"),
-        F.col(id_col).cast("long").alias("doc_id"))
-    null_ids = rows.filter(F.col("doc_id").isNull()) \
-        .select("domain", "doc_id").distinct()
-    rows = rows.filter(F.col("doc_id").isNotNull()).distinct()
+        F.col(id_col).try_cast("long").alias("doc_id"),
+        F.col(domain_col).isNull().alias("__was_null"))
     rows = rows.persist()
+    keyed = None
     try:
-        _cap_and_commit(spark, rows, null_ids, state_dir, batch_id, k,
+        # the sentinel probe doubles as the cache-materializing job
+        sentinel = (rows.where((F.col("domain") == NULL_DOMAIN)
+                               & ~F.col("__was_null"))
+                    .limit(1).collect())
+        if sentinel:
+            raise ValueError(
+                f"domain value equals the NULL-group sentinel "
+                f"{NULL_DOMAIN!r}; reject or remap it upstream")
+        null_ids = rows.filter(F.col("doc_id").isNull()) \
+            .select("domain", "doc_id").distinct()
+        keyed = (rows.filter(F.col("doc_id").isNotNull())
+                 .select("domain", "doc_id").distinct().persist())
+        _cap_and_commit(spark, keyed, null_ids, state_dir, batch_id, k,
                         num_buckets, prune_state_read)
     finally:
+        if keyed is not None:
+            keyed.unpersist()
         rows.unpersist()
 
 

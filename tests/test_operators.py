@@ -2245,3 +2245,28 @@ def test_min_k_per_group_scalable_matches_window_form(spark):
     got = {(r["grp"], r["doc_id"]) for r in
            min_k_per_group_scalable(nulls, "grp", "doc_id", 2).collect()}
     assert got == {(None, 1), (None, 2), ("a", 4)}
+
+
+def test_html_to_text_sequential_pass_order_on_crossed_tags(spark):
+    """Regression pin (round 12): head/script/style removal is THREE
+    SEQUENTIAL passes, not one fused alternation — on crossed or
+    malformed tag spans the two orders diverge, and the DuckDB oracle
+    replays the sequential order. A fused leftmost-opener pass would
+    turn the first fixture into 'X C D'."""
+    from data_services_spark.operators.web import html_to_text
+
+    cases = [
+        # crossed script/head spans: head pass runs FIRST
+        ("X<script>A<head>B</script>C</head>D", "X A D"),
+        # crossed style/head: same order contract
+        ("pre<style>s1<head>h</style>mid</head>post", "pre s1 post"),
+        # well-formed nesting: orders agree (sanity)
+        ("<head><style>x</style>t</head>body", "body"),
+    ]
+    d = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)],
+        "i long, page string")
+    got = {r["i"]: r["t"]
+           for r in d.select("i", html_to_text("page").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
