@@ -25,6 +25,7 @@ Policy (why both conditions):
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -41,11 +42,18 @@ def _input_bytes(df: DataFrame) -> int | None:
     total = 0
     for uri in files:
         if uri.startswith("file:"):
-            path = uri[5:]
-            while path.startswith("//"):
-                path = path[1:]
+            # r12 ADVICE: proper URI parsing — file://host/p would
+            # mis-strip to /host/p under prefix surgery, and percent-
+            # escaped paths (spaces) would stat-fail into the
+            # unknown-size branch. urlparse keeps the authority out of
+            # the path; a non-local authority means the file is not
+            # stat-able from this driver.
+            parsed = urlparse(uri)
+            if parsed.netloc not in ("", "localhost"):
+                return None
+            path = unquote(parsed.path)
         elif "://" not in uri:
-            path = uri
+            path = uri  # bare path, not a URI: no percent-decoding
         else:
             return None  # remote storage: size unknown here
         try:
@@ -95,10 +103,13 @@ def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
                                        DEFAULT_MIN_BYTES))
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    try:
-        nparts = df.rdd.getNumPartitions()
-    except Exception:
+    # r12 ADVICE: the rdd bridge is meaningless for a streaming plan —
+    # check explicitly instead of a bare except that would also swallow
+    # genuine analysis errors (those should surface at first use, not
+    # silently skip the widen).
+    if df.isStreaming:
         return df
+    nparts = df.rdd.getNumPartitions()
     if nparts >= cores:
         return df
     size = _input_bytes(df)

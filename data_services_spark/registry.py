@@ -370,12 +370,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("join_anti", """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """)
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: left-anti (customers with no orders)."""
+    """J6: left-anti — customers with no URGENT order. (r12 verdict
+    What's-wrong #5: the original every-order form matched 0 = 0 rows
+    at sf0.01 — no discriminating power; this predicate keeps a
+    nonzero expected set at every sf, e.g. 203/1500 at sf0.01.) The
+    filter lands on the build side BEFORE the anti join, so the
+    shuffled side shrinks to the urgent subset."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT"))
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name"))
 

@@ -123,18 +123,31 @@ def cap_domain_batch(spark: SparkSession, batch: DataFrame,
     # marker distinguishes genuine NULLs from caller-supplied
     # sentinel strings), so it costs one cached-scan filter job,
     # never a second pass over the input.
-    id_type = batch.schema[id_col].dataType.typeName()
+    id_dt = batch.schema[id_col].dataType
+    id_type = id_dt.typeName()
     if id_type not in ("long", "integer", "short", "byte"):
-        bad = (batch.select(
-            F.col(id_col).alias("__raw"),
-            F.col(id_col).try_cast("long").alias("__cid"))
-            .where(F.col("__raw").isNotNull() & F.col("__cid").isNull())
-            .limit(1).collect())
+        # Castability probe. For FRACTIONAL numeric id types (double/
+        # float/decimal-with-scale) try_cast('long') silently TRUNCATES
+        # (1.7 -> 1), which would let distinct ids collide in the state
+        # — the r12 advice gap — so those types additionally probe the
+        # round-trip: a value whose long image does not cast back equal
+        # is lossy and fails loudly. (NaN/overflow hit the NULL-cast
+        # clause; string ids keep the integral-castability contract.)
+        cid = F.col(id_col).try_cast("long")
+        bad_cond = F.col("__raw").isNotNull() & F.col("__cid").isNull()
+        if id_type in ("double", "float", "decimal"):
+            bad_cond = bad_cond | (F.col("__cid").try_cast(id_dt)
+                                   != F.col("__raw"))
+        bad = (batch.select(F.col(id_col).alias("__raw"),
+                            cid.alias("__cid"))
+               .where(bad_cond)
+               .limit(1).collect())
         if bad:
             raise ValueError(
-                f"doc_id {bad[0]['__raw']!r} is not castable to long; "
-                "the domain-cap state keys ids as longs (same contract "
-                "as min_k_per_group_scalable's numeric order column)")
+                f"doc_id {bad[0]['__raw']!r} is not losslessly castable "
+                "to long; the domain-cap state keys ids as longs (same "
+                "contract as min_k_per_group_scalable's numeric order "
+                "column) — fractional ids would truncate and collide")
     rows = batch.select(
         F.coalesce(F.col(domain_col).cast("string"),
                    F.lit(NULL_DOMAIN)).alias("domain"),

@@ -1363,10 +1363,21 @@ def test_stream_domain_cap_input_contract_and_one_status_per_key(
     keys = [(d[0], d[1], d[3]) for d in dec]
     assert len(keys) == len(set(keys))
 
-    with pytest.raises(ValueError, match="not castable to long"):
+    with pytest.raises(ValueError, match="castable to long"):
         cap_domain_batch(spark, spark.createDataFrame(
             [("docA", "a.com")], "doc_id string, domain string"),
             state_dir, 2, k=2, id_col="doc_id")
+    # r12 advice: fractional numeric ids TRUNCATE under try_cast long
+    # (1.7 -> 1) — the probe must catch the lossy cast, not just the
+    # NULL cast, or distinct ids collide in the state
+    with pytest.raises(ValueError, match="castable to long"):
+        cap_domain_batch(spark, spark.createDataFrame(
+            [(1.7, "a.com")], "doc_id double, domain string"),
+            state_dir, 2, k=2, id_col="doc_id")
+    # integral-valued doubles round-trip losslessly and still pass
+    cap_domain_batch(spark, spark.createDataFrame(
+        [(21.0, "a.com")], "doc_id double, domain string"),
+        state_dir, 2, k=2, id_col="doc_id")
     with pytest.raises(ValueError, match="sentinel"):
         cap_domain_batch(spark, spark.createDataFrame(
             [(1, NULL_DOMAIN)], SCHEMA), state_dir, 2, k=2)
