@@ -17,6 +17,8 @@ bit-stable across Spark and DuckDB (SURVEY §7 "hard parts"):
 
 from __future__ import annotations
 
+import os.path
+
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -6345,6 +6347,58 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey")
     return zorder_key(li, ["l_orderkey", "l_partkey"], bits=_Z_BITS)
+
+
+# The committed GAF-style delimited fixture (tools/make_csv_fixture.py):
+# 500 tab-separated rows under 3 leading `!` comment lines, gzipped, NO
+# header — the reference's delimited-biomedical-source shape. Absolute
+# path because the ORACLE side is a fixed SQL string the driver hands
+# to DuckDB verbatim.
+_CSV_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "annotations.gaf.gz")
+_CSV_SCHEMA = ("db string, gene_id string, symbol string, go_id string, "
+               "evidence string, score double, taxon_id long")
+
+
+@register("csv_scan_agg", f"""
+SELECT evidence,
+       CAST(COUNT(*) AS BIGINT) AS n_annotations,
+       CAST(COUNT(DISTINCT symbol) AS BIGINT) AS n_symbols,
+       SUM(score) AS sum_score,
+       CAST(SUM(score) AS DOUBLE) / COUNT(*) AS mean_score
+FROM read_csv('{_CSV_FIXTURE}', delim='\t', header=false,
+              null_padding=true, auto_detect=false,
+              columns={{'db':'VARCHAR','gene_id':'VARCHAR',
+                        'symbol':'VARCHAR','go_id':'VARCHAR',
+                        'evidence':'VARCHAR','score':'DOUBLE',
+                        'taxon_id':'BIGINT'}})
+WHERE db NOT LIKE '!%'
+GROUP BY evidence
+""")
+def csv_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end through the DRIVER gate (r12 verdict What's-missing
+    #5: the delimited reader was pytest-only — no driver hash had ever
+    crossed sources/readers.py:17). Reads the committed gzipped
+    GAF-style fixture — `!` comment rows dropped by the reader's
+    comment option (DuckDB 1.0 lacks comment support, so the oracle
+    null-pads and filters them), explicit schema (never inferSchema's
+    extra pass at scale), transparent gzip — then one hash aggregate.
+    score is dyadic (k * 0.25), so the double SUM is exact and
+    order-independent across both engines; mean is exact-sum then one
+    division. Scale shape: gzip is not splittable — one task per FILE,
+    so a 100 TB delimited drop must arrive as many files (the
+    reference's per-source dumps do); the aggregate itself is a
+    partial-final hash agg on the evidence key."""
+    from data_services_spark.sources.readers import read_csv
+    df = read_csv(spark, _CSV_FIXTURE, sep="\t", header=False,
+                  schema=_CSV_SCHEMA, comment="!")
+    return (df.groupBy("evidence")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_annotations"),
+                 F.countDistinct("symbol").cast("bigint").alias("n_symbols"),
+                 F.sum("score").alias("sum_score"),
+                 (F.sum("score").cast("double")
+                  / F.count(F.lit(1))).alias("mean_score")))
 
 
 # ---------------------------------------------------------------------------
