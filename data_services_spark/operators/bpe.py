@@ -223,9 +223,15 @@ def bpe_tokenize(docs: DataFrame, text_col: str = "text",
     round-robin shuffle of the slim (id, text) projection exactly when
     splits < cores and the input is big enough to dominate it; the
     small-sf pinned 0-exchange plan is unchanged (plans/widen.py)."""
-    from data_services_spark.plans.widen import widen_if_narrow
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
 
-    staged = widen_if_narrow(docs.select(id_col, text_col)).select(
+    # round 13: the chain's per-input-byte cost is ~50 passes over the
+    # 3x-expanded delimited text — the CHAIN gate (128 KB default)
+    # reflects that weight; the 2 MB default left the sf0.1 corpus
+    # (584 KB) serial on one core (measured 1.66 s -> 0.27 s widened).
+    staged = widen_if_narrow(docs.select(id_col, text_col),
+                             min_bytes=chain_min_bytes()).select(
         F.col(id_col),
         bpe_norm(text_col).alias("__norm"),
         bpe_encode(text_col, merges).alias("__enc"))
@@ -370,7 +376,12 @@ def bpe_tokenize_dict(docs: DataFrame, text_col: str = "text",
                 "bpe_text": pd.array(texts, dtype=object),
             })
 
-    slim = widen_if_narrow(docs.select(id_col, text_col))
+    # round 13: the kernel is per-byte heavy like the chain (Python
+    # merge loop per distinct word) — same lowered CHAIN gate, so a
+    # sub-2MB-but-nontrivial corpus does not serialize on one task.
+    from data_services_spark.plans.widen import chain_min_bytes
+    slim = widen_if_narrow(docs.select(id_col, text_col),
+                           min_bytes=chain_min_bytes())
     return slim.mapInPandas(kernel, out_schema)
 
 

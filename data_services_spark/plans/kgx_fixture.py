@@ -116,9 +116,26 @@ def kgx_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     on multiple lines with the same supplier parity; publications /
     aggregators differ per line so list-union is exercised. One
     spark.sql() parse (see kgx_nodes); KGX_EDGES_SQL is the DuckDB twin.
-    """
-    return spark.sql(_KGX_EDGES_SPARK,
-                     lineitem=load_table(spark, sf_dir, "lineitem"))
+
+    WIDENED (round 13, guide §2.2/§2.3): a single-split lineitem scan
+    put the CURIE/array construction AND the downstream merge's
+    map-side partial collect_list on ONE core (measured sf0.1:
+    kgx_edge_merge 3.27 s noop, of which ~2.9 s was the serial
+    post-scan chain). Widening the slim 5-INT-column projection —
+    before the strings exist, so the round-robin exchange moves ~2 MB
+    of ints instead of ~50 MB of built strings/arrays (measured:
+    widen-after-strings 2.34 s vs widen-before 1.39 s) — parallelizes
+    everything after the scan. Values are unaffected: every consumer
+    groups/joins on the edge key and the merge aggregates are
+    order-insensitive (lists are sorted post-union). At real scale the
+    scan has >= cores splits and the guard no-ops; at sf0.01 the
+    1.02 MB input is under the 2 MB gate, so pinned small-sf plans
+    keep their single exchange."""
+    from data_services_spark.plans.widen import widen_if_narrow
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_partkey", "l_suppkey",
+        "l_linenumber")
+    return spark.sql(_KGX_EDGES_SPARK, lineitem=widen_if_narrow(li))
 
 
 KGX_EDGES_SQL = """

@@ -31,6 +31,32 @@ from pyspark.sql import DataFrame
 
 DEFAULT_MIN_BYTES = 2 * 1024 * 1024
 
+# Gate for call sites whose per-INPUT-byte post-scan work is 1-2 orders
+# of magnitude above a plain projection — the ~50-pass BPE replace chain
+# (each pass rescans the 3x-expanded delimited text) and the Arrow
+# tokenizer kernel. The widen trade is shuffle O(bytes) vs serial chain
+# O(bytes x passes); with passes ~ 150 the break-even input is ~150x
+# smaller than the default gate's. Measured (r13, sf0.1 584 KB
+# documents): chain serial 1.66 s -> 0.27 s widened; the round-robin
+# shuffle of the slim (id, text) projection costs ~ms. sf0.01 (65 KB)
+# stays under this gate, so the pinned 0-exchange small-sf plans hold.
+CHAIN_MIN_BYTES = 128 * 1024
+_CHAIN_ENV = "SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES"
+
+
+def chain_min_bytes() -> int:
+    """Env-resolved gate for heavy-chain call sites (read at call time).
+
+    Honors a LOWER generic SPARK_GRAFT_WIDEN_MIN_BYTES too, so the
+    force-the-widen-on test/ops override keeps working at chain sites;
+    $SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES overrides the chain gate alone.
+    """
+    gate = int(os.environ.get(_CHAIN_ENV, CHAIN_MIN_BYTES))
+    generic = os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES")
+    if generic is not None:
+        gate = min(gate, int(generic))
+    return gate
+
 
 def _input_bytes(df: DataFrame) -> int | None:
     """Total size of the plan's input files, or None when unknowable
@@ -90,6 +116,34 @@ def rebalance_if_small(df: DataFrame, source: DataFrame,
         return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(cores)
+
+
+def keyed_rebalance_if_small(df: DataFrame, *cols: str,
+                             max_bytes: int | None = None) -> DataFrame:
+    """Pinned-count KEYED repartition before a window/aggregation, gated
+    on the source scan being SMALL (same gate as
+    :func:`rebalance_if_small`).
+
+    The window operator requires ClusteredDistribution on its partition
+    key; a plain hash exchange satisfies it, but AQE's byte-based
+    coalescing then collapses the small shuffle to 1-2 tasks and the
+    whole window compute serializes (measured r13: window_running_sum's
+    3-window stage ran 1-task at sf0.1 under the 4 MB advisory —
+    0.31 s -> 0.20 s with the pinned count). ``repartition(n, keys)``
+    is REPARTITION_BY_NUM: AQE never re-coalesces it, and the window
+    reuses its partitioning, so the exchange COUNT is unchanged — only
+    the task count. At real scale the gate is OFF (input large or
+    unknown) and AQE's own sizing already yields wide stages; a pinned
+    cores-sized count there would be exactly the local-mode constant
+    the bench rules forbid."""
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("SPARK_GRAFT_REBALANCE_MAX_BYTES",
+                                       64 * 1024 * 1024))
+    size = _input_bytes(df)
+    if size is None or size > max_bytes:
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(cores, *cols)
 
 
 def widen_if_narrow(df: DataFrame, min_bytes: int | None = None

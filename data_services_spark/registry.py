@@ -1248,8 +1248,20 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     named-WINDOW form of the oracle, epoch_ms/// swapped for
     unix_micros/div) instead of three py4j WindowSpec builds — same
     Catalyst plan, measured ~0.08s less per fresh submission
-    (round-8 verdict ask #1)."""
-    e = load_table(spark, sf_dir, "events")
+    (round-8 verdict ask #1).
+
+    Round 13 (guide §2.5 task-layout): the window's hash exchange is
+    byte-coalesced by AQE to 1-2 tasks at bench scale (the events
+    shuffle is ~3 MB under the 4 MB advisory), serializing the
+    3-window sort+compute. keyed_rebalance_if_small pins the exchange
+    to a cores-wide REPARTITION_BY_NUM on the SAME key, which the
+    window reuses — still exactly one exchange, identical values
+    (per-user_id computation is partition-local either way), measured
+    0.31 s -> 0.20 s noop at sf0.1. Size-gated: large/unknown inputs
+    keep the plain hash exchange and AQE sizing (plans/widen.py)."""
+    from data_services_spark.plans.widen import keyed_rebalance_if_small
+    e = keyed_rebalance_if_small(
+        load_table(spark, sf_dir, "events"), "user_id")
     return spark.sql("""
 SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
@@ -2590,11 +2602,15 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums, so the double is bit-stable cross-engine."""
     from data_services_spark.operators.bpe import bpe_norm, bpe_token_count
     from data_services_spark.operators.text import lang_id
-    from data_services_spark.plans.widen import widen_if_narrow
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
     # round 12: the per-row chain rides the scan — widen a 1-split
-    # large input so it does not serialize on one core (plans/widen.py)
+    # large input so it does not serialize on one core (plans/widen.py).
+    # round 13: chain-weighted gate (the replace chain's per-byte cost
+    # is ~150x a plain map — see widen.CHAIN_MIN_BYTES).
     d = widen_if_narrow(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=chain_min_bytes())
     norm = bpe_norm("text")
     nw = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
         F.size(F.split(norm, " "))).cast("long")
@@ -4766,11 +4782,14 @@ def vocab_topk_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the top-k is TakeOrderedAndProject, never a global
     sort."""
     from data_services_spark.operators.bpe import bpe_subwords
-    from data_services_spark.plans.widen import widen_if_narrow
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
     # round 12: the segmentation chain runs map-side BEFORE the
-    # groupBy — widen a 1-split large input (plans/widen.py)
+    # groupBy — widen a 1-split large input (plans/widen.py);
+    # round 13: chain-weighted gate (see widen.CHAIN_MIN_BYTES).
     d = widen_if_narrow(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=chain_min_bytes())
     return (d.select(F.explode(bpe_subwords("text")).alias("token"))
             .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "token").limit(100))
@@ -5193,11 +5212,14 @@ def doc_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     from data_services_spark.operators.bpe import bpe_subwords
     from data_services_spark.operators.text import chunk_documents
-    from data_services_spark.plans.widen import widen_if_narrow
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
     # round 12: the segmentation chain evaluates inside the chunk
-    # explode — widen a 1-split large input (plans/widen.py)
+    # explode — widen a 1-split large input (plans/widen.py);
+    # round 13: chain-weighted gate (see widen.CHAIN_MIN_BYTES).
     d = widen_if_narrow(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=chain_min_bytes())
     return chunk_documents(d, chunk_tokens=64, stride=48,
                            tokens=bpe_subwords("text"))
 
