@@ -115,9 +115,24 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     splits = 36.7s; `.repartition(32)` first = 5.8s, 6.3×). Set it
     when reading few-file corpora on many-core hosts; leave None on
     real cluster layouts, where thousands of input splits already
-    exist and the extra raw-text shuffle would be pure cost."""
+    exist and the extra raw-text shuffle would be pure cost.
+
+    Round 13 (guide §2.2): when ``derive_partitions`` is None the
+    size-gated widen guard applies automatically — the per-shingle
+    ``num_hashes``-fold hash fan-out is exactly the per-input-byte-
+    heavy chain the CHAIN gate exists for (measured sf0.1: the 16-slot
+    md5 fold over the single-split 584 KB corpus serialized on one
+    core). The guard no-ops on streaming plans, on >=cores-split scans
+    (any real cluster layout) and under the small-sf gate, so pinned
+    plans and cluster shapes are unchanged; values are repartition-
+    stable (groupBy(id) mins are order-insensitive)."""
     if derive_partitions is not None:
         docs = docs.repartition(derive_partitions)
+    else:
+        from data_services_spark.plans.widen import (
+            chain_min_bytes, widen_if_narrow)
+        docs = widen_if_narrow(docs.select(id_col, text_col),
+                               min_bytes=chain_min_bytes())
     toks = docs.select(F.col(id_col).alias("id"),
                        F.explode(shingles(text_col, shingle_n)).alias("__sh"))
     hashed = toks.select(
@@ -240,6 +255,14 @@ def simhash64_df(docs: DataFrame, text_col: str = "text",
     # algorithm must agree; md5 family keeps its 'sim' seed, mirrored in
     # the simhash_md5 oracle SQL.
     seed = "sim" if hash_family == "md5" else None
+    # round 13 (guide §2.2): the 60/64 vote columns per shingle are a
+    # chain-weight fold — widen a narrow scan so the explode+votes do
+    # not serialize on one core (same gate/no-op policy as
+    # minhash_signatures; groupBy(id) sums are order-insensitive).
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    docs = widen_if_narrow(docs.select(id_col, text_col),
+                           min_bytes=chain_min_bytes())
     hashed = docs.select(
         F.col(id_col),
         F.explode(shingles(text_col, shingle_n)).alias("__sh"),
@@ -507,6 +530,14 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     # streaming dedup): without the coalesce the array form emits a
     # null fps row while the row form drops the document entirely
     # (posexplode of a null char array) — a silent parity divergence.
+    # round 13 (guide §2.2): one md5 per character position makes this
+    # the heaviest per-input-byte fold in the repo — widen a narrow
+    # scan (chain gate; no-op for streaming/multi-split/small inputs;
+    # values are per-row, repartition-trivial).
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    docs = widen_if_narrow(docs.select(id_col, text_col),
+                           min_bytes=chain_min_bytes())
     return (docs
             .select(F.col(id_col),
                     _norm_text(F.coalesce(F.col(text_col), F.lit("")))
@@ -547,6 +578,14 @@ def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
     shorter than k) selects its global minimum."""
     from pyspark.sql import Window as W
 
+    # round 13 (guide §2.2): the char posexplode + gram assembly is
+    # chain-weight map work BEFORE the doc_id shuffle — widen a narrow
+    # scan so it does not serialize (same gate/no-op policy as the
+    # array form; the downstream windows re-hash by doc_id regardless).
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    docs = widen_if_narrow(docs.select(id_col, text_col),
+                           min_bytes=chain_min_bytes())
     staged = docs.select(
         F.col(id_col),
         _norm_text(F.coalesce(F.col(text_col), F.lit(""))).alias("__s"))
@@ -572,6 +611,21 @@ def winnow_fingerprint_rows(docs: DataFrame, text_col: str = "text",
                    F.greatest(n_grams - (window - 1), F.lit(1))))
     return (sel.select(F.col(id_col), F.col("__m").alias("fp"))
             .distinct())
+
+
+# One-slot registry for winnow_shared_pairs' inverted-index cache —
+# the bm25/bigram/PPJoin device (functions/cache.py): at most one
+# cached relation alive per session, each call releases the previous.
+_WINNOW_CACHE: list[DataFrame] = []
+
+
+def winnow_release() -> None:
+    """Unpersist the inverted-index cache left by the most recent
+    :func:`winnow_shared_pairs` call. Safe any time, including after
+    the owning SparkSession stopped; previously returned results stay
+    correct, they just recompute instead of reading cache."""
+    from data_services_spark.functions.cache import release_slot
+    release_slot(_WINNOW_CACHE)
 
 
 def winnow_shared_pairs(docs: DataFrame, text_col: str = "text",
@@ -606,6 +660,18 @@ def winnow_shared_pairs(docs: DataFrame, text_col: str = "text",
     inv = (fps.select(F.col(id_col).alias("id"),
                       F.explode_outer("fps").alias("fp"))
            .filter(F.col("fp").isNotNull()))
+    # The inverted index is read THREE times (max-df keep aggregate +
+    # both self-join sides), and each un-cached read re-pays the whole
+    # per-character md5 fingerprint fold — the single most expensive
+    # projection in the repo (measured r13 sf0.1: winnow_pairs 24.3 s
+    # noop with 3 re-derivations, 1.9 s with the cache + widen). One-
+    # slot MEMORY_ONLY (the bm25/bigram/PPJoin device, guide §5:
+    # reused AND expensive to recompute): eviction degrades to
+    # recomputation, never a spill; (id, fp) rows are 16 bytes each —
+    # at 100 TB this is the fingerprint table, ~1000x smaller than the
+    # corpus it indexes.
+    from data_services_spark.functions.cache import persist_slot
+    inv = persist_slot(_WINNOW_CACHE, inv)
     if max_df is not None:
         keep = (inv.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("__df"))

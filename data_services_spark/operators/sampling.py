@@ -122,7 +122,23 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame,
     contamination) — filter on `contamination` to quarantine docs.
 
     Join runs on the 60-bit shingle hash (long vs long, never strings);
-    the probe side is the tiny one and broadcasts."""
+    the probe side is the tiny one and broadcasts.
+
+    Round 13 (guide §2.3/§2.4): ONE aggregation, not two. The previous
+    shape ran a flagged-count groupBy AND a totals groupBy over the
+    same gram stream, then outer-joined them — the expensive per-doc
+    gram fold executed twice and the two aggregates re-joined after.
+    A left join against the broadcast (distinct) probe set tags each
+    gram row in place, so a single groupBy produces both counts: total
+    = count(*), contaminated = count(tag). Row-identical (the probe
+    set is distinct, so the left join never duplicates a gram row; a
+    doc with no probe hits counts 0 tags where the old path filled the
+    outer-join null with 0). The gram fold is chain-weight map work —
+    widened when the scan is narrow (no-op at scale / small sf)."""
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    docs = widen_if_narrow(docs.select(doc_id, text_col),
+                           min_bytes=chain_min_bytes())
     doc_grams = (docs.select(F.col(doc_id),
                              F.explode(F.array_distinct(
                                  shingles(text_col, n))).alias("g"))
@@ -131,13 +147,12 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame,
                        shingles(text_col, n))).alias("g"))
                    .select(md5_long_hash(F.col("g"), 0).alias("gh"))
                    .distinct())
-    flagged = (doc_grams.join(F.broadcast(probe_grams), "gh", "left_semi")
-               .groupBy(doc_id)
-               .agg(F.count(F.lit(1)).alias("n_contaminated")))
-    totals = doc_grams.groupBy(doc_id).agg(
-        F.count(F.lit(1)).alias("n_ngrams"))
-    return (totals.join(flagged, doc_id, "left")
-            .na.fill({"n_contaminated": 0})
+    tagged = doc_grams.join(
+        F.broadcast(probe_grams.withColumn("__hit", F.lit(1))),
+        "gh", "left")
+    return (tagged.groupBy(doc_id)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.count("__hit").alias("n_contaminated"))
             .select(doc_id, "n_ngrams", "n_contaminated",
                     (F.col("n_contaminated") / F.col("n_ngrams"))
                     .alias("contamination")))

@@ -269,9 +269,16 @@ def repetition_score(docs: DataFrame, text_col: str = "text",
     Returns (doc_id, n_grams, n_distinct, dup_frac).
     """
     from data_services_spark.operators.dedup import shingles
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
     grams = shingles(text_col, n)
     n_grams = F.size(grams).cast("long")
     n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    # round 13 (guide §2.2): the per-row gram build + array_distinct is
+    # chain-weight work — widen a narrow scan (no-op for streaming /
+    # multi-split / small inputs; output is per-row, order-free).
+    docs = widen_if_narrow(docs.select("doc_id", text_col),
+                           min_bytes=chain_min_bytes())
     return docs.select(
         "doc_id",
         n_grams.alias("n_grams"),

@@ -146,6 +146,37 @@ def keyed_rebalance_if_small(df: DataFrame, *cols: str,
     return df.repartition(cores, *cols)
 
 
+# Memo for the scan-partition probe (round 13, guide §1/§5 driver
+# work): ``df.rdd.getNumPartitions()`` runs full physical planning +
+# RDD conversion — measured 38 ms per FRESH plan build vs 0.7 ms for
+# ``inputFiles()``. For a FILE-backed plan the scan's partition count
+# is a pure function of (file set, split confs) — independent of the
+# projection — so one probe per (session, files, confs) is exact and
+# every later fresh build of the same input skips the planning pass.
+# Non-file plans (memory relations) keep the direct probe: their
+# partitioning is not determined by files.
+_NPARTS_MEMO: dict[tuple, int] = {}
+_SPLIT_CONF_KEYS = ("spark.sql.files.maxPartitionBytes",
+                    "spark.sql.files.openCostInBytes",
+                    "spark.sql.files.minPartitionNum")
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions()
+    conf = df.sparkSession.conf
+    key = (id(df.sparkSession._jsparkSession), tuple(sorted(files)),
+           tuple(conf.get(k, None) for k in _SPLIT_CONF_KEYS))
+    n = _NPARTS_MEMO.get(key)
+    if n is None:
+        n = _NPARTS_MEMO[key] = df.rdd.getNumPartitions()
+    return n
+
+
 def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
                     ) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` iff the scan is
@@ -163,7 +194,7 @@ def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
     # silently skip the widen).
     if df.isStreaming:
         return df
-    nparts = df.rdd.getNumPartitions()
+    nparts = _scan_partitions(df)
     if nparts >= cores:
         return df
     size = _input_bytes(df)

@@ -1306,6 +1306,32 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 2
 
 
+def test_winnow_shared_pairs_one_slot_cache_and_release(spark):
+    """Round 13: winnow_shared_pairs persists its inverted index one-
+    slot (the bm25/PPJoin device) so the per-character fingerprint fold
+    runs once per call, not once per plan reference. Contract: at most
+    one cached relation alive (second call evicts the first), release
+    empties the slot, and the released path recomputes THE SAME rows."""
+    from data_services_spark.operators import dedup as dd
+
+    d = spark.createDataFrame(
+        [(1, "a very distinctive common passage of text one"),
+         (2, "a very distinctive common passage of text two"),
+         (3, "zzz qqq vvv kkk www uuu mmm nnn ooo ppp rrr sss")],
+        "doc_id long, text string")
+    cached = sorted(tuple(r) for r in
+                    dd.winnow_shared_pairs(d, k=8, window=4,
+                                           min_shared=1).collect())
+    dd.winnow_shared_pairs(d, k=8, window=4, min_shared=1).collect()
+    assert len(dd._WINNOW_CACHE) == 1   # second call evicted the first
+    dd.winnow_release()
+    assert not dd._WINNOW_CACHE
+    plain = dd.winnow_shared_pairs(d, k=8, window=4, min_shared=1)
+    recomputed = sorted(tuple(r) for r in plain.collect())
+    assert recomputed == cached
+    dd.winnow_release()
+
+
 def test_winnow_rows_equals_array_form(spark):
     """The row-form scale path must select EXACTLY the array form's
     fingerprints, including sub-k texts, exactly-one-window texts, and

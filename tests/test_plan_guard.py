@@ -155,14 +155,19 @@ EXPECTED = {
     # winnowing: the fingerprint projection is zero-shuffle map-only
     # (and zero Python — higher-order array funcs, staged so the
     # interpreted lambdas never re-inline, dedup.py); the pairs query
-    # scans documents once per inverted-index use (max-df keep + both
-    # join sides + fps), broadcast-joins the tiny index, and must never
-    # funnel the corpus through a single partition.
+    # (round 13) persists the inverted index ONE-SLOT MEMORY_ONLY, so
+    # the per-character md5 fold runs ONCE — scans=1 (was 4: max-df
+    # keep + both join sides + fps each re-derived the corpus), the
+    # other reads are InMemoryTableScans. pushed_min drops to 0 with
+    # the scans it sat on; the 3 exchanges are the cached index's
+    # explode groupBy + the keep aggregate + the final pair groupBy.
+    # Still broadcast-joins the tiny index; the corpus never funnels
+    # through a single partition.
     "winnow_fingerprint": dict(scans=1, pushed_min=0, joins=set(),
                                exchanges_max=0, single_max=0, py=0),
-    "winnow_pairs": dict(scans=4, pushed_min=2,
+    "winnow_pairs": dict(scans=1, pushed_min=0,
                          joins={"BroadcastHashJoin"},
-                         exchanges_max=2, single_max=0, py=0),
+                         exchanges_max=3, single_max=0, py=0),
     # row-form winnowing: gram explode + frame-spec window min — one
     # doc_id shuffle, everything codegen'd, no arrays, no Python.
     "winnow_rows": dict(scans=1, pushed_min=0, joins=set(),

@@ -103,3 +103,38 @@ def test_rebalance_if_small_gate(spark):
     rows_on = sorted(tuple(r) for r in on.collect())
     rows_off = sorted(tuple(r) for r in grouped.collect())
     assert rows_on == rows_off
+
+
+def test_scan_partition_memo_matches_direct_probe(spark):
+    """Round 13: the file-backed partition-count memo returns exactly
+    what the direct .rdd probe reports — for different projections of
+    the same files (the count is projection-independent) — and keys on
+    the split confs, so a conf change re-probes instead of returning a
+    stale count."""
+    from data_services_spark.plans.widen import (
+        _NPARTS_MEMO, _scan_partitions)
+
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    a = spark.read.parquet(path).select("l_orderkey")
+    b = spark.read.parquet(path).select("l_orderkey", "l_partkey",
+                                        "l_shipdate")
+    direct = a.rdd.getNumPartitions()
+    assert _scan_partitions(a) == direct
+    assert _scan_partitions(b) == direct  # memo hit, same files
+
+    # non-file plans bypass the memo entirely (direct probe)
+    mem = spark.createDataFrame([(1,), (2,)], "x int")
+    assert _scan_partitions(mem) == mem.rdd.getNumPartitions()
+
+    # a split-conf change must invalidate: force a tiny split size and
+    # check the memo re-probes (more partitions for the same file)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(256 * 1024))
+        c = spark.read.parquet(path).select("l_orderkey")
+        assert _scan_partitions(c) == c.rdd.getNumPartitions()
+        assert _scan_partitions(c) > direct
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    _NPARTS_MEMO.clear()
