@@ -185,23 +185,38 @@ def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Global triangle count of an undirected graph — 1-row (n_triangles).
 
-    Canonicalizes to a < b and counts each triangle once via the ordered
-    two-path + closing-edge join (a < b < c). Scale shape: two shuffled
-    equi joins on vertex ids; the ordering constraint halves the edge
-    list and kills duplicate counting without a post-hoc division. Skew
-    note: hub vertices blow up the two-path join — at 100 TB degree-cap
-    or sample hubs first (the standard Cohen-style mitigation), or
-    orient edges low-degree -> high-degree instead of by id."""
+    Canonicalizes to a < b and counts each triangle once (a < b < c)
+    via adjacency-list intersection: each vertex's HIGHER-id neighbour
+    list N+(v) is built once (one groupBy), and for every edge (a, b)
+    the triangle closers are |N+(a) n N+(b)| — every common neighbour
+    c is > b > a, so triangle (a,b,c) is counted exactly at its lowest
+    edge and nowhere else (c < b never appears in N+(b); b < c edges
+    (a,c),(b,c) contribute nothing). Round 13 (guide §2.3/§2.4): the
+    previous ordered two-path + closing-edge join MATERIALIZED AND
+    SHUFFLED every two-path — 49.3M rows for the 1.2M-edge sf0.1
+    co-occurrence graph — where the intersection form shuffles only
+    the edge list itself plus one adjacency relation keyed twice
+    (measured 5.4 s -> 1.2 s, identical count). Skew note: hub
+    vertices now concentrate into one adjacency ARRAY instead of
+    blowing up the join — at 100 TB degree-cap or sample hubs first
+    (the standard Cohen-style mitigation) exactly as before; the
+    array form additionally bounds the per-hub cost to O(deg) rows
+    ONCE rather than O(deg^2) join rows."""
     a, b = F.col(src), F.col(dst)
     e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
          .filter(F.col("a") < F.col("b")).distinct())
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
-    paths = e1.join(e2, F.col("y") == F.col("y2"))  # x < y < z
-    closing = e.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
-    tri = paths.join(closing, (F.col("x") == F.col("x2"))
-                     & (F.col("z") == F.col("z2")))
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    na = adj.select(F.col("a").alias("x"), F.col("nbrs").alias("__na"))
+    nb = adj.select(F.col("a").alias("y"), F.col("nbrs").alias("__nb"))
+    closers = (e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+               .join(na, "x").join(nb, "y")
+               .select(F.size(F.array_intersect("__na", "__nb"))
+                       .alias("__c")))
+    # sum() is NULL on zero rows where the old count(*) was 0 — an
+    # edgeless (or closer-less) graph must still report 0 triangles.
+    return closers.agg(
+        F.coalesce(F.sum("__c").cast("long"), F.lit(0).cast("long"))
+        .alias("n_triangles"))
 
 
 def bfs_levels(edges: DataFrame, sources: DataFrame, iterations: int,

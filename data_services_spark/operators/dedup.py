@@ -315,7 +315,21 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     length band — never run unblocked).
 
     Returns (id_a, id_b, jaccard) for pairs meeting `threshold`.
-    """
+
+    Round 13 (guide §2.2/§3.1): widen a narrow scan first. The planner
+    broadcasts the exploded token stream (its estimate comes from the
+    tiny file, not the explode fan-out), so the OTHER side — the probe
+    — carries the entire quadratic pair enumeration plus the partial
+    pair-count aggregate; on a single-split local scan that all ran on
+    ONE task, and the two size aggregates re-derived the explode fold
+    on one task each (measured sf0.1: 24.2 s serial -> 3.3 s widened,
+    plan unchanged apart from the round-robin exchange). No-op for
+    streaming / >=cores-split / small inputs; join+agg output is
+    order-insensitive."""
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    docs = widen_if_narrow(docs.select(*block_cols, id_col, text_col),
+                           min_bytes=chain_min_bytes())
     toks = (docs.select(*block_cols, F.col(id_col).alias("id"),
                         F.explode(F.array_distinct(
                             F.split(_norm_text(text_col), WS_SPLIT))).alias("tok")))

@@ -416,6 +416,16 @@ def lsh_banded_near_dup(embeddings: DataFrame, dim: int,
     the O(candidates) verify. Recall for true pairs at cosine c is
     1-(1-p^P)^B with p = 1 - arccos(c)/pi; scale deployments raise B.
     """
+    # Round 13 (guide §2.2): the n_bands x planes_per_band x dim sign
+    # folds and the per-candidate verify cosines are chain-weight map
+    # work riding the scan — widen a narrow scan so neither serializes
+    # on one task (no-op for streaming / >=cores-split / small inputs;
+    # every downstream consumer joins or aggregates, so values are
+    # repartition-insensitive).
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    embeddings = widen_if_narrow(embeddings.select(id_col, vec_col),
+                                 min_bytes=chain_min_bytes())
     bands = band_bucket_exprs(vec_col, dim, n_bands, planes_per_band, seed)
     sig = embeddings.select(
         F.col(id_col),
@@ -427,13 +437,38 @@ def lsh_banded_near_dup(embeddings: DataFrame, dim: int,
     cand = (a.join(b, "band_key")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
+    # Round 13 (guide §1.2 per-task work): norms once per VECTOR before
+    # the join, not once per candidate pair — the division form
+    # dot/(na*nb) is the SAME expression tree cosine_similarity builds
+    # (dot_product / (l2_norm * l2_norm)), just evaluated over
+    # precomputed factors, so boundary decisions are bit-identical to
+    # the oracle's.
+    from data_services_spark.functions.vectors import l2_norm
     ea = embeddings.select(F.col(id_col).alias("id_a"),
-                           F.col(vec_col).alias("va"))
+                           F.col(vec_col).alias("va"),
+                           l2_norm(F.col(vec_col)).alias("__na"))
     eb = embeddings.select(F.col(id_col).alias("id_b"),
-                           F.col(vec_col).alias("vb"))
+                           F.col(vec_col).alias("vb"),
+                           l2_norm(F.col(vec_col)).alias("__nb"))
     return (cand.join(ea, "id_a").join(eb, "id_b")
-            .filter(cosine_similarity("va", "vb") >= threshold)
+            .filter((dot_product("va", "vb")
+                     / (F.col("__na") * F.col("__nb"))) >= threshold)
             .select("id_a", "id_b"))
+
+
+# One-slot registry for semdedup's centroid-assignment cache — the
+# bm25/winnow device (functions/cache.py): at most one cached relation
+# alive per session, each call releases the previous call's.
+_SEMDEDUP_CACHE: list[DataFrame] = []
+
+
+def semdedup_release() -> None:
+    """Unpersist the assignment cache left by the most recent
+    :func:`semdedup` call. Safe any time, including after the owning
+    SparkSession stopped; previously returned results stay correct,
+    they just recompute instead of reading cache."""
+    from data_services_spark.functions.cache import release_slot
+    release_slot(_SEMDEDUP_CACHE)
 
 
 def semdedup(embeddings: DataFrame, centroids: Sequence[Sequence[float]],
@@ -477,6 +512,19 @@ def semdedup(embeddings: DataFrame, centroids: Sequence[Sequence[float]],
     not the bottleneck). At production k (SemDeDup uses 50k cells)
     literal centroids are off the table entirely — assignment becomes
     the broadcast-join of :func:`ivf_build_index`."""
+    # Round 13 (guide §2.2 + §5): the k x dim interpreted centroid fold
+    # is chain-weight map work — widen a narrow scan so assignment does
+    # not serialize — and `tagged` is read THREE times downstream (both
+    # pair-join sides + the final survivor-flag host), each un-cached
+    # read re-running the whole fold. One-slot MEMORY_ONLY persist (the
+    # bm25/winnow device, functions/cache.py): this is exactly the
+    # "materialize the assignment once" posture the 100 TB note below
+    # prescribes; eviction degrades to recomputation, never a spill.
+    from data_services_spark.functions.cache import persist_slot
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, widen_if_narrow)
+    embeddings = widen_if_narrow(embeddings.select(id_col, vec_col),
+                                 min_bytes=chain_min_bytes())
     dots = F.array(*[
         dot_product(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
         for c in centroids])
@@ -488,6 +536,7 @@ def semdedup(embeddings: DataFrame, centroids: Sequence[Sequence[float]],
                                            F.array_max("__ds"))
                           .cast("long"))
               .drop("__ds"))
+    tagged = persist_slot(_SEMDEDUP_CACHE, tagged)
     return _semdedup_survivors(tagged, threshold, id_col, vec_col, dim)
 
 

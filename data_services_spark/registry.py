@@ -1368,11 +1368,15 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tumbling_window` — the design rule that every streaming transform has a
     batch twin with identical results (streaming/events.py)."""
     from data_services_spark.streaming.events import (
-        read_event_stream, run_to_memory_sink, stream_tumbling_counts)
-    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+        read_event_stream, run_to_memory_sink, sized_state_partitions,
+        stream_tumbling_counts)
+    d = _stream_events_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     out = run_to_memory_sink(stream_tumbling_counts(stream),
                              name="__bench_stream_tumbling",
-                             output_mode="complete")
+                             output_mode="complete",
+                             state_partitions=sized_state_partitions(
+                                 spark, d))
     return out.select(_ms("window_start").alias("window_start_ms"),
                       "event_type", "n", "sum_value")
 
@@ -1410,14 +1414,17 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     same explicit shifted-bucket oracle as the batch `sliding_window`
     twin."""
     from data_services_spark.streaming.events import (
-        read_event_stream, run_to_memory_sink)
-    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+        read_event_stream, run_to_memory_sink, sized_state_partitions)
+    d = _stream_events_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
                     "event_type")
            .agg(F.count(F.lit(1)).alias("n")))
     out = run_to_memory_sink(agg, name="__bench_stream_sliding",
-                             output_mode="complete")
+                             output_mode="complete",
+                             state_partitions=sized_state_partitions(
+                                 spark, d))
     return out.select(_ms(F.col("w.start")).alias("window_start_ms"),
                       "event_type", "n")
 
@@ -1453,11 +1460,15 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     withheld tail (9 of 9549 sessions at sf0.01) is the streaming/batch
     difference made explicit, not papered over."""
     from data_services_spark.streaming.events import (
-        read_event_stream, run_to_memory_sink, stream_session_counts)
-    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+        read_event_stream, run_to_memory_sink, sized_state_partitions,
+        stream_session_counts)
+    d = _stream_events_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     out = run_to_memory_sink(stream_session_counts(stream),
                              name="__bench_stream_session",
-                             output_mode="append")
+                             output_mode="append",
+                             state_partitions=sized_state_partitions(
+                                 spark, d))
     return out.select("user_id",
                       _ms(F.col("session_start")).alias("session_start_ms"),
                       "n_events")
@@ -1480,12 +1491,16 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets Spark expire join state (streaming/events.py::
     stream_interval_join); the oracle is the batch range join."""
     from data_services_spark.streaming.events import (
-        read_event_stream, run_to_memory_sink, stream_interval_join)
-    stream = read_event_stream(spark, _stream_events_dir(sf_dir))
+        read_event_stream, run_to_memory_sink, sized_state_partitions,
+        stream_interval_join)
+    d = _stream_events_dir(sf_dir)
+    stream = read_event_stream(spark, d)
     views = stream.filter(F.col("event_type") == "view")
     purchases = stream.filter(F.col("event_type") == "purchase")
     return run_to_memory_sink(stream_interval_join(views, purchases),
-                              name="__bench_stream_ijoin")
+                              name="__bench_stream_ijoin",
+                              state_partitions=sized_state_partitions(
+                                  spark, d))
 
 
 @register("dedup_stateful", """

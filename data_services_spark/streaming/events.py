@@ -97,15 +97,89 @@ def stream_interval_join(views: DataFrame, purchases: DataFrame,
                     .cast("long").alias("gap_us")))
 
 
+# Round 13 (guide §2.2, applied to streaming state): every STATEFUL
+# operator keeps one state-store instance per shuffle partition per
+# store (a stream-stream join keeps FOUR per partition), and each
+# instance pays a fixed open/commit/delta-file cost per micro-batch
+# regardless of how little state it holds. Sizing the stateful shuffle
+# to the core count is therefore exactly backwards for small drains:
+# the sf0.1 interval join carried 40k state rows across 128 instances,
+# and the per-instance commits dominated the drain (measured 7.8 s at
+# 32 partitions -> 3.3 s at 8 -> 2.6 s at 2, identical 342 rows).
+# Production sizes state partitions to STATE VOLUME (100s of MB per
+# partition), never to cores — so the device mirrors the widen guard's
+# posture: derive the count from the source size when it is knowable
+# (local landing dirs), cap at the session conf, and DO NOTHING when
+# the size is unknown (object stores / real deployments, where the
+# session conf is already sized to the workload).
+_STATE_PARTS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
+_STATE_TARGET_ENV = "SPARK_GRAFT_STREAM_STATE_TARGET_BYTES"
+_STATE_TARGET_DEFAULT = 32 * 1024 * 1024
+
+
+def sized_state_partitions(spark: SparkSession,
+                           source_dir: str) -> int | None:
+    """Stateful-shuffle partition count sized to the local source dir:
+    ceil(bytes / $SPARK_GRAFT_STREAM_STATE_TARGET_BYTES [32 MiB]),
+    floored at 1 and capped at the session's shuffle-partition conf.
+    $SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides outright. Returns
+    None — caller leaves the session conf alone — when the directory
+    is not locally stat-able (real deployments size the session conf
+    to the workload instead)."""
+    import math
+    import os
+
+    env = os.environ.get(_STATE_PARTS_ENV)
+    if env:
+        return int(env)
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(source_dir, f))
+            for f in os.listdir(source_dir))
+    except OSError:
+        return None
+    target = int(os.environ.get(_STATE_TARGET_ENV, _STATE_TARGET_DEFAULT))
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" on managed platforms
+        cap = spark.sparkContext.defaultParallelism
+    # Floor of 4 (still capped by the session conf): a handful of
+    # instances' fixed commit cost is noise, while 1-partition drains
+    # serialize compute-heavy operators (measured sf0.1: session
+    # windows 3.3 s at 1 partition, 1.6 s at 4; interval join flat
+    # 2.6-2.7 s across 1-4, 4.4 s at 8, 7.8 s at 32).
+    return min(cap, max(4, math.ceil(total / target)))
+
+
 def run_to_memory_sink(stream: DataFrame, name: str,
-                       output_mode: str = "append") -> DataFrame:
+                       output_mode: str = "append",
+                       state_partitions: int | None = None) -> DataFrame:
     """Drain a stream with the availableNow trigger into an in-memory table
-    and return it as a batch DataFrame (test/bench harness)."""
-    q = (stream.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return stream.sparkSession.table(name)
+    and return it as a batch DataFrame (test/bench harness).
+
+    ``state_partitions`` (normally from :func:`sized_state_partitions`)
+    pins ``spark.sql.shuffle.partitions`` for the duration of the drain
+    — the value a stateful query captures into its checkpoint at start
+    — and restores the session conf afterwards. Partition count changes
+    only state-store instance count and task parallelism, never values
+    (each drain starts a fresh checkpoint, so no stored state can
+    disagree with the count). Not safe against CONCURRENT drains on one
+    session (the conf is session-global); the harnesses drain
+    sequentially."""
+    spark = stream.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key) if state_partitions else None
+    try:
+        if state_partitions:
+            spark.conf.set(conf_key, str(state_partitions))
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+    return spark.table(name)
 
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame,

@@ -172,17 +172,21 @@ EXPECTED = {
     # doc_id shuffle, everything codegen'd, no arrays, no Python.
     "winnow_rows": dict(scans=1, pushed_min=0, joins=set(),
                         exchanges_max=1, single_max=0, py=0),
-    # round-7 additions. semdedup's 6 scans are the (corpus + injected
-    # copies) union re-derived for the three uses of the assignment
-    # (tagged, both pair-join sides — a 100 TB run materializes the
-    # assignment once instead); the cell self-join may plan as SMJ
-    # (both sides derived, sizes unknown) and must never be a
-    # Cartesian. dsir's scoring pass must stay JOIN-FREE: the bucket
-    # models enter as literal map lookups (the join formulation
-    # measured 10x slower at sf1 — nested-loop total attachments broke
-    # codegen over the exploded token stream), so the plan is one
-    # persisted token-stream scan feeding the per-doc aggregate.
-    "semdedup": dict(scans=6, pushed_min=2,
+    # round-7 additions, round-13 shape: semdedup now MATERIALIZES the
+    # centroid assignment once (one-slot MEMORY_ONLY — the "100 TB run
+    # materializes the assignment once" posture the round-7 comment
+    # prescribed), so the k x dim fold runs ONCE: 2 parquet scans (the
+    # corpus + injected-copies branches feeding the materialization),
+    # every other read an InMemoryTableScan. The widen guard's
+    # round-robin exchange (193 KB sf0.01 input is over the 128 KB
+    # chain gate) is the 1 exchange; the cell self-join stays SMJ over
+    # the cached relation and must never be a Cartesian. dsir's scoring
+    # pass must stay JOIN-FREE: the bucket models enter as literal map
+    # lookups (the join formulation measured 10x slower at sf1 —
+    # nested-loop total attachments broke codegen over the exploded
+    # token stream), so the plan is one persisted token-stream scan
+    # feeding the per-doc aggregate.
+    "semdedup": dict(scans=2, pushed_min=1,
                      joins={"BroadcastHashJoin", "SortMergeJoin"},
                      exchanges_max=2, single_max=0, py=0),
     "dsir_weights": dict(scans=1, pushed_min=0, joins=set(),

@@ -1381,3 +1381,45 @@ def test_stream_domain_cap_input_contract_and_one_status_per_key(
     with pytest.raises(ValueError, match="sentinel"):
         cap_domain_batch(spark, spark.createDataFrame(
             [(1, NULL_DOMAIN)], SCHEMA), state_dir, 2, k=2)
+
+
+def test_sized_state_partitions_gate_and_drain_parity(spark, events_dir):
+    """Round 13: the stateful-shuffle sizing device. Contract: env
+    override wins outright; a non-stat-able dir returns None (leave
+    the session conf alone); the derived count is bytes/target floored
+    at 4 and capped by the session conf; and a drain under a pinned
+    count returns EXACTLY the rows of a default drain while restoring
+    the session conf afterwards."""
+    import math
+    import os
+
+    from data_services_spark.streaming.events import (
+        sized_state_partitions, stream_tumbling_counts)
+
+    assert sized_state_partitions(spark, "/nonexistent-dir-xyz") is None
+
+    os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"] = "7"
+    try:
+        assert sized_state_partitions(spark, events_dir) == 7
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"]
+
+    size = sum(os.path.getsize(os.path.join(events_dir, f))
+               for f in os.listdir(events_dir))
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = min(cap, max(4, math.ceil(size / (32 * 1024 * 1024))))
+    n = sized_state_partitions(spark, events_dir)
+    assert n == want
+
+    conf_before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_event_stream(spark, events_dir)
+    sized = run_to_memory_sink(stream_tumbling_counts(stream),
+                               "t_sized_sink", output_mode="complete",
+                               state_partitions=n)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == conf_before
+    stream = read_event_stream(spark, events_dir)
+    plain = run_to_memory_sink(stream_tumbling_counts(stream),
+                               "t_plain_sink", output_mode="complete")
+    rows_sized = sorted(map(tuple, sized.collect()))
+    rows_plain = sorted(map(tuple, plain.collect()))
+    assert rows_sized and rows_sized == rows_plain
