@@ -201,3 +201,42 @@ def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
     if size is not None and size < min_bytes:
         return df
     return df.repartition(cores)
+
+
+def stream_chain_widen(spark, source_dir: str) -> int | None:
+    """Streaming twin of :func:`widen_if_narrow`'s chain gate, for
+    file-source streams whose micro-batch parallelism follows the
+    landing dir's file splits (the .rdd probe cannot see a streaming
+    plan). Returns the partition count to ``repartition`` the stream
+    to — ``defaultParallelism`` — when ALL of:
+
+    - the landing dir is locally stat-able (object stores return None:
+      the caller leaves the stream alone, exactly the widen guard's
+      unknown-size posture inverted — here an unknown source means a
+      real deployment whose landing dir yields many splits per batch);
+    - its bytes clear the chain gate (tiny drains keep their pinned
+      no-shuffle plans);
+    - the estimated split count (per-file ceil(bytes/maxPartitionBytes))
+      is below the core count — when the dir already splits >= cores
+      wide, the explicit shuffle would be the pure corpus-sized waste
+      the batch guard also refuses.
+    """
+    import math
+
+    try:
+        sizes = [os.path.getsize(os.path.join(source_dir, f))
+                 for f in os.listdir(source_dir)]
+    except OSError:
+        return None
+    total = sum(sizes)
+    if total < chain_min_bytes():
+        return None
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except (TypeError, ValueError):  # "128m"-style or managed platforms
+        mpb = 128 * 1024 * 1024
+    splits = sum(max(1, math.ceil(s / mpb)) for s in sizes)
+    cores = spark.sparkContext.defaultParallelism
+    if splits >= cores:
+        return None
+    return cores

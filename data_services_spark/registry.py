@@ -5234,16 +5234,29 @@ def stream_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest, before anything lands, with no state store and no
     watermark because the segmentation is a pure per-row function
     (the stream_classify device applied to the tokenizer). The widen
-    guard no-ops on a streaming plan by design (plans/widen.py
-    falls back when .rdd is unavailable) — parallelism follows the
-    micro-batch's file splits."""
+    guard no-ops on a streaming plan by design (plans/widen.py cannot
+    probe a streaming plan's partitioning) — so WITHOUT help,
+    parallelism follows the micro-batch's file splits, and a
+    single-file landing dir ran the whole replace chain on ONE task
+    (round 13, measured: 2.3 s drained vs 0.9 s with the explicit
+    repartition below). stream_chain_widen (plans/widen.py) is the
+    streaming twin of the batch chain gate: it fires only when the
+    LOCAL landing dir is stat-able, over the chain byte gate, and
+    estimated to split NARROWER than the core count — a real
+    deployment's landing dir (unknown size or many splits) leaves the
+    stream untouched; per-row outputs are repartition-insensitive."""
     from data_services_spark.operators.bpe import bpe_tokenize
+    from data_services_spark.plans.widen import stream_chain_widen
     from data_services_spark.streaming.events import run_to_memory_sink
+    d = _stream_table_dir(sf_dir, "documents")
     schema = ("doc_id long, text string, lang string, source string, "
               "n_chars long")
     stream = (spark.readStream.schema(schema)
-              .parquet(_stream_table_dir(sf_dir, "documents")))
-    toks = bpe_tokenize(stream.select("doc_id", "text"))
+              .parquet(d).select("doc_id", "text"))
+    n = stream_chain_widen(spark, d)
+    if n is not None:
+        stream = stream.repartition(n)
+    toks = bpe_tokenize(stream)
     return run_to_memory_sink(toks, name="__bench_stream_tokenize")
 
 

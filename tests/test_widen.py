@@ -138,3 +138,33 @@ def test_scan_partition_memo_matches_direct_probe(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     _NPARTS_MEMO.clear()
+
+
+def test_stream_chain_widen_gates(spark, tmp_path):
+    """Round 13: the streaming chain-widen gate. None for a missing
+    dir (unknown size -> leave the stream alone), None under the chain
+    byte gate, cores for a large narrow dir, and None once the dir's
+    estimated splits reach the core count."""
+    from data_services_spark.plans.widen import (
+        chain_min_bytes, stream_chain_widen)
+
+    assert stream_chain_widen(spark, str(tmp_path / "missing")) is None
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "f.parquet").write_bytes(b"x" * 1024)
+    assert stream_chain_widen(spark, str(small)) is None  # under gate
+
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "f.parquet").write_bytes(b"x" * (chain_min_bytes() + 1))
+    cores = spark.sparkContext.defaultParallelism
+    assert stream_chain_widen(spark, str(big)) == cores
+
+    # many files -> estimated splits >= cores -> no widen
+    wide = tmp_path / "wide"
+    wide.mkdir()
+    per = max(1, (chain_min_bytes() // cores) + 1)
+    for i in range(cores):
+        (wide / f"f{i}.parquet").write_bytes(b"x" * per)
+    assert stream_chain_widen(spark, str(wide)) is None
