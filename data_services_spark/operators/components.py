@@ -81,6 +81,8 @@ def connected_components(edges: DataFrame, src: str = "src",
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node")))
 
+    from pyspark.sql import Observation
+
     for _ in range(max_rounds):
         neighbor_min = (sym.join(labels, sym.b == labels.node)
                         .groupBy("a")
@@ -95,8 +97,20 @@ def connected_components(edges: DataFrame, src: str = "src",
                                   F.col("label"),
                                   F.coalesce("nlabel", "label")))
                               .alias("changed")))
-        new_labels, new_ids = _eager_checkpoint(new_labels)
-        n_changed = new_labels.filter("changed").count()
+        # Round 13 (guide §1.2 "don't compute things twice"): the
+        # convergence count rides the checkpoint materialization as an
+        # Observation metric — ONE job per round where a separate
+        # .filter("changed").count() was a second job over the
+        # checkpointed data every round (verified: localCheckpoint
+        # (eager=True) fires CollectMetrics; coalesce because sum over
+        # an empty label frame is NULL where count() was 0).
+        obs = Observation()
+        new_labels, new_ids = _eager_checkpoint(
+            new_labels.observe(
+                obs, F.coalesce(
+                    F.sum(F.when(F.col("changed"), 1).otherwise(0)),
+                    F.lit(0)).cast("long").alias("n_changed")))
+        n_changed = obs.get["n_changed"]
         _unpersist_rdds(spark, labels_ids)  # superseded by new_labels
         labels, labels_ids = new_labels.drop("changed"), new_ids
         if n_changed == 0:
