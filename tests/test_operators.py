@@ -297,6 +297,24 @@ def test_connected_components_two_clusters_and_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4}
 
 
+def test_connected_components_empty_edges_observed_convergence(spark):
+    """Round 13: the convergence count rides the checkpoint job as an
+    Observation metric. Pin the empty-edge path explicitly — sum over a
+    zero-row label frame is NULL where the old count() was 0, and the
+    coalesce must convert that to immediate convergence, not a hang or
+    a spurious extra round."""
+    from data_services_spark.operators import (
+        connected_components, dedup_clusters)
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty, src="id_a", dst="id_b") \
+        .collect() == []
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    got = {r.doc_id: r.cluster_id
+           for r in dedup_clusters(docs, empty).collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_dedup_clusters_labels_singletons(spark):
     from data_services_spark.operators import dedup_clusters
 
