@@ -19,6 +19,22 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+# Every slot list ever handed to persist_slot (round 14, r13 ADVICE):
+# a slot used to stay pinned until the SAME query ran again, so e.g.
+# corpus_curate's full-text survivor relation sat in executor memory
+# for the rest of the session. The registry now calls
+# release_all_slots() at the START of every fresh query build — the
+# next query frees every predecessor's cache, each query still fills
+# (and pays for) its own slots inside its timed region, and re-executing
+# an already-built plan (bench marginal reps) never triggers a release.
+_ALL_SLOTS: list[list[DataFrame]] = []
+
+
+def release_all_slots() -> None:
+    """Release every registered slot (see _ALL_SLOTS rationale)."""
+    for cache in _ALL_SLOTS:
+        release_slot(cache)
+
 
 def release_slot(cache: list[DataFrame]) -> None:
     """Unpersist and drop everything in ``cache`` (normally 0/1 entry)."""
@@ -34,6 +50,9 @@ def persist_slot(cache: list[DataFrame], df: DataFrame,
                  level: StorageLevel = StorageLevel.MEMORY_ONLY
                  ) -> DataFrame:
     """Release the previous occupant, persist ``df``, record it."""
+    # identity, not ==: distinct empty slot lists compare value-equal
+    if not any(c is cache for c in _ALL_SLOTS):
+        _ALL_SLOTS.append(cache)
     release_slot(cache)
     df = df.persist(level)
     cache.append(df)

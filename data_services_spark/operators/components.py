@@ -77,25 +77,38 @@ def connected_components(edges: DataFrame, src: str = "src",
                                  F.col("a").alias("b")))
     sym, sym_ids = _eager_checkpoint(sym)
 
+    # Round 14 (guide §1.2 "remove passes"): FUSED INIT — the node-list
+    # distinct is replaced by one groupBy that already applies the first
+    # propagation step, label0 = min(node, min neighbor). Same shuffle
+    # as the old distinct, one whole round saved: a dense near-dup
+    # clique converges at init and the loop only confirms (n_changed=0)
+    # — 3 materializations total where the old init+2-rounds took 4.
     labels, labels_ids = _eager_checkpoint(
-        sym.select(F.col("a").alias("node")).distinct()
-        .withColumn("label", F.col("node")))
+        sym.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("node"), "label"))
 
     from pyspark.sql import Observation
 
     for _ in range(max_rounds):
-        neighbor_min = (sym.join(labels, sym.b == labels.node)
-                        .groupBy("a")
-                        .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.node == neighbor_min.a, "left")
-                      .select("node",
-                              F.least(F.col("label"),
-                                      F.coalesce("nlabel", "label"))
-                              .alias("label"),
-                              (F.col("label") != F.least(
-                                  F.col("label"),
-                                  F.coalesce("nlabel", "label")))
+        # Round 14 (guide §2.4): ONE-JOIN round. min over (own label
+        # UNION neighbors' labels) == least(own, min neighbor labels),
+        # so the old shape's second join (labels LEFT JOIN neighbor_min)
+        # collapses into the aggregation itself: the self branch rides
+        # the union and doubles as the old-label carrier for the
+        # convergence count. One join + one groupBy per round (was
+        # join + groupBy + join), one exchange fewer.
+        prop = (sym.join(labels, sym.b == labels.node)
+                .select(sym.a.alias("n"), "label",
+                        F.lit(False).alias("own"))
+                .unionByName(labels.select(F.col("node").alias("n"),
+                                           "label",
+                                           F.lit(True).alias("own"))))
+        new_labels = (prop.groupBy("n")
+                      .agg(F.min("label").alias("label"),
+                           F.min(F.when(F.col("own"), F.col("label")))
+                           .alias("__old"))
+                      .select(F.col("n").alias("node"), "label",
+                              (F.col("label") != F.col("__old"))
                               .alias("changed")))
         # Round 13 (guide §1.2 "don't compute things twice"): the
         # convergence count rides the checkpoint materialization as an

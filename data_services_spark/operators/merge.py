@@ -50,9 +50,19 @@ def first_by_rank(value: Column | str, rank: Column | str) -> Column:
 
 def union_lists(col: Column | str) -> Column:
     """Set-union of array-typed property across merged rows, sorted for
-    order-insensitive comparison."""
+    order-insensitive comparison.
+
+    ``collect_set`` rather than ``collect_list`` (round 14, guide §2.3
+    "aggregate before you shuffle"): the partial-aggregate buffer is a
+    SET, so duplicate property arrays within a map partition are dropped
+    BEFORE the exchange — collect_list shipped every row's array
+    un-combined. Value-identical by construction: dropping duplicate
+    arrays cannot change the union of their elements, and
+    array_distinct + array_sort canonicalize the rest (measured:
+    graph_build 3.37 -> 3.16 s warm noop at sf0.1; full-row parity on
+    kgx_node_merge / graph_build / graph_build_nodes at sf0.1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.array_sort(F.array_distinct(F.flatten(F.collect_list(c))))
+    return F.array_sort(F.array_distinct(F.flatten(F.collect_set(c))))
 
 
 def _merge(df: DataFrame, key: Sequence[str], scalar_props: Sequence[str],

@@ -122,20 +122,26 @@ def kgx_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial collect_list on ONE core (measured sf0.1:
     kgx_edge_merge 3.27 s noop, of which ~2.9 s was the serial
     post-scan chain). Widening the slim 5-INT-column projection —
-    before the strings exist, so the round-robin exchange moves ~2 MB
-    of ints instead of ~50 MB of built strings/arrays (measured:
+    before the strings exist, so the exchange moves ~2 MB of ints
+    instead of ~50 MB of built strings/arrays (measured:
     widen-after-strings 2.34 s vs widen-before 1.39 s) — parallelizes
-    everything after the scan. Values are unaffected: every consumer
+    everything after the scan. Round 14 (guide §2.5): the widen is now
+    KEYED on l_orderkey — the round-robin form paid a serial local
+    sort of all 600 k rows on the one-task map side
+    (sortBeforeRepartition); hash-by-key is retry-deterministic
+    without it (measured: widened-scan noop 0.80 s -> 0.45 s).
+    l_orderkey is high-cardinality (~150 k distinct at sf0.1) so the
+    32 buckets stay balanced. Values are unaffected: every consumer
     groups/joins on the edge key and the merge aggregates are
     order-insensitive (lists are sorted post-union). At real scale the
     scan has >= cores splits and the guard no-ops; at sf0.01 the
     1.02 MB input is under the 2 MB gate, so pinned small-sf plans
     keep their single exchange."""
-    from data_services_spark.plans.widen import widen_if_narrow
+    from data_services_spark.plans.widen import widen_by_key
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_partkey", "l_suppkey",
         "l_linenumber")
-    return spark.sql(_KGX_EDGES_SPARK, lineitem=widen_if_narrow(li))
+    return spark.sql(_KGX_EDGES_SPARK, lineitem=widen_by_key(li, "l_orderkey"))
 
 
 KGX_EDGES_SQL = """

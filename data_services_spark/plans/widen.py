@@ -47,15 +47,20 @@ _CHAIN_ENV = "SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES"
 def chain_min_bytes() -> int:
     """Env-resolved gate for heavy-chain call sites (read at call time).
 
-    Honors a LOWER generic SPARK_GRAFT_WIDEN_MIN_BYTES too, so the
-    force-the-widen-on test/ops override keeps working at chain sites;
-    $SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES overrides the chain gate alone.
-    """
-    gate = int(os.environ.get(_CHAIN_ENV, CHAIN_MIN_BYTES))
+    Precedence (round 14, r13 ADVICE): the chain-specific
+    $SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES wins outright when set;
+    otherwise the generic $SPARK_GRAFT_WIDEN_MIN_BYTES applies in BOTH
+    directions — an operator raising the generic gate to suppress
+    widening globally (the documented way to keep pinned plans) now
+    suppresses chain-site widens too, and the force-the-widen-on
+    test/ops low override keeps working as before."""
+    chain = os.environ.get(_CHAIN_ENV)
+    if chain is not None:
+        return int(chain)
     generic = os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES")
     if generic is not None:
-        gate = min(gate, int(generic))
-    return gate
+        return int(generic)
+    return CHAIN_MIN_BYTES
 
 
 def _input_bytes(df: DataFrame) -> int | None:
@@ -149,16 +154,68 @@ def keyed_rebalance_if_small(df: DataFrame, *cols: str,
 # Memo for the scan-partition probe (round 13, guide §1/§5 driver
 # work): ``df.rdd.getNumPartitions()`` runs full physical planning +
 # RDD conversion — measured 38 ms per FRESH plan build vs 0.7 ms for
-# ``inputFiles()``. For a FILE-backed plan the scan's partition count
-# is a pure function of (file set, split confs) — independent of the
-# projection — so one probe per (session, files, confs) is exact and
-# every later fresh build of the same input skips the planning pass.
-# Non-file plans (memory relations) keep the direct probe: their
-# partitioning is not determined by files.
+# ``inputFiles()``. For a BARE SCAN the partition count is a pure
+# function of (file set + sizes/mtimes, split confs, core count) — so
+# one probe per key is exact and every later fresh build of the same
+# input skips the planning pass. Round 14 (r13 ADVICE, medium): the
+# memo is now written ONLY from bare scan/projection plans — a derived
+# plan (post-exchange/aggregate, e.g. corpus_curate's persisted window
+# output) has the same inputFiles() as the plain scan but a partition
+# count set by its shuffle, and memoizing it under the file key made
+# every later plain scan of the same table skip its widen (or
+# vice-versa). Derived and non-file plans take the direct probe,
+# un-memoized. The key carries file sizes+mtimes (stale-proof against
+# in-place rewrites) and applicationId+parallelism instead of the py4j
+# wrapper id (which can alias after GC).
 _NPARTS_MEMO: dict[tuple, int] = {}
 _SPLIT_CONF_KEYS = ("spark.sql.files.maxPartitionBytes",
                     "spark.sql.files.openCostInBytes",
                     "spark.sql.files.minPartitionNum")
+
+# Analyzed-plan node names that cannot change a scan's partitioning.
+_BARE_SCAN_NODES = ("Project", "Filter", "SubqueryAlias", "Relation",
+                    "LogicalRelation", "View")
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff every node of the analyzed logical plan is a
+    projection/filter/alias over a relation — i.e. the physical
+    partition count is the SCAN's, a pure function of files + split
+    confs. Anything else (Repartition, Aggregate, Join, Window, Union,
+    Generate, InMemoryRelation, ...) disqualifies the plan from the
+    partition memo."""
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in tree.splitlines():
+        name = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if name and not any(name.startswith(n) for n in _BARE_SCAN_NODES):
+            return False
+    return True
+
+
+def _local_file_stats(files: list[str]) -> tuple | None:
+    """(size, mtime_ns) per input file, or None when any file is not
+    locally stat-able — those plans skip the memo (one 38 ms probe on
+    a real deployment is noise; a stale memo is not)."""
+    stats = []
+    for uri in files:
+        if uri.startswith("file:"):
+            parsed = urlparse(uri)
+            if parsed.netloc not in ("", "localhost"):
+                return None
+            path = unquote(parsed.path)
+        elif "://" not in uri:
+            path = uri
+        else:
+            return None
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        stats.append((st.st_size, st.st_mtime_ns))
+    return tuple(stats)
 
 
 def _scan_partitions(df: DataFrame) -> int:
@@ -168,8 +225,13 @@ def _scan_partitions(df: DataFrame) -> int:
         files = []
     if not files:
         return df.rdd.getNumPartitions()
+    ordered = tuple(sorted(files))
+    stats = _local_file_stats(list(ordered))
+    if stats is None or not _is_bare_scan(df):
+        return df.rdd.getNumPartitions()
+    sc = df.sparkSession.sparkContext
     conf = df.sparkSession.conf
-    key = (id(df.sparkSession._jsparkSession), tuple(sorted(files)),
+    key = (sc.applicationId, sc.defaultParallelism, ordered, stats,
            tuple(conf.get(k, None) for k in _SPLIT_CONF_KEYS))
     n = _NPARTS_MEMO.get(key)
     if n is None:
@@ -203,6 +265,77 @@ def widen_if_narrow(df: DataFrame, min_bytes: int | None = None
     return df.repartition(cores)
 
 
+def widen_by_key(df: DataFrame, *cols: str,
+                 min_bytes: int | None = None) -> DataFrame:
+    """KEYED variant of :func:`widen_if_narrow` — same gates (narrow
+    scan, byte floor, streaming-safe), but ``repartition(cores, *cols)``
+    instead of round-robin. Two measured wins (round 14, guide
+    §2.4/§2.5):
+
+    - a keyless ``repartition(n)`` first pays a LOCAL SORT of its input
+      (``spark.sql.execution.sortBeforeRepartition``, on by default so
+      retried tasks reproduce their row->partition assignment) — on the
+      one-task map side of a narrow scan that sort is serial. Hash
+      partitioning is deterministic per row by construction, so it
+      skips the sort entirely (measured: the widened slim lineitem scan
+      0.80 s round-robin -> ~0.45 s keyed at sf0.1);
+    - a downstream groupBy/join whose keys are a SUPERSET of ``cols``
+      reuses the exchange (ClusteredDistribution is satisfied by hash
+      partitioning on a key subset), deleting the aggregation's own
+      shuffle (kgx_edge_merge: 2 exchanges -> 1).
+
+    Balance caveat: the key must have far more distinct values than
+    cores (guide §2.5 synthetic-key note) — call sites pick a
+    high-cardinality natural key; duplicates of one key land together,
+    which is exactly what the downstream keyed operator needs anyway.
+    """
+    if min_bytes is None:
+        min_bytes = int(os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES",
+                                       DEFAULT_MIN_BYTES))
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.isStreaming:
+        return df
+    nparts = _scan_partitions(df)
+    if nparts >= cores:
+        return df
+    size = _input_bytes(df)
+    if size is not None and size < min_bytes:
+        return df
+    return df.repartition(cores, *cols)
+
+
+def dir_data_file_sizes(source_dir: str) -> list[int] | None:
+    """Sizes of the DATA files under ``source_dir``, recursively, or
+    None when the dir is not locally listable. Round 14 (r13 ADVICE):
+    the previous non-recursive listdir+getsize counted a Spark-written
+    nested partition subdirectory as its inode size (~4 KB), so large
+    dirs could be misclassified as small. Walks the tree, sums only
+    regular files, and skips dot/underscore metadata entries
+    (_spark_metadata, _SUCCESS, .crc) at every level — the same files
+    Spark's own file index ignores."""
+    def _raise(err):  # os.walk swallows errors by default; a partial
+        raise err      # walk must not masquerade as a small dir
+
+    try:
+        if not os.path.isdir(source_dir):
+            return None
+        sizes: list[int] = []
+        for root, dirnames, filenames in os.walk(source_dir,
+                                                 onerror=_raise):
+            dirnames[:] = [d for d in dirnames
+                           if not d.startswith((".", "_"))]
+            for f in filenames:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, f)
+                if os.path.isfile(p):
+                    sizes.append(os.path.getsize(p))
+        return sizes
+    except OSError:
+        return None
+
+
 def stream_chain_widen(spark, source_dir: str) -> int | None:
     """Streaming twin of :func:`widen_if_narrow`'s chain gate, for
     file-source streams whose micro-batch parallelism follows the
@@ -223,10 +356,8 @@ def stream_chain_widen(spark, source_dir: str) -> int | None:
     """
     import math
 
-    try:
-        sizes = [os.path.getsize(os.path.join(source_dir, f))
-                 for f in os.listdir(source_dir)]
-    except OSError:
+    sizes = dir_data_file_sizes(source_dir)
+    if sizes is None:
         return None
     total = sum(sizes)
     if total < chain_min_bytes():

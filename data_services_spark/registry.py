@@ -82,7 +82,23 @@ def register(name: str, sql: str | None = None, cache_plan: bool = True):
     Catalyst analysis here without the cache). `cache_plan=False` for
     queries with per-call side effects that must re-run."""
     def deco(fn: QueryFn) -> QueryFn:
-        RAW_QUERIES[name] = fn
+        def building(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Round 14 (r13 ADVICE): a fresh query build releases every
+            # one-slot persist left by PREVIOUS queries (e.g.
+            # corpus_curate's full-text survivor cache stayed pinned for
+            # the rest of the session). Each query re-fills its own
+            # slots inside its own timed region; re-executing an
+            # already-built plan never lands here, so nothing is
+            # released mid-flight for marginal/bench reps.
+            from data_services_spark.functions.cache import (
+                release_all_slots,
+            )
+            release_all_slots()
+            return fn(spark, sf_dir)
+
+        building.__name__ = fn.__name__
+        building.__doc__ = fn.__doc__
+        RAW_QUERIES[name] = building
         if cache_plan:
             plans: dict[tuple[int, str], DataFrame] = {}
 
@@ -90,14 +106,14 @@ def register(name: str, sql: str | None = None, cache_plan: bool = True):
                 key = (id(spark._jsparkSession), sf_dir)
                 df = plans.get(key)
                 if df is None:
-                    df = plans[key] = fn(spark, sf_dir)
+                    df = plans[key] = building(spark, sf_dir)
                 return df
 
             cached.__name__ = fn.__name__
             cached.__doc__ = fn.__doc__
             QUERIES[name] = cached
         else:
-            QUERIES[name] = fn
+            QUERIES[name] = building
         if sql is not None:
             ORACLES[name] = sql
         return fn
@@ -775,12 +791,56 @@ def kgx_edge_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 edge merge on (s, p, o, primary_knowledge_source)
     `[R: Common/merging.py — merge_edges — unverified]`.
     List props '|'-joined for the scalar-only driver compare (see
-    kgx_node_merge)."""
-    merged = merge_edges(kgx.kgx_edges(spark, sf_dir))
-    return (merged
-            .withColumn("publications", F.array_join("publications", "|"))
-            .withColumn("aggregator_knowledge_sources",
-                        F.array_join("aggregator_knowledge_sources", "|")))
+    kgx_node_merge).
+
+    Round 14 (guide §2.3 "shuffle keys and metadata instead of
+    payloads", §2.4 "share one exchange", §8): the merge groups by INT
+    PROXIES of the edge key and builds every CURIE string AFTER the
+    aggregate — each proxy is a bijection onto its string (subject <->
+    l_orderkey, object <-> l_partkey, pks <-> l_suppkey%3) except
+    predicate, whose proxy (l_returnflag=='R') is exactly the CASE's
+    fiber, so the GROUPS are identical to the string form's. The
+    shuffle now carries 4 ints + int-set buffers instead of ~35-byte
+    strings + string arrays, strings are built once per GROUP (~60 k at
+    sf0.01 dup rates) instead of once per row (600 k), and the keyed
+    widen's exchange is REUSED by the groupBy (hash on l_orderkey, a
+    subset of the group key, satisfies ClusteredDistribution): 2
+    exchanges -> 1. publications elements are sorted AS STRINGS after
+    the transform, so '|'-join order is byte-identical to the oracle's
+    list_sort (measured: 2.26 s -> 1.25 s warm noop in-session at
+    sf0.1; full-row parity verified at sf0.01/sf0.1)."""
+    from data_services_spark.plans.widen import widen_by_key
+    li = widen_by_key(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_partkey", "l_suppkey",
+            "l_linenumber"),
+        "l_orderkey")
+    g = (li.groupBy(
+            F.col("l_orderkey"),
+            F.col("l_returnflag").eqNullSafe(F.lit("R")).alias("__ret"),
+            F.col("l_partkey"),
+            (F.col("l_suppkey") % 3).alias("__pks"))
+         .agg(F.collect_set("l_linenumber").alias("__lns"),
+              F.collect_set(F.col("l_suppkey") % 2).alias("__aggs"),
+              F.count(F.lit(1)).alias("n_merged")))
+    return g.select(
+        F.concat(F.lit("ORD:"), F.col("l_orderkey").cast("string"))
+        .alias("subject"),
+        F.when(F.col("__ret"), F.lit("biolink:returned"))
+        .otherwise(F.lit("biolink:contains")).alias("predicate"),
+        F.concat(F.lit("PART:"), F.col("l_partkey").cast("string"))
+        .alias("object"),
+        F.concat(F.lit("infores:src"), F.col("__pks").cast("string"))
+        .alias("primary_knowledge_source"),
+        F.array_join(F.array_sort(F.transform(
+            "__lns",
+            lambda x: F.concat(F.lit("PMID:"), (x * 7).cast("string")))),
+            "|").alias("publications"),
+        F.array_join(F.array_sort(F.transform(
+            "__aggs",
+            lambda x: F.concat(F.lit("infores:agg"), x.cast("string")))),
+            "|").alias("aggregator_knowledge_sources"),
+        F.col("n_merged"))
 
 
 @register("kgx_normalize", f"""
@@ -1135,10 +1195,20 @@ def skew_salted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe node out-degree via two-phase salted aggregation
     (operators/skew.py) — identical result to a plain groupBy, but hub
     nodes spread across 32 reducers in phase 1. AQE splits skewed joins;
-    skewed *aggregations* need this."""
+    skewed *aggregations* need this.
+
+    Round 14 (guide §2.3): salted over the INT proxy — subject =
+    'ORD:' || l_orderkey is injective, so counting per orderkey and
+    building the CURIE once per OUTPUT row (~150 k) instead of per
+    input row (600 k) is group-identical; both salted phases now
+    shuffle one long instead of a string."""
     from data_services_spark.operators.skew import salted_count
-    edges = kgx.kgx_edges(spark, sf_dir)
-    return salted_count(edges.select("subject"), ["subject"], out="degree")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    deg = salted_count(li, ["l_orderkey"], out="degree")
+    return deg.select(
+        F.concat(F.lit("ORD:"), F.col("l_orderkey").cast("string"))
+        .alias("subject"),
+        "degree")
 
 
 @register("cluster_collect", """
@@ -3585,12 +3655,30 @@ def record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 per-source record counting — the load-metadata numbers the
     reference tracks per stage `[R: Common/metadata.py — unverified]`.
     (The streaming-friendly ``df.observe`` variant lives in
-    plans/metadata.py; this is the query-shaped equivalent.)"""
-    e = kgx.kgx_edges(spark, sf_dir)
-    return (e.groupBy("primary_knowledge_source")
-            .agg(F.count(F.lit(1)).alias("n_records"),
-                 F.countDistinct("subject").alias("n_subjects"),
-                 F.countDistinct("object").alias("n_objects")))
+    plans/metadata.py; this is the query-shaped equivalent.)
+
+    Round 14 (guide §2.3, same device as kgx_edge_merge): counts run
+    on the INT PROXIES — COUNT(DISTINCT subject) == COUNT(DISTINCT
+    l_orderkey) because subject = 'ORD:' || orderkey is injective
+    (likewise object/l_partkey, source/l_suppkey%3; NULL ints map to
+    NULL strings, ignored by both engines' distinct counts) — so the
+    distinct Expand triples 3 slim int columns instead of ~35-byte
+    CURIEs, no string is ever built per row, and the 3 output strings
+    are built once per GROUP (measured: 1.11 s -> see
+    OPTIMIZATION_r14.md). Values oracle-verified at sf0.01/sf0.1."""
+    from data_services_spark.plans.widen import widen_by_key
+    li = widen_by_key(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey"),
+        "l_orderkey")
+    g = (li.groupBy((F.col("l_suppkey") % 3).alias("__pks"))
+         .agg(F.count(F.lit(1)).alias("n_records"),
+              F.countDistinct("l_orderkey").alias("n_subjects"),
+              F.countDistinct("l_partkey").alias("n_objects")))
+    return g.select(
+        F.concat(F.lit("infores:src"), F.col("__pks").cast("string"))
+        .alias("primary_knowledge_source"),
+        "n_records", "n_subjects", "n_objects")
 
 
 @register("q10_returned_items", f"""

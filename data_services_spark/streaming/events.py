@@ -132,12 +132,14 @@ def sized_state_partitions(spark: SparkSession,
     env = os.environ.get(_STATE_PARTS_ENV)
     if env:
         return int(env)
-    try:
-        total = sum(
-            os.path.getsize(os.path.join(source_dir, f))
-            for f in os.listdir(source_dir))
-    except OSError:
+    # Round 14 (r13 ADVICE): recursive data-file walk — the flat
+    # listdir counted nested partition subdirs as their ~4 KB inode
+    # size, undercounting Spark-written landing dirs.
+    from data_services_spark.plans.widen import dir_data_file_sizes
+    sizes = dir_data_file_sizes(source_dir)
+    if sizes is None:
         return None
+    total = sum(sizes)
     target = int(os.environ.get(_STATE_TARGET_ENV, _STATE_TARGET_DEFAULT))
     try:
         cap = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -81,6 +81,42 @@ def test_widened_tokenizers_stay_value_exact(spark):
     assert rows_k == base
 
 
+def test_widen_by_key_gates_and_exchange_reuse(spark):
+    """widen_by_key (round 14): gates exactly like widen_if_narrow
+    (unchanged handle under the byte floor and when already wide), and
+    when it fires the exchange is HASH partitioning on the key — no
+    sort-before-repartition — which a groupBy on a key superset reuses
+    (exactly ONE exchange in the whole aggregate plan)."""
+    import pyspark.sql.functions as F
+
+    from data_services_spark.plans.widen import widen_by_key
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")) \
+        .select("l_orderkey", "l_partkey")
+    # below the byte floor: unchanged handle, no Repartition node
+    assert widen_by_key(d, "l_orderkey",
+                        min_bytes=10 * 1024 * 1024 * 1024) is d
+    # already wide: unchanged handle whatever the size
+    wide_in = spark.range(0, 1000, 1,
+                          spark.sparkContext.defaultParallelism)
+    assert widen_by_key(wide_in, "id", min_bytes=1) is wide_in
+
+    cores = spark.sparkContext.defaultParallelism
+    w = widen_by_key(d, "l_orderkey", min_bytes=1)  # force the widen
+    assert _n_parts(w) == cores
+    plan = w._jdf.queryExecution().toString()
+    assert "hashpartitioning(l_orderkey" in plan
+    # a groupBy on a SUPERSET of the widen key reuses the exchange
+    agg = w.groupBy("l_orderkey", "l_partkey").agg(F.count("*").alias("n"))
+    phys = agg._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1
+    # values identical to the unwidened groupBy
+    base = sorted(tuple(r) for r in
+                  d.groupBy("l_orderkey", "l_partkey")
+                  .agg(F.count("*").alias("n")).collect())
+    assert sorted(tuple(r) for r in agg.collect()) == base
+
+
 def test_rebalance_if_small_gate(spark):
     """rebalance_if_small: repartitions to cores when the SOURCE scan
     is under the gate, is a no-op above it (a real-scale plan must
@@ -126,6 +162,15 @@ def test_scan_partition_memo_matches_direct_probe(spark):
     mem = spark.createDataFrame([(1,), (2,)], "x int")
     assert _scan_partitions(mem) == mem.rdd.getNumPartitions()
 
+    # round 14 (r13 ADVICE): a DERIVED plan over the same files — same
+    # inputFiles(), partition count set by its shuffle, not the scan —
+    # must take the direct probe and must NOT poison the bare-scan memo
+    cores = spark.sparkContext.defaultParallelism
+    derived = spark.read.parquet(path).select("l_orderkey") \
+        .repartition(cores)
+    assert _scan_partitions(derived) == cores
+    assert _scan_partitions(a) == direct  # memo unpoisoned
+
     # a split-conf change must invalidate: force a tiny split size and
     # check the memo re-probes (more partitions for the same file)
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -138,6 +183,61 @@ def test_scan_partition_memo_matches_direct_probe(spark):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     _NPARTS_MEMO.clear()
+
+
+def test_chain_min_bytes_env_precedence(monkeypatch):
+    """Round 14 (r13 ADVICE): the generic $SPARK_GRAFT_WIDEN_MIN_BYTES
+    applies to chain sites in BOTH directions when the chain-specific
+    env is unset (raising it to suppress widening globally now works);
+    the chain env, when set, wins outright."""
+    from data_services_spark.plans.widen import (
+        CHAIN_MIN_BYTES, chain_min_bytes)
+
+    monkeypatch.delenv("SPARK_GRAFT_WIDEN_MIN_BYTES", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES", raising=False)
+    assert chain_min_bytes() == CHAIN_MIN_BYTES
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_MIN_BYTES", "1")
+    assert chain_min_bytes() == 1          # lower: force-on still works
+    monkeypatch.setenv("SPARK_GRAFT_WIDEN_MIN_BYTES",
+                       str(10 * CHAIN_MIN_BYTES))
+    assert chain_min_bytes() == 10 * CHAIN_MIN_BYTES  # raise: suppresses
+    monkeypatch.setenv("SPARK_GRAFT_CHAIN_WIDEN_MIN_BYTES", "7")
+    assert chain_min_bytes() == 7          # chain-specific wins outright
+
+
+def test_dir_data_file_sizes_recursive(tmp_path):
+    """Round 14 (r13 ADVICE): nested partition subdirs are walked (the
+    flat listdir counted them as ~4 KB inodes), metadata entries are
+    skipped at every level, and a missing dir reports None."""
+    from data_services_spark.plans.widen import dir_data_file_sizes
+
+    d = tmp_path / "landing"
+    (d / "p=1").mkdir(parents=True)
+    (d / "p=1" / "part-0.parquet").write_bytes(b"x" * 1000)
+    (d / "top.parquet").write_bytes(b"y" * 50)
+    (d / "_spark_metadata").mkdir()
+    (d / "_spark_metadata" / "0").write_bytes(b"z" * 9999)
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "p=1" / ".part-0.parquet.crc").write_bytes(b"c" * 11)
+    assert sorted(dir_data_file_sizes(str(d))) == [50, 1000]
+    assert dir_data_file_sizes(str(tmp_path / "nope")) is None
+
+
+def test_release_all_slots_frees_previous_queries_cache(spark):
+    """Round 14 (r13 ADVICE): building any fresh query releases every
+    one-slot persist left by PREVIOUS queries — the corpus text no
+    longer stays pinned for the rest of the session."""
+    from data_services_spark.functions.cache import (
+        persist_slot, release_all_slots)
+
+    slot_a: list = []
+    slot_b: list = []
+    df_a = persist_slot(slot_a, spark.range(10))
+    assert df_a.storageLevel.useMemory and slot_a
+    persist_slot(slot_b, spark.range(20))
+    release_all_slots()
+    assert not slot_a and not slot_b
+    assert not df_a.storageLevel.useMemory
 
 
 def test_stream_chain_widen_gates(spark, tmp_path):
