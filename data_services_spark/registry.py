@@ -961,25 +961,45 @@ def kgx_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer aggregates, exact vs the oracle. Edge relation deduped to
     (s,p,o) first so parallel edges never multiply path counts; the mid
     filter enters as a semi-shaped equi join before the big edge-edge
-    join, so pruning happens pre-shuffle."""
-    e = (kgx.kgx_edges(spark, sf_dir)
-         .select("subject", "predicate", "object").distinct())
-    mid = (kgx.kgx_nodes(spark, sf_dir)
-           .filter(F.col("id").startswith("PART:")
-                   & (F.col("acctbal") > 950))
-           .select(F.col("id").alias("m")))
-    e1 = (e.filter(F.col("predicate") == "biolink:returned")
-          .select("subject", F.col("object").alias("m")))
-    e2 = (e.filter(F.col("predicate") == "biolink:contains")
-          .select(F.col("subject").alias("neighbor"),
-                  F.col("object").alias("m")))
-    paths = (e1.join(mid, "m")
-             .join(e2, "m")
-             .filter(F.col("neighbor") != F.col("subject")))
-    return paths.groupBy("subject").agg(
-        F.count_distinct("m").alias("n_mid"),
-        F.count_distinct("neighbor").alias("n_neighbors"),
+    join, so pruning happens pre-shuffle.
+
+    Round 14 (guide §2.3, the kgx_edge_merge device): the whole path
+    pattern runs on the INT proxies — subject/neighbor <-> l_orderkey,
+    m <-> l_partkey, predicate <-> (l_returnflag=='R'), each a
+    bijection — so the (s,p,o) distinct, both path joins and all three
+    distinct aggregates shuffle ints instead of CURIEs; the mid
+    constraint (kgx_nodes PART rows are exactly `part`, acctbal is
+    p_retailprice) prunes on the part scan directly; the ONE subject
+    string per output group is built after the aggregate. The keyed
+    widen's hash exchange is reused by the distinct (l_orderkey is a
+    distinct key). Oracle-verified at sf0.01/sf0.1."""
+    from data_services_spark.plans.widen import widen_by_key
+    li = widen_by_key(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_partkey"),
+        "l_orderkey")
+    e = (li.select(F.col("l_orderkey").alias("__s"),
+                   F.col("l_returnflag").eqNullSafe(F.lit("R"))
+                   .alias("__ret"),
+                   F.col("l_partkey").alias("__m"))
+         .distinct())
+    mid = (load_table(spark, sf_dir, "part")
+           .filter(F.col("p_retailprice") > 950)
+           .select(F.col("p_partkey").alias("__m")))
+    e1 = e.filter(F.col("__ret")).select("__s", "__m")
+    e2 = (e.filter(~F.col("__ret"))
+          .select(F.col("__s").alias("__nbr"), "__m"))
+    paths = (e1.join(mid, "__m")
+             .join(e2, "__m")
+             .filter(F.col("__nbr") != F.col("__s")))
+    agg = paths.groupBy("__s").agg(
+        F.count_distinct("__m").alias("n_mid"),
+        F.count_distinct("__nbr").alias("n_neighbors"),
         F.count(F.lit(1)).alias("n_paths"))
+    return agg.select(
+        F.concat(F.lit("ORD:"), F.col("__s").cast("string"))
+        .alias("subject"),
+        "n_mid", "n_neighbors", "n_paths")
 
 
 # EP2 graph-spec build: the src_nodes / edge CTEs shared by the
@@ -3238,28 +3258,36 @@ def crawl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_domain,
     )
     from data_services_spark.plans.widen import (
-        rebalance_if_small, widen_if_narrow,
+        keyed_rebalance_if_small, widen_by_key,
     )
-    # widen guard (round 12): the pre-shuffle half (URL synth +
-    # canonicalization regexes) runs on the scan's splits — a 1-split
-    # sf1 file would serialize it on one core; the post-shuffle half
-    # gets the inverse treatment below (plans/widen.py)
-    d = widen_if_narrow(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # widen guard (round 12; keyed since round 14 — hash on the unique
+    # doc_id skips the keyless repartition's serial map-side sort): the
+    # pre-shuffle half (URL synth + canonicalization regexes) runs on
+    # the scan's splits — a 1-split sf1 file would serialize it on one
+    # core
+    d = widen_by_key(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
     half = F.floor(F.col("doc_id") / F.lit(2)).cast("long")
     u = d.select("doc_id", "text",
                  synth_url(half, F.lit("web"), F.lit("xx")).alias("url"))
     canon = (u.withColumn("curl", canonicalize_url("url"))
              .withColumn("domain", url_domain(F.col("curl"))))
+    # Round 14 (guide §2.4, replacing the round-12 post-shuffle
+    # rebalance): AQE byte-coalesced the tiny dedup shuffle to ONE
+    # task, serializing the heavy synth->extract->classify chain. The
+    # old fix added a THIRD exchange after the groupBy; the keyed
+    # rebalance BEFORE it is REPARTITION_BY_NUM on the group key
+    # itself, so AQE never coalesces it AND the groupBy reuses it —
+    # the dedup aggregate and the post-chain both run 32-wide with one
+    # exchange fewer (measured: 0.75 -> 0.55 s fresh in-session).
+    # Size-gated exactly like the old form: real-scale plans keep the
+    # groupBy's own AQE-sized exchange and never pay a pinned count.
+    canon = keyed_rebalance_if_small(canon, "curl")
     surv = canon.groupBy("curl").agg(
         F.min("doc_id").alias("doc_id"),
         F.min_by("text", "doc_id").alias("text"),
         F.min_by("domain", "doc_id").alias("domain"))
-    # post-shuffle rebalance (round 12, measured): AQE byte-coalesced
-    # the tiny dedup shuffle to ONE task, serializing the heavy
-    # synth->extract->classify chain on one core at bench scale;
-    # size-gated so real-scale plans never pay an extra corpus shuffle
-    surv = rebalance_if_small(surv, d)
     page = surv.select("doc_id", "domain",
                        synth_html("text", "doc_id").alias("page"))
     x = page.select("doc_id", "domain",
