@@ -277,13 +277,15 @@ EXPECTED = {
     "jaccard_prefix_join": dict(scans=2, pushed_min=0,
                                 joins={"BroadcastHashJoin"},
                                 exchanges_max=2, single_max=0, py=0),
-    # round-9 KG meta-path query: each typed edge branch scans lineitem
-    # with its predicate pushed through the CASE projection into the
-    # scan (pushed_min=3 includes the part-node attribute filter), the
-    # mid-node constraint and the second edge leg broadcast at this
-    # scale, and the exchanges are the two per-branch distincts + the
-    # per-source aggregate. Zero Python.
-    "kgx_two_hop": dict(scans=5, pushed_min=3,
+    # round-14 int-proxy rewrite (guide §2.3): ONE widened lineitem scan
+    # feeds both typed edge legs through the shared (s,p,o)-proxy
+    # distinct (was one scan per leg = 5 scans; now lineitem + part +
+    # the broadcast mid = 3), the mid constraint pushes to the part
+    # scan (pushed_min=3 keeps the attribute filter), both path joins
+    # broadcast at this scale, and the exchanges are the keyed widen
+    # (reused by the distinct) + the three-level count-distinct
+    # aggregate's expands. Zero Python, strings built per OUTPUT group.
+    "kgx_two_hop": dict(scans=3, pushed_min=3,
                         joins={"BroadcastHashJoin"},
                         exchanges_max=4, single_max=0, py=0),
     # round-9 negative sampling: the bucket-representative table is a
