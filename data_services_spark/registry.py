@@ -73,14 +73,25 @@ def _bpe_frag():
     return bpe_sql("text")
 
 
-def register(name: str, sql: str | None = None, cache_plan: bool = True):
+def register(name: str, sql: str | None = None, cache_plan: bool = True,
+             lazy_build: bool = False):
     """Register a query; by default the built DataFrame is memoized per
     (session, sf_dir) — a prepared-statement-style plan cache. A DataFrame
     is an immutable plan handle: reusing it reuses the analyzed/optimized
     plan and compiled codegen, so repeated executions pay only run time
     (what DuckDB's ~ms SQL re-parse costs there is ~300ms of py4j +
     Catalyst analysis here without the cache). `cache_plan=False` for
-    queries with per-call side effects that must re-run."""
+    queries with per-call side effects that must re-run.
+
+    ``lazy_build=True`` (round 14, VERDICT ask #6) declares the builder
+    PURE-LAZY — no jobs run at build time, no persist/one-slot cache in
+    the plan, no closures over values computed from the input — and
+    opts its RAW_QUERIES entry into the analyzed-plan rebuild memo
+    (plans/plan_memo.py): repeat fresh builds wrap the memoized
+    analyzed tree in a brand-new Dataset, so every execution still
+    re-reads parquet and re-shuffles in full while the pure driver
+    constant (py4j tree construction + Catalyst analysis + widen
+    probes) is paid once per (session, sf_dir, knobs, file stats)."""
     def deco(fn: QueryFn) -> QueryFn:
         def building(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Round 14 (r13 ADVICE): a fresh query build releases every
@@ -98,7 +109,21 @@ def register(name: str, sql: str | None = None, cache_plan: bool = True):
 
         building.__name__ = fn.__name__
         building.__doc__ = fn.__doc__
-        RAW_QUERIES[name] = building
+        if lazy_build:
+            from data_services_spark.plans.plan_memo import rebuild_or_build
+
+            def raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+                from data_services_spark.functions.cache import (
+                    release_all_slots,
+                )
+                release_all_slots()  # same fresh-build semantics
+                return rebuild_or_build(spark, name, sf_dir, fn)
+
+            raw.__name__ = fn.__name__
+            raw.__doc__ = fn.__doc__
+            RAW_QUERIES[name] = raw
+        else:
+            RAW_QUERIES[name] = building
         if cache_plan:
             plans: dict[tuple[int, str], DataFrame] = {}
 
@@ -155,7 +180,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("q1_pricing_summary", _Q1_SQL)
+@register("q1_pricing_summary", _Q1_SQL, lazy_build=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-agg with full pushdown (P4+A8+F3).
 
@@ -184,7 +209,7 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
-@register("q3_shipping_priority", _Q3_SQL)
+@register("q3_shipping_priority", _Q3_SQL, lazy_build=True)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
     Catalyst broadcast-joins the filtered customer side (J5+A8+O2).
@@ -759,7 +784,7 @@ SELECT id,
        {_ARGMIN.format(v='acctbal')},
        COUNT(*) AS n_merged
 FROM kgx_nodes GROUP BY id
-""")
+""", lazy_build=True)
 def kgx_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 node merge: deterministic first-wins scalars (min_by rank),
     set-union list props. The core reference operator
@@ -786,7 +811,7 @@ SELECT subject, predicate, object, primary_knowledge_source,
        COUNT(*) AS n_merged
 FROM kgx_edges
 GROUP BY subject, predicate, object, primary_knowledge_source
-""")
+""", lazy_build=True)
 def kgx_edge_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 edge merge on (s, p, o, primary_knowledge_source)
     `[R: Common/merging.py — merge_edges — unverified]`.
@@ -1320,7 +1345,7 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-""")
+""", lazy_build=True)
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2+W3 in one pass over the same partition: running ROWS-frame sum
     (decimal-accumulated), lag delta, and a trailing-hour RANGE frame
@@ -1379,7 +1404,7 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
        COUNT(*) AS n,
        {_DSUM_F('value', 'sum_value')}
 FROM events GROUP BY 1, 2
-""")
+""", lazy_build=True)
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: tumbling 1-hour window aggregate (batch form of the streaming
     groupBy(window(...)) — the streaming twin `stream_tumbling` keeps
@@ -1626,7 +1651,7 @@ SELECT sha256(lower(trim(text))) AS content_hash,
        MIN(doc_id) AS keep_id,
        COUNT(*) AS n_dups
 FROM docs2 GROUP BY 1
-""")
+""", lazy_build=True)
 def text_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: exact dedup by content hash over a corpus with injected dups."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2182,7 +2207,7 @@ FROM scored ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
-@register("knn_cosine", _KNN_SQL)
+@register("knn_cosine", _KNN_SQL, lazy_build=True)
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: brute-force cosine top-k, pure Catalyst.
 
@@ -3237,7 +3262,7 @@ SELECT doc_id, domain, n_features, logit_sum,
        CAST(logit_sum AS DOUBLE) / n_features AS score,
        logit_sum > 0 AS keep
 FROM s
-""")
+""", lazy_build=True)
 def crawl_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-INGEST capstone (the front-end sibling of
     corpus_curate): messy URL -> canonicalize -> exact-URL dedup
@@ -5286,7 +5311,7 @@ FROM documents
 """
 
 
-@register("bpe_tokenize", _BPE_TOKENIZE_SQL)
+@register("bpe_tokenize", _BPE_TOKENIZE_SQL, lazy_build=True)
 def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 BPE subword tokenization (operators/bpe.py): the fixed
     public merge table applied as a chain of built-in replace() passes
@@ -5301,7 +5326,7 @@ def bpe_tokenize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(d)
 
 
-@register("bpe_tokenize_dict", _BPE_TOKENIZE_SQL)
+@register("bpe_tokenize_dict", _BPE_TOKENIZE_SQL, lazy_build=True)
 def bpe_tokenize_dict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-12 REAL-VOCABULARY tokenizer form (the r11 verdict's
     missing #1, operators/bpe.py:bpe_tokenize_dict): the identical
